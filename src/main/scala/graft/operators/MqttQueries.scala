@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MqttTopicMatches
+import graft.sources.Tables
+
+/** Driver-verifiable query forms of the MQTT parity pipeline: every operator
+  * of SURVEY.md §2 bound to the deterministic message replay frame, each with
+  * a DuckDB oracle that re-derives the same semantics in ANSI SQL
+  * (window lag for trigger CDC, row_number for upsert/id assignment, a plain
+  * join for the view).
+  */
+object MqttQueries {
+
+  /** Exact-membership exclude list (reference: `message.topic in exclude`,
+    * mqtt2sql.py:782-783 — NOT wildcard matching). "tele/error" is a
+    * deliberate wildcard-looking near-miss that must NOT drop anything.
+    */
+  val ExcludeTopics: Seq[String] = Seq("tele/error/13", "tele/error/7", "tele/error")
+
+  /** The shared oracle CTE: message frame + exclusion, mirroring
+    * [[Tables.messages]] + [[MqttPipeline.excludeTopics]].
+    */
+  private val msgsCte: String = {
+    val excl = ExcludeTopics.map(t => s"'$t'").mkString(", ")
+    s"""msgs AS (
+       |  SELECT * FROM (${Tables.messagesSql}) raw
+       |  WHERE topic NOT IN ($excl))""".stripMargin
+  }
+
+  private def msgs(spark: SparkSession, dir: String): DataFrame =
+    MqttPipeline.excludeTopics(Tables.messages(spark, dir), ExcludeTopics)
+
+  // ---- messages (S1 scan shape + F2 exclude + F6 hex + F7 event time) -----
+
+  def messages(spark: SparkSession, dir: String): DataFrame =
+    msgs(spark, dir)
+      .select(col("msg_id"), col("ts"), col("topic"),
+        hex(col("value")).as("value_hex"), col("qos"), col("retain"))
+      .orderBy(col("msg_id"))
+
+  val messagesSql: String =
+    s"""WITH $msgsCte
+       |SELECT msg_id, ts, topic, hex(value) AS value_hex, qos, retain
+       |FROM msgs ORDER BY msg_id""".stripMargin
+
+  // ---- state table (A1 contiguous ids + A2 last-value-per-key upsert) ------
+
+  def state(spark: SparkSession, dir: String): DataFrame =
+    MqttPipeline.stateTable(msgs(spark, dir))
+      .select(col("id"), col("ts"), col("topic"),
+        hex(col("value")).as("value_hex"), col("qos"), col("retain"))
+      .orderBy(col("id"))
+
+  private val stateCte: String =
+    """latest AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY topic ORDER BY ts DESC, msg_id DESC) AS rn,
+      |    min(msg_id) OVER (PARTITION BY topic) AS first_arrival
+      |  FROM msgs),
+      |state AS (
+      |  SELECT row_number() OVER (ORDER BY first_arrival) AS id,
+      |         ts, topic, value, qos, retain
+      |  FROM latest WHERE rn = 1)""".stripMargin
+
+  val stateSql: String =
+    s"""WITH $msgsCte,
+       |$stateCte
+       |SELECT id, ts, topic, hex(value) AS value_hex, qos, retain
+       |FROM state ORDER BY id""".stripMargin
+
+  // ---- history (F3/F4 trigger CDC, default flags enable=1, diffonly=1) ----
+
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val m = msgs(spark, dir)
+    val h = MqttPipeline.history(m)
+    val dim = MqttPipeline.stateTable(m).select(col("id").as("topicid"), col("topic"))
+    h.join(broadcast(dim), Seq("topic"))
+      .select(col("id"), col("ts"), col("topicid"), hex(col("value")).as("value_hex"))
+      .orderBy(col("id"))
+  }
+
+  /** CDC kept-rows CTE: lag() is the batch form of "trigger compares NEW
+    * payload against the stored previous one" (mysql.sql:86-91).
+    */
+  private val historyCte: String =
+    """lagged AS (
+      |  SELECT *, lag(value) OVER (PARTITION BY topic ORDER BY ts, msg_id) AS prev_value
+      |  FROM msgs),
+      |kept AS (
+      |  SELECT ts, topic, value, msg_id,
+      |         row_number() OVER (ORDER BY ts, msg_id) AS id
+      |  FROM lagged
+      |  WHERE prev_value IS NULL OR prev_value <> value)""".stripMargin
+
+  val historySql: String =
+    s"""WITH $msgsCte,
+       |$stateCte,
+       |$historyCte
+       |SELECT k.id, k.ts, s.id AS topicid, hex(k.value) AS value_hex
+       |FROM kept k JOIN state s ON k.topic = s.topic
+       |ORDER BY k.id""".stripMargin
+
+  // ---- history view (J1 inner join + F5 projection) ------------------------
+
+  def historyView(spark: SparkSession, dir: String): DataFrame = {
+    val m = msgs(spark, dir)
+    MqttPipeline.historyView(MqttPipeline.history(m), MqttPipeline.stateTable(m))
+      .select(col("id"), col("ts"), col("ts_last"), col("topic"),
+        hex(col("value")).as("value_hex"))
+      .orderBy(col("id"))
+  }
+
+  val historyViewSql: String =
+    s"""WITH $msgsCte,
+       |$stateCte,
+       |$historyCte
+       |SELECT k.id, k.ts, s.ts AS ts_last, k.topic, hex(k.value) AS value_hex
+       |FROM kept k JOIN state s ON k.topic = s.topic
+       |ORDER BY k.id""".stripMargin
+
+  // ---- per-topic control-flag matrix (F3 enable x F4 diffonly) -------------
+
+  /** Deterministic per-topic flags covering all 4 (enable, diffonly) combos:
+    * derived from the numeric last level of the topic path.
+    */
+  private def topicFlags(m: DataFrame): DataFrame = {
+    val u = element_at(split(col("topic"), "/"), 3).cast("int")
+    m.select(col("topic")).distinct()
+      .select(col("topic"), (u % 2).as("history_enable"), (floor(u / 2) % 2).cast("int").as("history_diffonly"))
+  }
+
+  def historyFlags(spark: SparkSession, dir: String): DataFrame = {
+    val m = msgs(spark, dir)
+    MqttPipeline.history(m, Some(topicFlags(m)))
+      .select(col("id"), col("ts"), col("topic"), hex(col("value")).as("value_hex"))
+      .orderBy(col("id"))
+  }
+
+  val historyFlagsSql: String =
+    s"""WITH $msgsCte,
+       |flagged AS (
+       |  SELECT *,
+       |    CAST(split_part(topic, '/', 3) AS INT) % 2 AS history_enable,
+       |    (CAST(split_part(topic, '/', 3) AS INT) // 2) % 2 AS history_diffonly,
+       |    lag(value) OVER (PARTITION BY topic ORDER BY ts, msg_id) AS prev_value
+       |  FROM msgs),
+       |kept AS (
+       |  SELECT ts, topic, value, msg_id,
+       |         row_number() OVER (ORDER BY ts, msg_id) AS id
+       |  FROM flagged
+       |  WHERE history_enable = 1
+       |    AND (history_diffonly = 0 OR prev_value IS NULL OR prev_value <> value))
+       |SELECT id, ts, topic, hex(value) AS value_hex FROM kept ORDER BY id""".stripMargin
+
+  // ---- topic wildcard filter (F1, custom Catalyst expression) --------------
+
+  val Patterns: Seq[String] = Seq("tele/+/7", "tele/error/#")
+
+  def topicFilter(spark: SparkSession, dir: String): DataFrame = {
+    val cond = Patterns
+      .map(p => MqttTopicMatches(col("topic"), p))
+      .reduce(_ || _)
+    msgs(spark, dir)
+      .filter(cond)
+      .select(col("msg_id"), col("topic"))
+      .orderBy(col("msg_id"))
+  }
+
+  val topicFilterSql: String =
+    s"""WITH $msgsCte
+       |SELECT msg_id, topic FROM msgs
+       |WHERE regexp_full_match(topic, 'tele/[^/]+/7')
+       |   OR regexp_full_match(topic, 'tele/error(/.*)?')
+       |ORDER BY msg_id""".stripMargin
+
+  // ---- read-side idioms: localtime conversion + JSON payload typing --------
+
+  /** README.md:243's documented read idiom (`DATETIME(ts,'localtime')`):
+    * UTC storage, wall-clock display conversion.
+    */
+  def localtime(spark: SparkSession, dir: String): DataFrame =
+    msgs(spark, dir)
+      .select(col("msg_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_utc"),
+        date_format(from_utc_timestamp(col("ts"), "+01:00"),
+          "yyyy-MM-dd HH:mm:ss").as("ts_plus1"))
+      .orderBy(col("msg_id"))
+
+  val localtimeSql: String =
+    s"""WITH $msgsCte
+       |SELECT msg_id,
+       |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_utc,
+       |  strftime(ts + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS ts_plus1
+       |FROM msgs ORDER BY msg_id""".stripMargin
+
+  /** The payload stays an opaque BLOB in the engine (reference stance);
+    * typing it (JSON field extraction, numeric cast) is a read-side concern —
+    * here is that read path.
+    */
+  def payloadJson(spark: SparkSession, dir: String): DataFrame =
+    msgs(spark, dir)
+      .select(col("msg_id"), col("topic"),
+        get_json_object(col("value").cast("string"), "$.k").cast("int").as("payload_k"))
+      .orderBy(col("msg_id"))
+
+  val payloadJsonSql: String =
+    s"""WITH $msgsCte
+       |SELECT msg_id, topic,
+       |  CAST(json_extract_string(decode(value), '$$.k') AS INT) AS payload_k
+       |FROM msgs ORDER BY msg_id""".stripMargin
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media payloads as opaque `binary` columns with
+  * typed metadata, plus decode / feature-extraction / frame-sampling plumbing.
+  *
+  * The real decode step (image/audio codecs) is STUBBED — the container has no
+  * media libraries — with a clearly-marked deterministic fake. Everything
+  * around it is real Spark plumbing: schema, batched per-partition execution,
+  * column pruning (binary column only touched by the stages that need it).
+  *
+  * This mirrors the reference's own stance on payloads: the MQTT `value` is an
+  * opaque LONGBLOB the engine stores and moves but never interprets
+  * (/root/reference/mqtt2sql.py:586 — payload hexed straight into the BLOB).
+  */
+object Multimodal {
+
+  /** Documents reframed as media rows: opaque binary payload + typed metadata.
+    * media_type is a deterministic stand-in label (doc_id % 3).
+    */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      element_at(
+        typedLit(Seq("image/png", "audio/wav", "video/mp4")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      struct(
+        octet_length(encode(col("text"), "UTF-8")).as("byte_len"),
+        md5(encode(col("text"), "UTF-8")).as("content_md5")).as("meta"))
+
+  /** Flat, oracle-comparable projection of [[asMedia]] plus fake decoded
+    * dimensions derived deterministically from the payload size.
+    */
+  def metadata(docs: DataFrame): DataFrame =
+    asMedia(docs).select(
+      col("doc_id"),
+      col("media_type"),
+      col("meta.byte_len").as("byte_len"),
+      col("meta.content_md5").as("content_md5"),
+      (col("meta.byte_len") % 640 + 16).as("fake_width"),
+      (col("meta.byte_len") % 480 + 16).as("fake_height"))
+
+  /** Frame sampling: one row per sampled frame with a per-frame content hash.
+    * Narrow explode — frames of one media row never leave its partition.
+    */
+  def frameSample(docs: DataFrame): DataFrame =
+    asMedia(docs)
+      .withColumn("n_frames", col("meta.byte_len") % 8 + 1)
+      .select(col("doc_id"), col("media_type"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("media_type"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * 1000).cast("long").as("frame_ts_ms"))
+
+  /** Output schema of the decode stage. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Batched per-partition decode — the Scala analog of `mapInPandas`: rows
+    * are pulled in batches of `batchSize` so a real codec could amortize
+    * library/model setup per batch instead of per row.
+    *
+    * STUB: the "decode" is a deterministic fake (dimensions and an 8-float
+    * feature vector derived from payload bytes). Swap `decodeBatch` for a real
+    * codec; the plumbing (schema, batching, partition-locality) is the real
+    * contract.
+    */
+  def decodeStub(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("doc_id"), col("media")).rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch => decodeBatch(batch) }
+    }
+    spark.createDataFrame(out, decodedSchema)
+  }
+
+  /** The stubbed batch decode: one call per batch, like a vectorized UDF. */
+  private def decodeBatch(batch: Seq[Row]): Seq[Row] =
+    batch.map { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val w = bytes.length % 640 + 16
+      val h = bytes.length % 480 + 16
+      // deterministic fake features: mean byte value per 1/8th chunk
+      val features = (0 until 8).map { i =>
+        val lo = i * bytes.length / 8
+        val hi = math.max(lo + 1, (i + 1) * bytes.length / 8)
+        val slice = bytes.slice(lo, hi)
+        if (slice.isEmpty) 0f else slice.map(_ & 0xff).sum.toFloat / slice.length
+      }.toArray
+      Row(id, w, h, features)
+    }
+}
+
+/** DuckDB oracle SQL for the expression-level multimodal queries. */
+object MultimodalSql {
+
+  val metadataSql: String =
+    """SELECT doc_id,
+      |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |  octet_length(encode(text)) AS byte_len,
+      |  md5(text) AS content_md5,
+      |  octet_length(encode(text)) % 640 + 16 AS fake_width,
+      |  octet_length(encode(text)) % 480 + 16 AS fake_height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val frameSampleSql: String =
+    """WITH f AS (SELECT doc_id,
+      |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |  octet_length(encode(text)) % 8 + 1 AS n_frames
+      |FROM documents)
+      |SELECT doc_id, media_type, unnest(generate_series(0, n_frames - 1)) AS frame_idx,
+      |       unnest(generate_series(0, n_frames - 1)) * 1000 AS frame_ts_ms
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+}

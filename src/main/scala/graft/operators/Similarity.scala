@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => VF, VectorSql => VS}
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * Two paths, matching the standard scale trade-off:
+  *  - [[bruteForceTopK]]: exact top-k. The (small) query set is broadcast, so
+  *    the corpus is scanned once, partition-locally, with no shuffle of the
+  *    corpus — per-partition cost is |corpus_partition| x |queries| fused into
+  *    one codegen'd stage, then a tiny top-k aggregation. This is the correct
+  *    baseline AND the verifier for the approximate path.
+  *  - [[lshTopK]]: random-hyperplane sign-LSH. Each vector is mapped to a
+  *    small bucket id in one narrow pass; search joins query buckets to
+  *    corpus buckets (equi-join, broadcast on the query side), so the pairs
+  *    generated are O(bucket occupancy), not O(|corpus| x |queries|). At
+  *    100 TB this is the difference between a scan and a cartesian explosion.
+  *    Hyperplanes are deterministic LCG pseudo-randoms shared with the DuckDB
+  *    oracle (so the *approximation itself* is reproducible and testable).
+  */
+object Similarity {
+
+  val Dim = 64
+  val NumPlanes = 6 // 2^6 = 64 buckets — sized so sf-scale buckets stay populated
+
+  /** Deterministic pseudo-random hyperplane weight in [-0.5, 0.5):
+    * exact-in-double by construction (integer LCG / 2^31 - 0.5).
+    */
+  def planeWeight(p: Int, d: Int): Double =
+    ((1103515245L * (p * Dim + d) + 12345L) % (1L << 31)) / 2147483648.0 - 0.5
+
+  private def planeLit(p: Int): Column =
+    typedLit((0 until Dim).map(planeWeight(p, _)))
+
+  /** Sign-LSH bucket id: bit p = (v . plane_p) > 0. */
+  def bucket(v: Column): Column =
+    (0 until NumPlanes)
+      .map(p => when(VF.dot(v, planeLit(p)) > 0.0, lit(1L << p)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Exact cosine top-k of `corpus` for each query vector (queries broadcast,
+    * self-matches excluded). Ranking ties break on vec_id for determinism.
+    */
+  def bruteForceTopK(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5): DataFrame = {
+    // norms once per vector below the join (not per pair) — same doubles
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      VF.norm(col("embedding")).as("nrm"))
+    val queries = withNorm.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = withNorm.as("c")
+      .join(broadcast(queries), col("query_id") =!= col("c.vec_id"))
+      .withColumn("nn", col("qn") * col("c.nrm"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+        when(col("nn") === 0.0, 0.0)
+          .otherwise(VF.dot(col("qv"), col("c.embedding")) / col("nn")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to the query's bucket. Same
+    * output shape as bruteForceTopK (rank may hold fewer than k rows when a
+    * bucket is sparse — that IS the approximation, identically reproduced by
+    * the oracle).
+    */
+  def lshTopK(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      bucket(col("embedding")).as("bucket"), VF.norm(col("embedding")).as("nrm"))
+    val queries = bucketed.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket"), col("nrm").as("qn"))
+    val scored = bucketed.as("c")
+      .join(broadcast(queries),
+        col("c.bucket") === queries("bucket") && col("query_id") =!= col("c.vec_id"))
+      .withColumn("nn", col("qn") * col("c.nrm"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+        when(col("nn") === 0.0, 0.0)
+          .otherwise(VF.dot(col("qv"), col("c.embedding")) / col("nn")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+}
+
+/** DuckDB oracle SQL for [[Similarity]] — same constants, same fold order. */
+object SimilaritySql {
+  import Similarity._
+
+  def bruteForceTopKSql(queryMaxId: Long = 8, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |           WHERE vec_id < $queryMaxId),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id, ${VS.cosine("q.qv", "c.embedding")} AS cos
+       |  FROM embeddings c JOIN q ON q.query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The bucket expression over a SQL list column `v`. */
+  def bucketSql(v: String): String =
+    (0 until NumPlanes).map { p =>
+      val plane = (0 until Dim).map(d => f"${planeWeight(p, d)}%.17g").mkString("[", ", ", "]")
+      s"(CASE WHEN ${VS.dot(v, plane)} > 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  def lshTopKSql(queryMaxId: Long = 8, k: Int = 5): String =
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+       |      WHERE vec_id < $queryMaxId),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id, ${VS.cosine("q.qv", "c.embedding")} AS cos
+       |  FROM b c JOIN q ON q.bucket = c.bucket AND q.query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+}

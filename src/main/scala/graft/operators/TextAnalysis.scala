@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, TextSql => TS}
+
+/** Per-document text analysis: token counting, language-ID, quality scoring,
+  * content fingerprinting. All narrow (per-row) transformations — they
+  * pipeline with the parquet scan in one whole-stage-codegen span, shuffle
+  * nothing, and scale embarrassingly. Formulas are mirrored in [[TextAnalysisSql]].
+  */
+object TextAnalysis {
+
+  /** Token statistics: whitespace tokens, word-regex tokens, punctuation, and
+    * a BPE-ish upper bound (word chars / 4 + punctuation — the usual "~4 chars
+    * per subword token" estimator).
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val nWord = regexp_count(col("text"), lit("\\w+"))
+    val nPunct = regexp_count(col("text"), lit("[^\\w\\s]"))
+    val nWordChars = length(regexp_replace(col("text"), "[^\\w]", ""))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      TF.nTokens(col("text")).as("n_ws_tokens"),
+      nWord.as("n_word_tokens"),
+      nPunct.as("n_punct"),
+      (ceil(nWordChars / lit(4.0)) + nPunct).cast("long").as("n_bpe_est"))
+  }
+
+  /** Deterministic marker-n-gram language ID with per-language scores. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scoreCols = TF.langScores(col("text")).map { case (l, c) => c.as(s"score_$l") }
+    docs.select(
+      (col("doc_id") +: col("lang").as("lang_labeled") +:
+        TF.langPredict(col("text")).as("lang_pred") +: scoreCols): _*)
+  }
+
+  /** Quality score in [0,1]: length factor, stopword-density factor, and
+    * alpha-ratio factor — the usual cheap heuristics, deterministic and
+    * oracle-mirrored. Weights sum to 1.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val nTok = TF.nTokens(col("text")).cast("double")
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val stopHits = Seq(" the ", " a ", " and ", " of ", " to ")
+      .map(m => TF.markerCount(padded, m)).reduce(_ + _).cast("double")
+    val alphaChars = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+    val lenFactor = least(nTok / 64.0, lit(1.0))
+    val stopFactor = least(stopHits / greatest(nTok, lit(1.0)) * 10.0, lit(1.0))
+    val alphaFactor = alphaChars / greatest(length(col("text")).cast("double"), lit(1.0))
+    docs.select(
+      col("doc_id"),
+      round(lenFactor, 6).as("len_factor"),
+      round(stopFactor, 6).as("stop_factor"),
+      round(alphaFactor, 6).as("alpha_factor"),
+      round(lenFactor * 0.4 + stopFactor * 0.3 + alphaFactor * 0.3, 6).as("quality"))
+  }
+
+  /** Content fingerprints: exact hash + order-insensitive token-set hash. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(trim(col("text")).cast("binary")).as("content_hash"),
+      TF.fingerprint(col("text")).as("token_set_hash"))
+}
+
+/** DuckDB oracle SQL for [[TextAnalysis] ]— same formulas. */
+object TextAnalysisSql {
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  ${TS.nTokens("text")} AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '\\w+')) AS n_word_tokens,
+       |  len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+       |  CAST(ceil(length(regexp_replace(text, '[^\\w]', '', 'g')) / 4.0)
+       |       + len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_bpe_est
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val langIdSql: String = {
+    val scores = TS.langScores("text")
+      .map { case (l, s) => s"$s AS score_$l" }.mkString(",\n  ")
+    s"""SELECT doc_id, lang AS lang_labeled,
+       |  ${TS.langPredict("text")} AS lang_pred,
+       |  $scores
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val qualitySql: String = {
+    val nTok = s"CAST(${TS.nTokens("text")} AS DOUBLE)"
+    val stopHits = Seq(" the ", " a ", " and ", " of ", " to ")
+      .map(m => TS.markerCount(s"(' ' || text || ' ')", m))
+      .mkString("CAST((", " + ", ") AS DOUBLE)")
+    val alpha = "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
+    val lenF = s"least($nTok / 64.0, 1.0)"
+    val stopF = s"least($stopHits / greatest($nTok, 1.0) * 10.0, 1.0)"
+    val alphaF = s"$alpha / greatest(CAST(length(text) AS DOUBLE), 1.0)"
+    s"""SELECT doc_id,
+       |  round($lenF, 6) AS len_factor,
+       |  round($stopF, 6) AS stop_factor,
+       |  round($alphaF, 6) AS alpha_factor,
+       |  round($lenF * 0.4 + $stopF * 0.3 + $alphaF * 0.3, 6) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val fingerprintsSql: String =
+    s"""SELECT doc_id, md5(trim(text)) AS content_hash,
+       |       ${TS.fingerprint("text")} AS token_set_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+}
