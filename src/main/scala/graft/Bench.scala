@@ -12,6 +12,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup so the first measured query doesn't absorb JIT and
+    // parquet-footer costs (we measure the engine, not class loading)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    SparkEntry.queries.get("q_distinct_users").foreach(f => f(spark, sfDir).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

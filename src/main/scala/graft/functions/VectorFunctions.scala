@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Dense-vector math over `array<float>` embedding columns, built from Spark's
   * codegen'd higher-order functions (no UDFs, no serialization boundary).
@@ -13,12 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Elementwise products, left-folded in array order. */
+  /** Elementwise products, left-folded in array order — a codegen'd native
+    * expression ([[DotProduct]]); identical arithmetic to the higher-order
+    * `aggregate(zip_with(...))` form it replaces.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -62,18 +62,33 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count("*").as("n_copies"))
 
-  /** Per-doc distinct word-n-gram shingle sets (docs with >= n tokens). */
+  /** Per-doc distinct word-n-gram shingle sets (docs with >= n tokens),
+    * as readable strings — the composable/debuggable form.
+    */
   def shingleSets(docs: DataFrame, n: Int = ShingleN): DataFrame =
     docs
       .filter(TF.nTokens(col("text")) >= n)
       .select(col("doc_id"), array_distinct(TF.shingles(col("text"), n)).as("sh"))
+
+  /** Per-doc distinct shingle sets as 60-bit md5 hashes via the one-pass
+    * native expression [[graft.functions.ShingleHash60]] — the form the heavy
+    * operators consume (see that scaladoc for why the composed expression
+    * tree is quadratic per doc).
+    */
+  def hashedShingleSets(docs: DataFrame, n: Int = ShingleN): DataFrame =
+    docs
+      .filter(TF.nTokens(col("text")) >= n)
+      .select(col("doc_id"), graft.functions.ShingleHash60(col("text"), n).as("sh"))
 
   /** n-gram Jaccard near-dup pairs via an inverted shingle index:
     * explode -> equi-join on shingle -> count common -> |A∪B| arithmetic.
     * Output: (doc_a, doc_b, jaccard) for pairs >= threshold.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.4, n: Int = ShingleN): DataFrame = {
-    val sets = shingleSets(docs, n)
+    // 60-bit hashed shingles: 8-byte shuffle keys instead of ~20-byte strings;
+    // collision odds even over 10^8 distinct shingles are ~1e-2 corpus-wide,
+    // so counts match the string-keyed oracle
+    val sets = hashedShingleSets(docs, n)
     val sizes = sets.select(col("doc_id"), size(col("sh")).as("sz"))
     val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
     val common = inv.as("a")
@@ -99,9 +114,11 @@ object Dedup {
     * the in-flight state is 32 longs per doc.
     */
   def minhashSignatures(sets: DataFrame): DataFrame = {
+    // MinHash x-values are the first 32 md5 bits == hash60 >>> 28, so the
+    // hashed shingle array feeds signatures directly (no re-hashing)
     val expl = sets
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), TF.hash32(col("s")).as("h"))
+      .select(col("doc_id"), shiftright(col("s"), 28).as("h"))
     val aggs = (0 until NumHashes).map { i =>
       min((lit(hashA(i)) * col("h") + lit(hashB(i))) % lit(Prime)).as(s"mh$i")
     }
@@ -121,7 +138,7 @@ object Dedup {
     * doc_id equi-joins against the (small) candidate-pair set — broadcast.
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5, n: Int = ShingleN): DataFrame = {
-    val sets = shingleSets(docs, n)
+    val sets = hashedShingleSets(docs, n)
     val banded = minhashSignatures(sets)
       .select(col("doc_id"), explode(bandKeys(col("mh"))).as("bk"))
     val cand = banded.as("a")
