@@ -12,13 +12,19 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Measure with the noop sink: every column materializes and top-level
+    // sorts execute, unlike count() where Catalyst prunes computed columns
+    // and eliminates the sort under the count aggregate (a narrow query
+    // would otherwise time a parquet row-count, not the operator).
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // JVM/codegen warmup so the first measured query doesn't absorb JIT and
     // parquet-footer costs (we measure the engine, not class loading)
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.get("q_distinct_users").foreach(f => f(spark, sfDir).count())
+    SparkEntry.queries.get("q_distinct_users").foreach(f => run(f(spark, sfDir)))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

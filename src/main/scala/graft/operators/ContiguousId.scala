@@ -1,7 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.JoinedRow
+import org.apache.spark.sql.graft.InternalBridge
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Gap-free, contiguous 1..N id assignment in a given total order.
   *
@@ -20,6 +24,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *   3. add the per-partition offsets (computed from partition sizes on the
   *      driver — one Long per partition, not per row).
   *
+  * zipWithIndex inherently needs two passes (a partition-size count job, then
+  * the real pass), so the sorted frame is cached once in Tungsten row format
+  * — the expensive upstream (per-topic window pipelines) runs exactly once.
+  * The cache is a plain RDD persist, so Spark's ContextCleaner unpersists it
+  * automatically once the result frame is unreferenced. Staying on
+  * `InternalRow` end-to-end (InternalBridge) means no Row conversion exits
+  * codegen around the RDD stage.
+  *
   * The order keys MUST form a total order (include a unique tiebreaker);
   * otherwise rows equal under the ordering may land on either side of a range
   * boundary and the assignment is nondeterministic.
@@ -28,13 +40,16 @@ object ContiguousId {
 
   def assign(df: DataFrame, idCol: String, order: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
-    val sorted =
-      if (df.rdd.getNumPartitions <= 1) df.sortWithinPartitions(order: _*)
-      else df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1L))
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    // copy: scan/codegen output rows are reused buffers; the cache keeps them
+    val base = InternalBridge.toInternalRdd(sorted)
+      .map(_.copy())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val indexed = base.zipWithIndex().mapPartitions { it =>
+      it.map { case (row, i) => new JoinedRow(row, InternalRow(i + 1L)): InternalRow }
     }
-    val schema = StructType(sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
-    spark.createDataFrame(indexed, schema)
+    InternalBridge.internalCreateDataFrame(spark, indexed, schema)
   }
 }

@@ -17,14 +17,18 @@ import graft.functions.{TextFunctions => TF, TextSql => TS, VectorFunctions => V
   *    (array exprs, no explode until banding); candidate generation is an
   *    equi-join on band keys — only docs sharing a band ever meet, so the
   *    shuffle is O(docs x bands), never O(docs^2). Skewed mega-buckets are the
-  *    known hazard; AQE skew-join handles moderate skew and a bucket-size cap
-  *    (`maxBucket`) hard-bounds degenerate ones.
+  *    known hazard; AQE skew-join handles moderate skew and the `maxBucket`
+  *    cap hard-bounds degenerate ones (band buckets larger than `maxBucket`
+  *    are dropped from candidate generation — see [[minhashLsh]]).
   *  - SimHash: 64-bit signature per doc in one pass (bit-majority over token
   *    hashes), then banded equi-join on 15-bit sub-keys; hamming verification
   *    is a codegen'd xor+bit_count.
-  *  - n-gram Jaccard: exploded shingle inverted index + equi-join on shingle;
-  *    the honest quadratic fallback for small/medium corpora and the verifier
-  *    the LSH paths delegate to.
+  *  - n-gram Jaccard: exploded shingle inverted index + equi-join on shingle,
+  *    with a document-frequency cap (`maxShingleDf`) dropping stop-shingles —
+  *    one hot trigram otherwise creates a mega-bucket whose self-join is
+  *    quadratic in its document frequency (the skewed-key scale-killer).
+  *  - embedding near-dup: multi-table sign-LSH candidate generation
+  *    (equi-join on bucket, never all-pairs), cosine-verified.
   * All constants (hash seeds, band shapes) are shared with the DuckDB-SQL
   * mirror [[DedupSql]] so Spark results and the oracle match bit-for-bit.
   */
@@ -41,6 +45,9 @@ object Dedup {
   val SimHashBits = 60 // from 15 hex chars of md5 (fits int64, stays positive)
   val SimHashBands = 4 // 4 x 15-bit sub-keys
   val MaxHamming = 3
+  val MaxBucket = 64 // LSH band-bucket size cap (skew hard bound)
+  val MaxShingleDf = 128 // stop-shingle document-frequency cap
+  val NearDupTables = 4 // sign-LSH OR-amplification tables for embeddings
 
   /** Exact dedup: group identical normalized text, keep the smallest doc_id.
     * Emits one row per distinct content with its representative and
@@ -83,14 +90,28 @@ object Dedup {
   /** n-gram Jaccard near-dup pairs via an inverted shingle index:
     * explode -> equi-join on shingle -> count common -> |A∪B| arithmetic.
     * Output: (doc_a, doc_b, jaccard) for pairs >= threshold.
+    *
+    * Stop-shingle cap: a shingle present in f documents contributes O(f^2)
+    * joined pairs, so one corpus-common trigram makes the self-join quadratic
+    * (skewed-key shuffle). Shingles with document frequency > `maxShingleDf`
+    * are dropped from the index AND from the set sizes — the standard
+    * stopword treatment, mirrored exactly in the oracle so Jaccard values
+    * stay bit-identical. Sizes are counted from the capped index, so both
+    * numerator and denominator see the same universe.
     */
-  def ngramJaccard(docs: DataFrame, threshold: Double = 0.4, n: Int = ShingleN): DataFrame = {
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.4, n: Int = ShingleN,
+      maxShingleDf: Int = MaxShingleDf): DataFrame = {
     // 60-bit hashed shingles: 8-byte shuffle keys instead of ~20-byte strings;
     // collision odds even over 10^8 distinct shingles are ~1e-2 corpus-wide,
     // so counts match the string-keyed oracle
     val sets = hashedShingleSets(docs, n)
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("sz"))
-    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv0 = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    // the hot-shingle list is tiny (shingles above the cap) -> broadcast anti-join
+    val hot = inv0.groupBy("s").agg(count("*").as("df"))
+      .filter(col("df") > maxShingleDf).select("s")
+    val inv = inv0.join(broadcast(hot), Seq("s"), "left_anti")
+    val sizes = inv.groupBy("doc_id").agg(count("*").as("sz"))
     val common = inv.as("a")
       .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -136,13 +157,30 @@ object Dedup {
   /** MinHash+LSH near-dup: candidates = docs sharing >= 1 band, verified with
     * exact Jaccard over the distinct shingle sets. The verification joins are
     * doc_id equi-joins against the (small) candidate-pair set — broadcast.
+    *
+    * Skew hard bound: a band bucket holding m docs yields m(m-1)/2 candidate
+    * pairs, so a degenerate bucket (e.g. a boilerplate-heavy corpus slice
+    * collapsing to one signature band) is quadratic. Buckets larger than
+    * `maxBucket` are dropped entirely — their members are near-certain
+    * duplicate *clusters* better handled by exact/fingerprint dedup, and at
+    * 32 hashes x 8 bands a true near-dup pair has 7 other bands to meet in.
+    * The bound is a window count over the same bk partitioning the self-join
+    * shuffles on (no extra pass over the signature computation), mirrored in
+    * the oracle.
     */
-  def minhashLsh(docs: DataFrame, threshold: Double = 0.5, n: Int = ShingleN): DataFrame = {
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.5, n: Int = ShingleN,
+      maxBucket: Int = MaxBucket): DataFrame = {
     val sets = hashedShingleSets(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = minhashSignatures(sets)
       .select(col("doc_id"), explode(bandKeys(col("mh"))).as("bk"))
-    val cand = banded.as("a")
-      .join(banded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+    val bounded = banded
+      .withColumn("bsz", count("*")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val cand = bounded.as("a")
+      .join(bounded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sizes = sets.select(col("doc_id"), size(col("sh")).as("sz"))
@@ -204,22 +242,39 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs above a similarity threshold.
-    * Quadratic verifier — at scale, gate behind LSH buckets
-    * (see [[Similarity.lshTopK]] for the bucketed path).
+    *
+    * Candidate generation is multi-table sign-LSH ([[Similarity.tableBucket]],
+    * `tables` independent 6-plane hash tables, OR-amplified): vectors meet
+    * only inside a (table, bucket) equi-join — the shuffle is O(vectors x
+    * tables), never the O(n^2) all-pairs theta-join. At threshold 0.95
+    * (18° apart) a pair collides in >= 1 of 4 tables with p ~ 0.95; true
+    * duplicates (cos > 0.99) with p > 0.996. The approximation is reproduced
+    * identically by the oracle (same deterministic hyperplanes), so recall is
+    * itself testable. Candidate pairs are deduped across tables BEFORE the
+    * cosine verification, so each surviving pair pays the 64-dim fold once.
     */
-  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.95): DataFrame = {
+  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.95,
+      tables: Int = NearDupTables): DataFrame = {
     // norms computed once per vector BELOW the join (projection stays on its
     // side), not once per pair — same doubles, 1/3 the fold work
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       VF.norm(col("embedding")).as("nrm"))
-    withNorm.as("a")
-      .join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // bk encodes (table, bucket) so buckets never collide across tables
+    val bucketed = emb.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        Similarity.tableBucket(col("embedding"), t) + lit(t.toLong << 32)): _*)).as("bk"))
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(withNorm.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(withNorm.as("b"), col("vec_b") === col("b.vec_id"))
       .withColumn("nn", col("a.nrm") * col("b.nrm"))
       .withColumn("cos", when(col("nn") === 0.0, 0.0)
         .otherwise(VF.dot(col("a.embedding"), col("b.embedding")) / col("nn")))
       .filter(col("cos") >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(col("cos"), 6).as("cos"))
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 }
 
@@ -248,10 +303,13 @@ object DedupSql {
        |  SELECT doc_id, list_distinct(${TS.shingles("text", n)}) AS sh FROM toks)"""
       .stripMargin
 
-  def ngramJaccardSql(threshold: Double = 0.4, n: Int = ShingleN): String =
+  def ngramJaccardSql(threshold: Double = 0.4, n: Int = ShingleN,
+      maxShingleDf: Int = MaxShingleDf): String =
     s"""WITH ${shingleCte(n)},
-       |sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
-       |inv AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+       |inv0 AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+       |hot AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) > $maxShingleDf),
+       |inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
        |common AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -274,15 +332,20 @@ object DedupSql {
     s"list_transform(range($Bands), j -> j::VARCHAR || '-' || $parts)"
   }
 
-  def minhashLshSql(threshold: Double = 0.5, n: Int = ShingleN): String =
+  def minhashLshSql(threshold: Double = 0.5, n: Int = ShingleN,
+      maxBucket: Int = MaxBucket): String =
     s"""WITH ${shingleCte(n)},
        |hashed AS (SELECT doc_id, sh,
        |  list_transform(sh, s -> ${TS.hash32("s")}) AS hs FROM sets),
        |mh AS (SELECT doc_id, sh, $minhashExprs AS mh FROM hashed),
        |banded AS (SELECT doc_id, unnest($bandKeyExpr) AS bk FROM mh),
+       |bounded AS (
+       |  SELECT doc_id, bk FROM (
+       |    SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz FROM banded)
+       |  WHERE bsz <= $maxBucket),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |  FROM bounded a JOIN bounded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
        |sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
        |inv AS (SELECT doc_id, unnest(sh) AS s FROM sets),
        |common AS (
@@ -334,10 +397,22 @@ object DedupSql {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  def embeddingNearDupSql(threshold: Double = 0.95): String =
-    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  def embeddingNearDupSql(threshold: Double = 0.95,
+      tables: Int = NearDupTables): String = {
+    val bucketList = (0 until tables)
+      .map(t => s"${SimilaritySql.tableBucketSql("embedding", t)} + ${t.toLong << 32}")
+      .mkString("[", ",\n  ", "]")
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, unnest($bucketList) AS bk FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bucketed a JOIN bucketed b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b,
        |       round(${VS.cosine("a.embedding", "b.embedding")}, 6) AS cos
-       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |FROM cand
+       |JOIN embeddings a ON vec_a = a.vec_id
+       |JOIN embeddings b ON vec_b = b.vec_id
        |WHERE ${VS.cosine("a.embedding", "b.embedding")} >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
 }

@@ -38,9 +38,18 @@ object Similarity {
     typedLit((0 until Dim).map(planeWeight(p, _)))
 
   /** Sign-LSH bucket id: bit p = (v . plane_p) > 0. */
-  def bucket(v: Column): Column =
+  def bucket(v: Column): Column = tableBucket(v, 0)
+
+  /** Bucket id under hash table `t` — each table draws its NumPlanes
+    * hyperplanes from an independent region of the deterministic plane
+    * sequence, giving the standard LSH OR-amplification: a near-dup pair
+    * missed by one table's split is caught by another
+    * (P[miss all T tables] = (1 - p^NumPlanes)^T). Used by
+    * [[Dedup.embeddingNearDup]] with T=4.
+    */
+  def tableBucket(v: Column, t: Int): Column =
     (0 until NumPlanes)
-      .map(p => when(VF.dot(v, planeLit(p)) > 0.0, lit(1L << p)).otherwise(0L))
+      .map(p => when(VF.dot(v, planeLit(t * NumPlanes + p)) > 0.0, lit(1L << p)).otherwise(0L))
       .reduce(_ + _)
 
   /** Exact cosine top-k of `corpus` for each query vector (queries broadcast,
@@ -109,12 +118,17 @@ object SimilaritySql {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
-  /** The bucket expression over a SQL list column `v`. */
-  def bucketSql(v: String): String =
+  /** The bucket expression over a SQL list column `v` (table `t`), mirroring
+    * [[Similarity.tableBucket]] plane-for-plane.
+    */
+  def tableBucketSql(v: String, t: Int): String =
     (0 until NumPlanes).map { p =>
-      val plane = (0 until Dim).map(d => f"${planeWeight(p, d)}%.17g").mkString("[", ", ", "]")
+      val plane = (0 until Dim)
+        .map(d => f"${planeWeight(t * NumPlanes + p, d)}%.17g").mkString("[", ", ", "]")
       s"(CASE WHEN ${VS.dot(v, plane)} > 0.0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  def bucketSql(v: String): String = tableBucketSql(v, 0)
 
   def lshTopKSql(queryMaxId: Long = 8, k: Int = 5): String =
     s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
