@@ -35,6 +35,10 @@ object SparkEntry {
     "mqtt_topic_filter" -> (MqttQueries.topicFilter _),
     "mqtt_localtime" -> (MqttQueries.localtime _),
     "mqtt_payload_json" -> (MqttQueries.payloadJson _),
+    // the streaming CDC path end-to-end (MemoryStream micro-batches through
+    // flatMapGroupsWithState), checked against the SAME oracle as the batch
+    // mqtt_history — the incremental-equals-batch property, driver-verified
+    "mqtt_history_streaming" -> ((s, d) => streaming.StreamingHistory.history(s, d)),
     // --- relational coverage (SURVEY §2.4-2.6) ---
     "q1_pricing_summary" -> (Relational.pricingSummary _),
     "q6_forecast_revenue" -> (Relational.forecastRevenue _),
@@ -101,6 +105,7 @@ object SparkEntry {
     "mqtt_topic_filter" -> MqttQueries.topicFilterSql,
     "mqtt_localtime" -> MqttQueries.localtimeSql,
     "mqtt_payload_json" -> MqttQueries.payloadJsonSql,
+    "mqtt_history_streaming" -> MqttQueries.historySql,
     "q1_pricing_summary" -> Relational.pricingSummarySql,
     "q6_forecast_revenue" -> Relational.forecastRevenueSql,
     "q3_top_orders" -> Relational.topOrdersSql,

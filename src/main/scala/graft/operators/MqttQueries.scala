@@ -30,8 +30,14 @@ object MqttQueries {
        |  WHERE topic NOT IN ($excl))""".stripMargin
   }
 
-  private def msgs(spark: SparkSession, dir: String): DataFrame =
+  /** The excluded replay frame every parity query (batch and streaming)
+    * starts from: [[Tables.messages]] + [[MqttPipeline.excludeTopics]].
+    */
+  def replayMessages(spark: SparkSession, dir: String): DataFrame =
     MqttPipeline.excludeTopics(Tables.messages(spark, dir), ExcludeTopics)
+
+  private def msgs(spark: SparkSession, dir: String): DataFrame =
+    replayMessages(spark, dir)
 
   // ---- messages (S1 scan shape + F2 exclude + F6 hex + F7 event time) -----
 

@@ -1,45 +1,126 @@
 package graft.streaming
 
+import java.sql.{Connection, DriverManager}
+
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's keyed upsert sink (`INSERT ... ON DUPLICATE KEY UPDATE`,
-  * /root/reference/mqtt2sql.py:579-629, PK=topic mysql.sql:51) as a
-  * `foreachBatch` merge: each micro-batch is reduced to its last message per
-  * topic, merged against the stored state, and the state store rewritten.
+  * /root/reference/mqtt2sql.py:579-629, PK=topic mysql.sql:51) in two
+  * `foreachBatch` forms:
   *
-  * This file-based implementation is the offline-testable stand-in; against a
-  * transactional store the merge body becomes one `MERGE INTO` (Delta/Iceberg)
-  * or JDBC upsert — the per-batch reduction and idempotence contract are
-  * identical. Checkpointed micro-batches + an idempotent keyed merge give
-  * effectively-exactly-once per key, a strict upgrade over the reference's
-  * QoS-0 at-most-once (SURVEY §2.7 ST1).
+  *  - [[mergeJdbc]] — the real thing (north star: "JDBC sink"): each
+  *    micro-batch is reduced to its last message per key, staged to a
+  *    temporary table over JDBC, and merged with ONE set-based `MERGE INTO`
+  *    statement — per-batch work is O(batch), never O(total state), and the
+  *    DB's PK index does the matching (the trigger-side semantics the
+  *    reference delegates to MySQL). Tested against embedded Derby (the
+  *    JDBC engine shipped with Spark); the SQL is standard `MERGE`
+  *    (MySQL 8 / Derby 10.11+ / Postgres 15).
+  *  - [[merge]] — file-based stand-in for environments without a
+  *    transactional store: keyed merge over parquet, full-rewrite per batch
+  *    (documented O(total state) IO — fine for dimension-sized state, wrong
+  *    for big state; that's what mergeJdbc/Delta are for).
+  *
+  * Both are idempotent per key: replaying a micro-batch after a checkpoint
+  * restart converges to the same state. Checkpointed offsets + an idempotent
+  * keyed merge give effectively-exactly-once per key, a strict upgrade over
+  * the reference's QoS-0 at-most-once (SURVEY §2.7 ST1).
   */
 object UpsertSink {
 
-  /** Merge one micro-batch into the keyed state at `statePath`.
-    * Usage: `stream.writeStream.foreachBatch(UpsertSink.merge(spark, path) _)`.
+  /** Reduce a micro-batch to its last message per topic (the only row the
+    * reference's upsert would leave visible after the batch commits).
+    */
+  def lastPerKey(batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("topic")).orderBy(col("ts").desc, col("msg_id").desc)
+    batch.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** The keyed-upsert statement: standard SQL MERGE, generated from the
+    * batch schema. Key columns match on equality; every other column is
+    * updated on match and inserted otherwise — exactly
+    * `INSERT ... ON DUPLICATE KEY UPDATE` (mqtt2sql.py:579-591).
+    * All identifiers are quoted ("value" is a reserved word in Derby).
+    */
+  def mergeSql(target: String, staging: String, keyCols: Seq[String],
+      allCols: Seq[String]): String = {
+    def q(c: String) = "\"" + c + "\""
+    val on = keyCols.map(c => s"t.${q(c)} = s.${q(c)}").mkString(" AND ")
+    val nonKey = allCols.filterNot(keyCols.contains)
+    val set = nonKey.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+    val ins = allCols.map(q).mkString(", ")
+    val insVals = allCols.map(c => s"s.${q(c)}").mkString(", ")
+    s"""MERGE INTO $target t USING $staging s ON $on
+       |WHEN MATCHED THEN UPDATE SET $set
+       |WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($insVals)""".stripMargin
+  }
+
+  /** Merge one micro-batch into JDBC table `table` (PK = `keyCols`).
+    * Usage: `stream.writeStream.foreachBatch(UpsertSink.mergeJdbc(url, "mqtt") _)`.
+    *
+    * The batch is staged through Spark's parallel JDBC writer (executors
+    * write partitions concurrently — the reference's 50-connection pool,
+    * mqtt2sql.py:121,461, maps to the writer's numPartitions), then one
+    * driver-side set-based MERGE publishes it transactionally.
+    */
+  def mergeJdbc(url: String, table: String, keyCols: Seq[String] = Seq("topic"),
+      stagingColumnTypes: String = "topic VARCHAR(1024)")(
+      batch: DataFrame, batchId: Long): Unit = {
+    val staging = s"${table}_stage"
+    val reduced = lastPerKey(batch)
+    // key columns need an equality-comparable SQL type: some dialects (Derby)
+    // default StringType to CLOB, which cannot be a MERGE match key
+    reduced.write.mode(SaveMode.Overwrite)
+      .option("createTableColumnTypes", stagingColumnTypes)
+      .jdbc(url, staging, new java.util.Properties)
+    val conn: Connection = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(mergeSql(table, staging, keyCols, reduced.columns.toSeq))
+      finally st.close()
+    } finally conn.close()
+  }
+
+  /** Merge one micro-batch into the keyed parquet state at `statePath`
+    * (file-based stand-in; see class doc for the scale boundary).
+    * Usage: `stream.writeStream.foreachBatch(UpsertSink.merge(path) _)`.
+    *
+    * Parquet has no transactional MERGE, so publishing is
+    * write-tmp -> retire-current -> rename-tmp; a crash between the renames
+    * leaves the previous state recoverable at `_prev` (readState falls back),
+    * never a window where both copies are gone.
     */
   def merge(statePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val batchLast = lastPerKey(batch)
+    val existing = readState(spark, statePath).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batchLast.schema))
     val w = Window.partitionBy(col("topic")).orderBy(col("ts").desc, col("msg_id").desc)
-    val batchLast = batch
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-    val existing =
-      try spark.read.parquet(statePath)
-      catch { case _: Exception => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batchLast.schema) }
     val merged = existing.unionByName(batchLast)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-    // rewrite via temp path: parquet has no transactional MERGE; real targets
-    // (Delta, JDBC) replace this with an in-place upsert
-    val tmp = statePath + s"_tmp_$batchId"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(statePath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val tmp = new org.apache.hadoop.fs.Path(statePath + s"_tmp_$batchId")
+    val prev = new org.apache.hadoop.fs.Path(statePath + "_prev")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(prev, true)
+    if (fs.exists(dst)) fs.rename(dst, prev)
+    fs.rename(tmp, dst)
+    fs.delete(prev, true)
   }
+
+  /** Current state, falling back to the `_prev` copy if a crash interrupted
+    * the publish dance mid-rename.
+    */
+  def readState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] =
+    try Some(spark.read.parquet(statePath))
+    catch {
+      case _: Exception =>
+        try Some(spark.read.parquet(statePath + "_prev"))
+        catch { case _: Exception => None }
+    }
 }
