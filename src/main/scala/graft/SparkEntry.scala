@@ -73,7 +73,10 @@ object SparkEntry {
       .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(sources.Tables.documents(s, d))
       .orderBy(col("doc_a"), col("doc_b"))),
-    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(sources.Tables.embeddings(s, d))
+    // probe-augmented so the correctness row asserts non-zero matching pairs
+    // (the raw corpus has none above threshold — a 0==0 row verifies nothing)
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(
+      Dedup.probeAugmented(sources.Tables.embeddings(s, d)))
       .orderBy(col("vec_a"), col("vec_b"))),
     // --- similarity search extensions ---
     "ann_brute_force" -> ((s, d) => Similarity.bruteForceTopK(sources.Tables.embeddings(s, d))

@@ -104,13 +104,20 @@ object Dedup {
     // 60-bit hashed shingles: 8-byte shuffle keys instead of ~20-byte strings;
     // collision odds even over 10^8 distinct shingles are ~1e-2 corpus-wide,
     // so counts match the string-keyed oracle
-    val sets = hashedShingleSets(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = Caching.cached(hashedShingleSets(docs, n))
     val inv0 = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-    // the hot-shingle list is tiny (shingles above the cap) -> broadcast anti-join
-    val hot = inv0.groupBy("s").agg(count("*").as("df"))
-      .filter(col("df") > maxShingleDf).select("s")
-    val inv = inv0.join(broadcast(hot), Seq("s"), "left_anti")
+    // document frequency via ONE window over the same hash partitioning the
+    // self-join shuffles on — no driver-side hot list (a broadcast of the
+    // stop-shingle set would grow with corpus size at 100 TB). The dropped
+    // posting count is surfaced as an observe() metric: caps are never silent
+    // (read via QueryExecutionListener / StreamingQueryProgress).
+    val inv = inv0
+      .withColumn("df", count("*")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .observe("ngram_jaccard_caps",
+        sum(when(col("df") > maxShingleDf, 1L).otherwise(0L)).as("dropped_postings"))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
     val sizes = inv.groupBy("doc_id").agg(count("*").as("sz"))
     val common = inv.as("a")
       .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -170,13 +177,17 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5, n: Int = ShingleN,
       maxBucket: Int = MaxBucket): DataFrame = {
-    val sets = hashedShingleSets(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = Caching.cached(hashedShingleSets(docs, n))
     val banded = minhashSignatures(sets)
       .select(col("doc_id"), explode(bandKeys(col("mh"))).as("bk"))
+    // dropped-bucket rows surfaced as an observe() metric — the cap is never
+    // silent (the repo's own no-silent-caps principle; read via
+    // QueryExecutionListener)
     val bounded = banded
       .withColumn("bsz", count("*")
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .observe("minhash_lsh_caps",
+        sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_band_rows"))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
     val cand = bounded.as("a")
@@ -253,6 +264,28 @@ object Dedup {
     * itself testable. Candidate pairs are deduped across tables BEFORE the
     * cosine verification, so each surviving pair pays the 64-dim fold once.
     */
+  /** Deterministic near-dup probes derived from the corpus itself: exact
+    * copies (cos = 1) at `vec_id + 1e6` and last-coordinate-negated copies
+    * (cos ~ 1 - 2*v_d²/|v|² ~ 0.97 for 64-dim) at `vec_id + 2e6`, for the
+    * first `k` vectors. The driver corpus has no natural pairs above the
+    * near-dup threshold (max pairwise cos ~ 0.51 at sf0.01), which left the
+    * dedup_embedding correctness row vacuous (0 rows == 0 rows — any
+    * bucket-parity bug passed undetected). With probes the row asserts
+    * non-zero matches: LSH bucket parity, pair dedup across tables, and the
+    * cosine fold are all exercised on surviving rows. Sign flips are exact
+    * in IEEE floats, so Spark and DuckDB see bit-identical values; the SQL
+    * twin is [[DedupSql.probeAugmentedSql]].
+    */
+  def probeAugmented(emb: DataFrame, k: Int = 4): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val src = base.filter(col("vec_id") < k)
+    val copies = src.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val flipped = src.select((col("vec_id") + 2000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === Similarity.Dim - 1, -x).otherwise(x)).as("embedding"))
+    base.unionAll(copies).unionAll(flipped)
+  }
+
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.95,
       tables: Int = NearDupTables): DataFrame = {
     // norms computed once per vector BELOW the join (projection stays on its
@@ -397,21 +430,36 @@ object DedupSql {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** SQL twin of [[Dedup.probeAugmented]] (DuckDB lambda index is 1-based,
+    * so the last coordinate is `i = Dim`).
+    */
+  def probeAugmentedSql(k: Int = 4): String =
+    s"""SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < $k
+       |  UNION ALL
+       |  SELECT vec_id + 2000000,
+       |    list_transform(embedding,
+       |      (x, i) -> CASE WHEN i = ${Similarity.Dim} THEN -x ELSE x END)
+       |  FROM embeddings WHERE vec_id < $k""".stripMargin
+
   def embeddingNearDupSql(threshold: Double = 0.95,
       tables: Int = NearDupTables): String = {
     val bucketList = (0 until tables)
       .map(t => s"${SimilaritySql.tableBucketSql("embedding", t)} + ${t.toLong << 32}")
       .mkString("[", ",\n  ", "]")
-    s"""WITH bucketed AS (
-       |  SELECT vec_id, unnest($bucketList) AS bk FROM embeddings),
+    s"""WITH emb_aug AS (
+       |  ${probeAugmentedSql()}),
+       |bucketed AS (
+       |  SELECT vec_id, unnest($bucketList) AS bk FROM emb_aug),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bucketed a JOIN bucketed b ON a.bk = b.bk AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b,
        |       round(${VS.cosine("a.embedding", "b.embedding")}, 6) AS cos
        |FROM cand
-       |JOIN embeddings a ON vec_a = a.vec_id
-       |JOIN embeddings b ON vec_b = b.vec_id
+       |JOIN emb_aug a ON vec_a = a.vec_id
+       |JOIN emb_aug b ON vec_b = b.vec_id
        |WHERE ${VS.cosine("a.embedding", "b.embedding")} >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
   }

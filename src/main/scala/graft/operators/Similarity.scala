@@ -20,19 +20,33 @@ import graft.functions.{VectorFunctions => VF, VectorSql => VS}
   *    corpus buckets (equi-join, broadcast on the query side), so the pairs
   *    generated are O(bucket occupancy), not O(|corpus| x |queries|). At
   *    100 TB this is the difference between a scan and a cartesian explosion.
-  *    Hyperplanes are deterministic LCG pseudo-randoms shared with the DuckDB
-  *    oracle (so the *approximation itself* is reproducible and testable).
+  *    Hyperplanes are deterministic splitmix64 pseudo-randoms shared with the
+  *    DuckDB oracle (so the *approximation itself* is reproducible and
+  *    testable).
   */
 object Similarity {
 
   val Dim = 64
   val NumPlanes = 6 // 2^6 = 64 buckets — sized so sf-scale buckets stay populated
 
+  /** splitmix64 finalizer: full-avalanche 64-bit mix, so consecutive indices
+    * yield statistically independent outputs (an affine LCG over the flat
+    * index makes the "independent" tables' hyperplanes lattice translates of
+    * each other, undermining the OR-amplification recall math).
+    */
+  def mix64(i: Long): Long = {
+    var z = i + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Deterministic pseudo-random hyperplane weight in [-0.5, 0.5):
-    * exact-in-double by construction (integer LCG / 2^31 - 0.5).
+    * exact-in-double by construction (top 53 mixed bits / 2^53 - 0.5),
+    * independent across planes and dimensions via [[mix64]].
     */
   def planeWeight(p: Int, d: Int): Double =
-    ((1103515245L * (p * Dim + d) + 12345L) % (1L << 31)) / 2147483648.0 - 0.5
+    (mix64((p.toLong << 32) + d) >>> 11) / 9007199254740992.0 - 0.5
 
   private def planeLit(p: Int): Column =
     typedLit((0 until Dim).map(planeWeight(p, _)))

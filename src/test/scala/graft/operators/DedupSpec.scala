@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Scale-shape guarantees of the dedup operators: the quadratic paths the
+  * brief forbids must be structurally absent (no nested-loop/cartesian in the
+  * plan), and the skew caps must bound synthetic mega-buckets.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def embeddings(n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(Similarity.Dim)(d =>
+        (Similarity.planeWeight(100 + i, d) * 2).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("embeddingNearDup plan is LSH-bucketed: no nested-loop join, no cartesian") {
+    val df = Dedup.embeddingNearDup(Dedup.probeAugmented(embeddings(32)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("probe-augmented embedding near-dup finds the planted pairs (non-vacuous)") {
+    val out = Dedup.embeddingNearDup(Dedup.probeAugmented(embeddings(32)))
+      .select($"vec_a", $"vec_b", $"cos").as[(Long, Long, Double)].collect()
+    // every exact copy must surface with cos rounded to 1.0: identical
+    // vectors share every LSH bucket, so recall here is structural, not lucky
+    val exact = out.filter { case (a, b, _) => a < 1000000L && b == a + 1000000L }
+    assert(exact.length == 4)
+    assert(exact.forall(_._3 == 1.0))
+    assert(out.forall { case (a, b, c) => a < b && c >= 0.95 })
+  }
+
+  test("minhashLsh bounds a synthetic mega-bucket; the cap is not silent") {
+    // 80 identical docs: one band bucket of size 80 > MaxBucket=64 in every
+    // band -> all dropped from candidate generation (they belong to exact
+    // dedup); plus one genuine near-dup pair that must still surface
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val changed = ((0 until 29).map(i => s"w$i") :+ "x29").mkString(" ")
+    // clone tokens are disjoint from the pair's, so the mega-bucket and the
+    // genuine pair never share a band bucket
+    val cloneText = (0 until 30).map(i => s"k$i").mkString(" ")
+    val clones = (0L until 80L).map(i => (i, cloneText))
+    val pair = Seq((100L, base), (101L, changed))
+    var dropped = -1L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+        val m = qe.observedMetrics.get("minhash_lsh_caps")
+        m.foreach(row => dropped = row.getLong(0))
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Dedup.minhashLsh(docs(clones ++ pair: _*))
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      assert(out == Set((100L, 101L))) // mega-bucket contributed zero pairs
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (dropped < 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(dropped == 80L * Dedup.Bands) // every clone row, every band — observed
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("exact dedup is where the clone cluster lands") {
+    val clones = (0L until 80L).map(i => (i, "same text here"))
+    val out = Dedup.exact(docs(clones :+ (200L, "other") : _*))
+      .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 80L), (200L, 1L)))
+  }
+
+  test("ngramJaccard drops corpus-hot shingles but keeps real near-dups") {
+    // 130 docs whose ONLY shared content is one hot trigram (df=132 > 128):
+    // after the cap they share nothing -> no pairs from the hot shingle
+    val hotDocs = (0L until 130L).map { i =>
+      (i, s"hot common gram a$i b$i c$i d$i e$i f$i g$i")
+    }
+    // one genuine near-dup pair on non-hot shingles
+    val base = (0 until 20).map(i => s"u$i").mkString(" ")
+    val near = ((0 until 19).map(i => s"u$i") :+ "z").mkString(" ")
+    val out = Dedup.ngramJaccard(docs(hotDocs ++ Seq((500L, base), (501L, near)): _*))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((500L, 501L)))
+  }
+}
