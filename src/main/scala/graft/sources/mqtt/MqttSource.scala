@@ -82,6 +82,9 @@ object MqttBroker {
   private final class Buf {
     var base: Long = 0L
     val msgs: ArrayBuffer[Received] = ArrayBuffer.empty
+    var connected: Boolean = true
+    var reconnects: Long = 0L
+    var lostWhileDown: Long = 0L
   }
 
   private val buffers = new ConcurrentHashMap[String, Buf]()
@@ -91,8 +94,44 @@ object MqttBroker {
       tsMicros: Long = System.currentTimeMillis() * 1000L): Unit = {
     val buf = buffers.computeIfAbsent(broker, _ => new Buf)
     buf.synchronized {
-      buf.msgs += Received(buf.base + buf.msgs.size, tsMicros, topic, value, qos, retain)
+      if (!buf.connected) buf.lostWhileDown += 1 // QoS-0: nothing is queued broker-side
+      else buf.msgs += Received(buf.base + buf.msgs.size, tsMicros, topic, value, qos, retain)
     }
+  }
+
+  // --- connection lifecycle (SURVEY §2.7 ST7) ------------------------------
+  // The reference's loop reconnects on MQTT_ERR_CONN_LOST and carries on
+  // (/root/reference/mqtt2sql.py:899-924); with QoS-0 + clean_session the
+  // broker queues NOTHING during the outage, so messages published while
+  // down are lost (at-most-once). The stand-in reproduces exactly that: a
+  // dropped connection discards incoming publishes (counted, never silent),
+  // the streaming query keeps running (latestOffset simply stops advancing),
+  // and restoreConnection() resumes delivery — the reconnect seam a real
+  // paho-backed client would drive from its on_disconnect callback.
+
+  def dropConnection(broker: String): Unit = {
+    val buf = buffers.computeIfAbsent(broker, _ => new Buf)
+    buf.synchronized { buf.connected = false }
+  }
+
+  def restoreConnection(broker: String): Unit = {
+    val buf = buffers.computeIfAbsent(broker, _ => new Buf)
+    buf.synchronized {
+      if (!buf.connected) { buf.connected = true; buf.reconnects += 1 }
+    }
+  }
+
+  def reconnectCount(broker: String): Long = {
+    val buf = buffers.get(broker)
+    if (buf == null) 0L else buf.synchronized(buf.reconnects)
+  }
+
+  /** Messages lost during outages (QoS-0 truth-telling — the reference loses
+    * them invisibly; we at least count).
+    */
+  def lostCount(broker: String): Long = {
+    val buf = buffers.get(broker)
+    if (buf == null) 0L else buf.synchronized(buf.lostWhileDown)
   }
 
   /** High-water mark: absolute position one past the last received message. */

@@ -33,7 +33,7 @@ object StreamingHistory {
   /** Run the streaming CDC over the sf replay frame in `chunks` micro-batches
     * and return the history table `(id, ts, topicid, value_hex)`.
     */
-  def history(spark: SparkSession, dir: String, chunks: Int = 8): DataFrame = {
+  def history(spark: SparkSession, dir: String, chunks: Int = 4): DataFrame = {
     import spark.implicits._
     val m = MqttQueries.replayMessages(spark, dir)
     // driver-side feed in arrival order (the harness seam, not the operator):
@@ -44,8 +44,19 @@ object StreamingHistory {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[MqttMsg]
     val name = s"mqtt_cdc_stream_${runId.incrementAndGet()}"
-    val q = StatefulCdc.changes(input.toDS())
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // state-store partition count is fixed at the query's first run from
+    // spark.sql.shuffle.partitions; the keyspace is topic-sized (hundreds),
+    // so 32 partitions x N batches just multiplies per-partition checkpoint
+    // commits. Size the stateful shuffle to the keyspace for this query and
+    // restore the session conf after (a real deployment sets it once at
+    // query start — state partitioning is a per-stream, not per-session,
+    // decision).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      StatefulCdc.changes(input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       val size = math.max(1, (all.length + chunks - 1) / chunks)
       all.grouped(size).foreach { chunk =>

@@ -76,6 +76,31 @@ class MqttSourceSpec extends SparkSpec {
     MqttBroker.clear(broker)
   }
 
+  test("connection loss: stream survives, QoS-0 messages drop, delivery resumes on reconnect") {
+    val broker = "b_conn"
+    MqttBroker.clear(broker)
+    publish(broker, 3, i => s"tele/dev$i/SENSOR")
+    val q = stream(broker).writeStream
+      .format("memory").queryName("src_conn").outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("src_conn").count() == 3)
+
+    MqttBroker.dropConnection(broker)
+    publish(broker, 2, i => s"tele/down$i/SENSOR") // lost: broker queues nothing at QoS 0
+    q.processAllAvailable() // no progress, but the query must NOT die
+    assert(q.isActive)
+    assert(spark.table("src_conn").count() == 3)
+    assert(MqttBroker.lostCount(broker) == 2)
+
+    MqttBroker.restoreConnection(broker)
+    publish(broker, 2, i => s"tele/up$i/SENSOR")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("src_conn").count() == 5) // resumed exactly where it left off
+    assert(MqttBroker.reconnectCount(broker) == 1)
+    MqttBroker.clear(broker)
+  }
+
   test("offsets are replayable before commit: restart re-reads the uncommitted tail") {
     val broker = "b_replay"
     MqttBroker.clear(broker)
