@@ -39,6 +39,8 @@ object SparkEntry {
     // flatMapGroupsWithState), checked against the SAME oracle as the batch
     // mqtt_history — the incremental-equals-batch property, driver-verified
     "mqtt_history_streaming" -> ((s, d) => streaming.StreamingHistory.history(s, d)),
+    // as-of join (single-shuffle union-merge) vs DuckDB's native ASOF JOIN
+    "mqtt_asof_change" -> (MqttQueries.asofChange _),
     // --- relational coverage (SURVEY §2.4-2.6) ---
     "q1_pricing_summary" -> (Relational.pricingSummary _),
     "q6_forecast_revenue" -> (Relational.forecastRevenue _),
@@ -109,6 +111,7 @@ object SparkEntry {
     "mqtt_localtime" -> MqttQueries.localtimeSql,
     "mqtt_payload_json" -> MqttQueries.payloadJsonSql,
     "mqtt_history_streaming" -> MqttQueries.historySql,
+    "mqtt_asof_change" -> MqttQueries.asofChangeSql,
     "q1_pricing_summary" -> Relational.pricingSummarySql,
     "q6_forecast_revenue" -> Relational.forecastRevenueSql,
     "q3_top_orders" -> Relational.topOrdersSql,

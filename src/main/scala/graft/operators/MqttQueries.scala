@@ -182,6 +182,43 @@ object MqttQueries {
        |   OR regexp_full_match(topic, 'tele/error(/.*)?')
        |ORDER BY msg_id""".stripMargin
 
+  // ---- as-of join (extension: the time-series op Spark lacks) --------------
+
+  /** For every message, the most recent history CHANGE of its topic at or
+    * before the message's timestamp — the canonical "state as of event time"
+    * read over the CDC log, via the single-shuffle union-merge
+    * [[AsOfJoin.asOf]]. The oracle uses DuckDB's native `ASOF LEFT JOIN`, so
+    * the operator's semantics are certified against an independent
+    * implementation, not just our own batch twin.
+    */
+  def asofChange(spark: SparkSession, dir: String): DataFrame = {
+    val m = msgs(spark, dir)
+    val changes = MqttPipeline.history(m)
+    // right side unique per (topic, ts): multiple changes inside one
+    // second-granularity tick collapse to the latest (max id), the row a
+    // reader at that instant would see
+    val rights = changes.groupBy(col("topic"), col("ts").as("change_ts"))
+      .agg(max(col("id")).as("change_id"),
+        hex(max_by(col("value"), col("id"))).as("change_value_hex"))
+    val left = m.select(col("msg_id"), col("ts"), col("topic"))
+    AsOfJoin.asOf(left, rights, Seq("topic"), "ts", "change_ts")
+      .select(col("msg_id"), col("ts"), col("topic"),
+        col("change_ts"), col("change_id"), col("change_value_hex"))
+      .orderBy(col("msg_id"))
+  }
+
+  val asofChangeSql: String =
+    s"""WITH $msgsCte,
+       |$historyCte,
+       |rights AS (
+       |  SELECT topic, ts AS change_ts, max(id) AS change_id,
+       |         hex(arg_max(value, id)) AS change_value_hex
+       |  FROM kept GROUP BY 1, 2)
+       |SELECT m.msg_id, m.ts, m.topic, r.change_ts, r.change_id, r.change_value_hex
+       |FROM msgs m ASOF LEFT JOIN rights r
+       |  ON m.topic = r.topic AND m.ts >= r.change_ts
+       |ORDER BY m.msg_id""".stripMargin
+
   // ---- read-side idioms: localtime conversion + JSON payload typing --------
 
   /** README.md:243's documented read idiom (`DATETIME(ts,'localtime')`):
