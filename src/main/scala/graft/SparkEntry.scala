@@ -41,6 +41,8 @@ object SparkEntry {
     "mqtt_history_streaming" -> ((s, d) => streaming.StreamingHistory.history(s, d)),
     // as-of join (single-shuffle union-merge) vs DuckDB's native ASOF JOIN
     "mqtt_asof_change" -> (MqttQueries.asofChange _),
+    // event-time tumbling windows (batch form; streaming twin is watermarked)
+    "mqtt_windowed_counts" -> (MqttQueries.windowedCounts _),
     // --- relational coverage (SURVEY §2.4-2.6) ---
     "q1_pricing_summary" -> (Relational.pricingSummary _),
     "q6_forecast_revenue" -> (Relational.forecastRevenue _),
@@ -112,6 +114,7 @@ object SparkEntry {
     "mqtt_payload_json" -> MqttQueries.payloadJsonSql,
     "mqtt_history_streaming" -> MqttQueries.historySql,
     "mqtt_asof_change" -> MqttQueries.asofChangeSql,
+    "mqtt_windowed_counts" -> MqttQueries.windowedCountsSql,
     "q1_pricing_summary" -> Relational.pricingSummarySql,
     "q6_forecast_revenue" -> Relational.forecastRevenueSql,
     "q3_top_orders" -> Relational.topOrdersSql,

@@ -45,8 +45,10 @@ object MqttPipeline {
     else msgs.filter(!col("topic").isin(exclude: _*))
 
   /** A2 + A1 — the `mqtt` latest-state table: last message per topic with
-    * contiguous ids in first-arrival order (the order the reference's
-    * max(id)+1 trigger would have assigned them).
+    * contiguous ids in first-PUBLISH order — min(msg_id), the commit-sequence
+    * stand-in — which is the order the reference's max(id)+1 before-insert
+    * trigger assigns (ids reflect insert order, not the read-side (ts, id)
+    * order history rows use).
     * One shuffle on topic; both the "latest" row_number and the min(msg_id)
     * aggregate reuse the same hash partitioning (Catalyst plans a single
     * Exchange, then partial/final aggregate + window partition-locally).

@@ -219,6 +219,25 @@ object MqttQueries {
        |  ON m.topic = r.topic AND m.ts >= r.change_ts
        |ORDER BY m.msg_id""".stripMargin
 
+  // ---- tumbling-window aggregation (extension: ST2 event-time windows) -----
+
+  /** Per-topic, per-hour tumbling-window message stats — the batch form of
+    * the watermarked streaming aggregation ([[graft.streaming.WindowedStats]]
+    * runs the identical plan under readStream; WindowedStatsSpec asserts the
+    * equivalence). Epoch-aligned 1-hour `window()` buckets equal
+    * `date_trunc('hour', ts)`, which is what the oracle uses.
+    */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame =
+    WindowedAgg.hourlyStats(msgs(spark, dir))
+      .orderBy(col("win_start"), col("topic"))
+
+  val windowedCountsSql: String =
+    s"""WITH $msgsCte
+       |SELECT date_trunc('hour', ts) AS win_start, topic,
+       |       count(*) AS n_msgs, sum(octet_length(value)) AS total_bytes
+       |FROM msgs GROUP BY 1, 2
+       |ORDER BY win_start, topic""".stripMargin
+
   // ---- read-side idioms: localtime conversion + JSON payload typing --------
 
   /** README.md:243's documented read idiom (`DATETIME(ts,'localtime')`):
