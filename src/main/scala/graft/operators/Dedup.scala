@@ -194,19 +194,18 @@ object Dedup {
       .join(bounded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("sz"))
-    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-    val common = cand
-      .join(inv.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(inv.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count("*").as("common"))
-    common
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    // verification is pair-local: fetch each candidate's cached shingle array
+    // (two doc_id equi-joins against the doc-sized sets frame) and intersect
+    // in place — no exploded inverted-index scan, no per-shingle shuffle.
+    // Candidates are bounded by the bucket cap, so the intersection work is
+    // O(|cand| x set size) regardless of corpus scale.
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))))
       .withColumn("jaccard",
         col("common").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("common")).cast("double"))
+          (size(col("sa.sh")) + size(col("sb.sh")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -231,9 +230,13 @@ object Dedup {
 
   /** SimHash near-dup pairs: banded equi-join on 15-bit sub-keys (a pair with
     * hamming <= 3 over 60 bits must agree on >= 1 of 4 bands), verified with
-    * xor + bit_count.
+    * xor + bit_count. Same skew hard bound as [[minhashLsh]]: a band bucket of
+    * m signatures yields m(m-1)/2 pairs, so buckets above `maxBucket` (a
+    * boilerplate corpus slice collapsing to one sub-key) are dropped — with
+    * an observed count, never silently.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = MaxHamming,
+      maxBucket: Int = MaxBucket): DataFrame = {
     val sigs = simhash(docs)
     val bandWidth = SimHashBits / SimHashBands // 15
     val bandCols = (0 until SimHashBands).map { b =>
@@ -244,6 +247,12 @@ object Dedup {
     val banded = sigs.select(
       col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("bk"))
+      .withColumn("bsz", count("*")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .observe("simhash_caps",
+        sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_band_rows"))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
     banded.as("a")
       .join(banded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -415,17 +424,23 @@ object DedupSql {
   }
   private def TextSqlTokens: String = TS.tokens("text")
 
-  def simhashPairsSql(maxHamming: Int = MaxHamming): String = {
+  def simhashPairsSql(maxHamming: Int = MaxHamming,
+      maxBucket: Int = MaxBucket): String = {
     val bandWidth = SimHashBits / SimHashBands
     val mask = (1L << bandWidth) - 1
     s"""WITH $simhashCte,
        |banded AS (
        |  SELECT doc_id, simhash, unnest(list_transform(range($SimHashBands),
        |    b -> b::VARCHAR || ':' || (((simhash >> (b * $bandWidth)) & $mask))::VARCHAR)) AS bk
-       |  FROM sigs)
+       |  FROM sigs),
+       |bounded AS (
+       |  SELECT doc_id, simhash, bk FROM (
+       |    SELECT doc_id, simhash, bk, count(*) OVER (PARTITION BY bk) AS bsz
+       |    FROM banded)
+       |  WHERE bsz <= $maxBucket)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       bit_count(xor(a.simhash, b.simhash)) AS hamming
-       |FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |FROM bounded a JOIN bounded b ON a.bk = b.bk AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -207,7 +207,18 @@ case class MqttOffset(pos: Long) extends Offset {
 }
 
 class MqttMicroBatchStream(broker: String, patterns: Seq[String],
-    maxPerTrigger: Option[Long]) extends MicroBatchStream with SupportsAdmissionControl {
+    maxPerTrigger: Option[Long]) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow: the end position is pinned when the trigger
+    * starts; the query drains up to it (respecting maxOffsetsPerTrigger per
+    * batch) and terminates — the streaming equivalent of "process the
+    * backlog and stop".
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(MqttBroker.size(broker))
+
   override def initialOffset(): Offset = MqttOffset(0L)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -226,7 +237,7 @@ class MqttMicroBatchStream(broker: String, patterns: Seq[String],
     maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val avail = MqttBroker.size(broker)
+    val avail = availableNowCap.getOrElse(MqttBroker.size(broker))
     val from = start.asInstanceOf[MqttOffset].pos
     limit match {
       case r: ReadMaxRows => MqttOffset(math.min(avail, from + r.maxRows()))

@@ -3,18 +3,22 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.{ContiguousId, MqttPipeline, MqttQueries}
+import graft.sources.mqtt.MqttBroker
 
 /** The reference's defining path — streaming ingestion feeding trigger CDC
   * (/root/reference/mqtt2sql.py:762-787 callback -> mysql.sql:78-91 trigger
   * cascade) — executed END-TO-END through Structured Streaming and exposed as
-  * a driver-checkable query: the replay messages are fed through
-  * [[StatefulCdc.changes]] in multiple real micro-batches (MemoryStream,
-  * per-topic GroupState carried across batches), then the emitted CDC events
-  * get the same id assignment + topic-dimension join as the batch form.
+  * a driver-checkable query: the replay messages are published into the
+  * [[graft.sources.mqtt.MqttSourceProvider]] DSv2 source (the same seam a
+  * live paho client feeds), consumed under `Trigger.AvailableNow` with
+  * `maxOffsetsPerTrigger` splitting the backlog into multiple REAL
+  * micro-batches (per-topic GroupState carried across them through
+  * [[StatefulCdc.changes]]), then the emitted CDC events get the same id
+  * assignment + topic-dimension join as the batch form.
   *
   * Its oracle is [[MqttQueries.historySql]] — the SAME SQL that checks the
   * batch `lag`-window form — so a green row here certifies the
@@ -22,51 +26,60 @@ import graft.operators.{ContiguousId, MqttPipeline, MqttQueries}
   * against our own batch implementation.
   *
   * Scale: the stateful operator hash-partitions by topic and holds one
-  * payload per key; the driver-side MemoryStream feed is the test harness'
-  * seam (a real deployment reads [[graft.sources.mqtt.MqttSourceProvider]];
-  * same operator either way).
+  * payload per key; the driver-side publish loop is the single-subscription
+  * ingest seam (see MqttSource scaladoc), everything downstream is
+  * partitioned execution.
   */
 object StreamingHistory {
 
   private val runId = new AtomicInteger(0)
 
-  /** Run the streaming CDC over the sf replay frame in `chunks` micro-batches
-    * and return the history table `(id, ts, topicid, value_hex)`.
+  /** Run the streaming CDC over the sf replay frame in ~`chunks` micro-batches
+    * and return the history table `(id, ts, topicid, value_hex)`. Two batches
+    * by default: enough to cross a batch boundary (the state-carry property;
+    * StreamingCdcSpec exercises many-batch sequences at unit scale) without
+    * paying N x per-trigger overhead in the bench.
     */
-  def history(spark: SparkSession, dir: String, chunks: Int = 4): DataFrame = {
+  def history(spark: SparkSession, dir: String, chunks: Int = 2): DataFrame = {
     import spark.implicits._
     val m = MqttQueries.replayMessages(spark, dir)
-    // driver-side feed in arrival order (the harness seam, not the operator):
-    // chunk boundaries are micro-batch boundaries, so state genuinely carries
-    // across triggers
-    val all = m.withColumn("ts", col("ts").cast("timestamp"))
-      .as[MqttMsg].collect().sortBy(x => (x.ts.getTime, x.msg_id))
-    implicit val ctx = spark.sqlContext
-    val input = MemoryStream[MqttMsg]
-    val name = s"mqtt_cdc_stream_${runId.incrementAndGet()}"
+    // driver-side publish in arrival order — the ingest seam, not the
+    // operator; buffer positions become msg_ids, preserving the (ts, msg_id)
+    // total order the CDC and id assignment sort by
+    val rows = m.select(col("msg_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"),
+        col("topic"), col("value"), col("qos"), col("retain"))
+      .orderBy(col("us"), col("msg_id")) // distributed sort; driver only iterates
+      .collect()
+    val broker = s"replay_${runId.incrementAndGet()}"
+    MqttBroker.clear(broker)
+    rows.foreach { r =>
+      MqttBroker.publish(broker, r.getString(2), r.getAs[Array[Byte]](3),
+        qos = r.getInt(4), retain = r.getInt(5) != 0, tsMicros = r.getLong(1))
+    }
+    val perTrigger = math.max(1L, math.ceil(rows.length.toDouble / chunks).toLong)
+    val name = s"mqtt_cdc_stream_$broker"
     // state-store partition count is fixed at the query's first run from
     // spark.sql.shuffle.partitions; the keyspace is topic-sized (hundreds),
-    // so 32 partitions x N batches just multiplies per-partition checkpoint
-    // commits. Size the stateful shuffle to the keyspace for this query and
-    // restore the session conf after (a real deployment sets it once at
-    // query start — state partitioning is a per-stream, not per-session,
-    // decision).
+    // so size the stateful shuffle to it rather than the session default
+    // (a per-stream, not per-session, decision) and restore the conf after.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val q = try {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
-      StatefulCdc.changes(input.toDS())
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val stream = spark.readStream
+        .format("graft.sources.mqtt.MqttSourceProvider")
+        .option("broker", broker)
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load()
+      StatefulCdc.changes(stream.as[MqttMsg])
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    try {
-      val size = math.max(1, (all.length + chunks - 1) / chunks)
-      all.grouped(size).foreach { chunk =>
-        input.addData(chunk.toSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    try q.awaitTermination() finally q.stop()
     // detach results from the memory sink before dropping its registration
     val events = spark.table(name).as[CdcEvent].collect().toSeq
     spark.catalog.dropTempView(name)
+    MqttBroker.clear(broker)
     val kept = spark.createDataset(events).toDF()
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
       .select(col("ts"), col("topic"), col("value"), col("msg_id"))
