@@ -57,6 +57,7 @@ object SparkEntry {
     "q_distinct_users" -> (Relational.distinctUsers _),
     "q_topk_orders" -> (Relational.topKOrders _),
     "q_monthly_events" -> (Relational.monthlyEvents _),
+    "q_session_windows" -> (Relational.sessionWindows _),
     // --- text analysis extensions ---
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -128,6 +129,7 @@ object SparkEntry {
     "q_distinct_users" -> Relational.distinctUsersSql,
     "q_topk_orders" -> Relational.topKOrdersSql,
     "q_monthly_events" -> Relational.monthlyEventsSql,
+    "q_session_windows" -> Relational.sessionWindowsSql,
     "text_token_stats" -> TextAnalysisSql.tokenStatsSql,
     "text_langid" -> TextAnalysisSql.langIdSql,
     "text_quality" -> TextAnalysisSql.qualitySql,

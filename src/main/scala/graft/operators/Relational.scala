@@ -266,4 +266,40 @@ object Relational {
     """SELECT date_trunc('month', ts) AS month, event_type,
       |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin
+
+  /** Session windows: per-user activity sessions split at >= 30-minute gaps
+    * (`session_window` — the merging event-time window; an event at exactly
+    * session_end starts a NEW session, windows are end-exclusive). The oracle
+    * re-derives the same sessions with the standard lag + cumulative-sum
+    * session-id idiom, so the merge semantics are cross-checked against an
+    * independent formulation. One shuffle on (user, session) — Spark plans
+    * session merging partition-locally after the user hash exchange.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionWindowsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 }
