@@ -1,0 +1,48 @@
+package graft
+
+/** Global physical-plan invariant over EVERY driver-contract query: no
+  * nested-loop and no cartesian join anywhere — the two shapes that are
+  * correct at test scale and dead at 100 TB. The single exemption is
+  * ann_brute_force, whose broadcast nested loop against the tiny query set
+  * IS the operator (the exact top-k baseline that verifies the LSH path).
+  *
+  * This is the regression guard for the round-1 finding where a declared
+  * query (dedup_embedding) silently planned as BroadcastNestedLoopJoin.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val intentionalNestedLoop = Set("ann_brute_force")
+  // the streaming query executes eagerly (it must run a stream to build its
+  // result); its batch post-processing is audited via mqtt_history's twin plan
+  private val eager = Set("mqtt_history_streaming")
+
+  test("no driver query plans a cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => eager.contains(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        val nested = plan.contains("BroadcastNestedLoopJoin") &&
+          !intentionalNestedLoop.contains(name)
+        val cartesian = plan.contains("CartesianProduct")
+        if (nested || cartesian) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"scale-killer joins in: $offenders")
+  }
+
+  test("parquet scans prune columns: no query reads full events/documents rows") {
+    // ReadSchema in every scan must be narrower than the full table schema
+    // (documents carries ~10 columns incl. text+media; events carries props)
+    val widest = Seq("mqtt_messages", "text_token_stats", "mm_metadata")
+    widest.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      val readSchemas = "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(readSchemas.nonEmpty, s"$name: no file scan found\n$plan")
+      readSchemas.foreach { s =>
+        val cols = s.split(",").length
+        assert(cols <= 6, s"$name reads $cols columns: $s")
+      }
+    }
+  }
+}
