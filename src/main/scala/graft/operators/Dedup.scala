@@ -133,25 +133,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signatures, relational one-pass form: explode the shingle set,
-    * md5-hash each shingle ONCE, then take NumHashes min-aggregates of cheap
-    * affine permutations in a single groupBy. (The array-expression form —
-    * NumHashes x array_min(transform(...)) — re-inlines the md5 per hash
-    * function after projection collapse: 32x the hashing work. Measured 50s ->
-    * sub-second on sf0.001.) One shuffle, fully map-side combinable; at 100 TB
-    * the in-flight state is 32 longs per doc.
+  /** MinHash signatures as per-doc array expressions: NumHashes
+    * `array_min(transform(...))` folds over the hashed shingle array — pure
+    * map-side, NO explode and NO shuffle (the previous explode + 32-way
+    * min-aggregate form paid a groupBy exchange; measured 5x slower than
+    * this at sf0.1 once the sets are materialized).
+    *
+    * CONTRACT: `sets` must be a materialization-backed frame
+    * ([[Caching.cached]] / a scanned source) — on a raw expression plan,
+    * projection collapse re-inlines the md5 shingle hashing into every one
+    * of the NumHashes transforms: 32x the hashing work (measured 50s vs
+    * sub-second on sf0.001). [[minhashLsh]] passes its cached sets.
     */
   def minhashSignatures(sets: DataFrame): DataFrame = {
     // MinHash x-values are the first 32 md5 bits == hash60 >>> 28, so the
     // hashed shingle array feeds signatures directly (no re-hashing)
-    val expl = sets
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), shiftright(col("s"), 28).as("h"))
-    val aggs = (0 until NumHashes).map { i =>
-      min((lit(hashA(i)) * col("h") + lit(hashB(i))) % lit(Prime)).as(s"mh$i")
+    val perms = (0 until NumHashes).map { i =>
+      array_min(transform(col("sh"), x =>
+        (lit(hashA(i)) * shiftright(x, 28) + lit(hashB(i))) % lit(Prime)))
     }
-    expl.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("mh"))
+    sets.select(col("doc_id"), array(perms: _*).as("mh"))
   }
 
   /** LSH band keys: "band:h1-h2-h3-h4" strings, one per band. */

@@ -36,7 +36,9 @@ object Profile {
       .agg(count("*").as("common"))
     time("common pairs")(common.count())
     time("ngramJaccard full")(Dedup.ngramJaccard(docs).count())
-    time("minhash signatures")(Dedup.minhashSignatures(sets).count())
+    val cachedSets = graft.operators.Caching.cached(Dedup.hashedShingleSets(docs))
+    time("cached sets materialize")(cachedSets.count())
+    time("minhash signatures")(Dedup.minhashSignatures(cachedSets).count())
     time("minhashLsh full")(Dedup.minhashLsh(docs).count())
     spark.stop()
   }
