@@ -58,6 +58,7 @@ object SparkEntry {
     "q_topk_orders" -> (Relational.topKOrders _),
     "q_monthly_events" -> (Relational.monthlyEvents _),
     "q_session_windows" -> (Relational.sessionWindows _),
+    "q_percentiles" -> (Relational.percentiles _),
     // --- text analysis extensions ---
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -130,6 +131,7 @@ object SparkEntry {
     "q_topk_orders" -> Relational.topKOrdersSql,
     "q_monthly_events" -> Relational.monthlyEventsSql,
     "q_session_windows" -> Relational.sessionWindowsSql,
+    "q_percentiles" -> Relational.percentilesSql,
     "text_token_stats" -> TextAnalysisSql.tokenStatsSql,
     "text_langid" -> TextAnalysisSql.langIdSql,
     "text_quality" -> TextAnalysisSql.qualitySql,

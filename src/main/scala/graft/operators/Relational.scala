@@ -267,6 +267,27 @@ object Relational {
       |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin
 
+  /** Exact interpolated percentiles per group (`percentile` — the sort-based
+    * exact form; `approx_percentile`'s sketch would not be oracle-matchable).
+    * DuckDB's quantile_cont uses the same linear interpolation; round(6)
+    * absorbs the last-ulp arithmetic difference.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy(col("event_type"))
+
+  val percentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Session windows: per-user activity sessions split at >= 30-minute gaps
     * (`session_window` — the merging event-time window; an event at exactly
     * session_end starts a NEW session, windows are end-exclusive). The oracle
