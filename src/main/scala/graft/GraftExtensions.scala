@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, MqttTopicMatches, ShingleHash60}
+
+/** SQL surface for graft's native Catalyst expressions
+  * (`spark.sql.extensions=graft.GraftExtensions`, or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`):
+  *
+  *  - `mqtt_topic_matches(topic, filter)` — MQTT `+`/`#` subscription
+  *    matching (the reference's broker-side filter, usable in WHERE);
+  *  - `dot_product(a, b)` — codegen'd dense dot product over float/double
+  *    arrays (the embedding-similarity hot loop);
+  *  - `shingle_hash60(text, n)` — per-document distinct word-n-gram 60-bit
+  *    hash set (the dedup shingling primitive); `n` must be a literal.
+  *
+  * With these registered, a SQL-only user can run the engine's custom
+  * operators without touching the Scala API — e.g.
+  * `SELECT * FROM mqtt_messages WHERE mqtt_topic_matches(topic, 'tele/+/7')`
+  * plans the same whole-stage-codegen'd predicate as the Column form.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("mqtt_topic_matches"),
+      new ExpressionInfo(classOf[MqttTopicMatches].getName, "mqtt_topic_matches"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "mqtt_topic_matches(topic, filter)")
+        MqttTopicMatches(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_product(a, b)")
+        DotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hash60"),
+      new ExpressionInfo(classOf[ShingleHash60].getName, "shingle_hash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "shingle_hash60(text, n) — n must be a literal")
+        ShingleHash60(children(0),
+          children(1).eval(null).asInstanceOf[Number].intValue())
+      }))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL function surface injected by [[GraftExtensions]]: a SQL-only user
+  * gets the engine's native expressions with identical semantics (and the
+  * same codegen'd plans) as the Column API.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // a dedicated session over the shared context, built WITH the extension
+  // (other suites' sessions are untouched — extensions bind per session)
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  test("mqtt_topic_matches is callable from SQL with MQTT wildcard semantics") {
+    import spark.implicits._
+    Seq("tele/dev/SENSOR", "tele/a/b/SENSOR", "stat/dev/POWER", "tele")
+      .toDF("topic").createOrReplaceTempView("topics")
+    val got = spark.sql(
+      "SELECT topic FROM topics WHERE mqtt_topic_matches(topic, 'tele/+/SENSOR')")
+      .as[String].collect().toSet
+    assert(got == Set("tele/dev/SENSOR")) // '+' is exactly one level
+    val hash = spark.sql(
+      "SELECT topic FROM topics WHERE mqtt_topic_matches(topic, 'tele/#')")
+      .as[String].collect().toSet
+    assert(hash == Set("tele/dev/SENSOR", "tele/a/b/SENSOR", "tele")) // '#' incl. parent
+  }
+
+  test("dot_product from SQL equals the fold definition") {
+    val row = spark.sql(
+      """SELECT dot_product(array(1.0F, 2.0F, 3.0F), array(4.0F, 5.0F, 6.0F)) AS d,
+        |       aggregate(zip_with(array(1.0F, 2.0F, 3.0F), array(4.0F, 5.0F, 6.0F),
+        |         (x, y) -> double(x) * double(y)), 0.0D, (acc, x) -> acc + x) AS ref
+        |""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 32.0 && row.getDouble(0) == row.getDouble(1))
+  }
+
+  test("shingle_hash60 from SQL equals the Column form") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql("SELECT shingle_hash60(text, 3) AS sh FROM docs_ext")
+      .as[Seq[Long]].collect()(0)
+    val viaCol = df.select(graft.functions.ShingleHash60(
+      org.apache.spark.sql.functions.col("text"), 3).as("sh"))
+      .as[Seq[Long]].collect()(0)
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+}
