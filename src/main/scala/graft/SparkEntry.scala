@@ -59,6 +59,7 @@ object SparkEntry {
     "q_monthly_events" -> (Relational.monthlyEvents _),
     "q_session_windows" -> (Relational.sessionWindows _),
     "q_percentiles" -> (Relational.percentiles _),
+    "q_cube" -> (Relational.cubeEvents _),
     // --- text analysis extensions ---
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -132,6 +133,7 @@ object SparkEntry {
     "q_monthly_events" -> Relational.monthlyEventsSql,
     "q_session_windows" -> Relational.sessionWindowsSql,
     "q_percentiles" -> Relational.percentilesSql,
+    "q_cube" -> Relational.cubeEventsSql,
     "text_token_stats" -> TextAnalysisSql.tokenStatsSql,
     "text_langid" -> TextAnalysisSql.langIdSql,
     "text_quality" -> TextAnalysisSql.qualitySql,

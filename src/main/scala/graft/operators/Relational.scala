@@ -211,6 +211,31 @@ object Relational {
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** Full cube over (event_type, user cohort): all four grouping sets in one
+    * pass — Spark expands grouping sets into a single Expand + hash aggregate
+    * (rows x sets map-side, still one shuffle), the shape that matters when
+    * the cube feeds a 100 TB rollup dashboard.
+    */
+  def cubeEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("cohort", (col("user_id") % 10).cast("int"))
+      .cube(col("event_type"), col("cohort"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("cohort").cast("string"), lit("ALL")).as("cohort"),
+        col("n"), col("total_value"))
+      .orderBy(col("event_type"), col("cohort"))
+
+  val cubeEventsSql: String =
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+      |       coalesce(CAST(cohort AS VARCHAR), 'ALL') AS cohort,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(value), 2) AS total_value
+      |FROM (SELECT event_type, CAST(user_id % 10 AS INT) AS cohort, value FROM events)
+      |GROUP BY CUBE (event_type, cohort)
+      |ORDER BY event_type, cohort""".stripMargin
+
   /** Set ops: users who clicked AND purchased but never hit an error. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
