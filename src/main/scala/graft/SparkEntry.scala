@@ -69,6 +69,9 @@ object SparkEntry {
       .orderBy(col("doc_id"))),
     "text_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
+    // deterministic content-addressed train/valid/test assignment
+    "text_split" -> ((s, d) => TextAnalysis.split(sources.Tables.documents(s, d))
+      .orderBy(col("doc_id"))),
     // --- dedup extensions ---
     "dedup_exact" -> ((s, d) => Dedup.exact(sources.Tables.documents(s, d))
       .orderBy(col("content_hash"))),
@@ -80,6 +83,11 @@ object SparkEntry {
       .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(sources.Tables.documents(s, d))
       .orderBy(col("doc_a"), col("doc_b"))),
+    // pairs -> clusters -> keep-list: distributed min-label propagation vs a
+    // DuckDB RECURSIVE CTE fixpoint (transitive A~B~C collapses to 1 survivor)
+    "dedup_clusters" -> ((s, d) => DedupClusters.components(
+      Dedup.simhashPairs(sources.Tables.documents(s, d)))
+      .orderBy(col("doc_id"))),
     // probe-augmented so the correctness row asserts non-zero matching pairs
     // (the raw corpus has none above threshold — a 0==0 row verifies nothing)
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(
@@ -138,11 +146,13 @@ object SparkEntry {
     "text_langid" -> TextAnalysisSql.langIdSql,
     "text_quality" -> TextAnalysisSql.qualitySql,
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,
+    "text_split" -> TextAnalysisSql.splitSql,
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_fingerprint" -> DedupSql.fingerprintSql,
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardSql(),
     "dedup_minhash_lsh" -> DedupSql.minhashLshSql(),
     "dedup_simhash" -> DedupSql.simhashPairsSql(),
+    "dedup_clusters" -> DedupClustersSql.componentsSql(DedupSql.simhashPairsCte()),
     "dedup_embedding" -> DedupSql.embeddingNearDupSql(),
     "ann_brute_force" -> SimilaritySql.bruteForceTopKSql(),
     "ann_lsh" -> SimilaritySql.lshTopKSql(),

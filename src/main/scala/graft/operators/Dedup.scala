@@ -425,11 +425,15 @@ object DedupSql {
   }
   private def TextSqlTokens: String = TS.tokens("text")
 
-  def simhashPairsSql(maxHamming: Int = MaxHamming,
+  /** The whole simhash pair pipeline as a CTE chain ending in
+    * `pairs(doc_a, doc_b, hamming)` — shared by the pair query and the
+    * cluster oracle.
+    */
+  def simhashPairsCte(maxHamming: Int = MaxHamming,
       maxBucket: Int = MaxBucket): String = {
     val bandWidth = SimHashBits / SimHashBands
     val mask = (1L << bandWidth) - 1
-    s"""WITH $simhashCte,
+    s"""$simhashCte,
        |banded AS (
        |  SELECT doc_id, simhash, unnest(list_transform(range($SimHashBands),
        |    b -> b::VARCHAR || ':' || (((simhash >> (b * $bandWidth)) & $mask))::VARCHAR)) AS bk
@@ -438,13 +442,19 @@ object DedupSql {
        |  SELECT doc_id, simhash, bk FROM (
        |    SELECT doc_id, simhash, bk, count(*) OVER (PARTITION BY bk) AS bsz
        |    FROM banded)
-       |  WHERE bsz <= $maxBucket)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
-       |FROM bounded a JOIN bounded b ON a.bk = b.bk AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  WHERE bsz <= $maxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM bounded a JOIN bounded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming)""".stripMargin
   }
+
+  def simhashPairsSql(maxHamming: Int = MaxHamming,
+      maxBucket: Int = MaxBucket): String =
+    s"""WITH ${simhashPairsCte(maxHamming, maxBucket)}
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** SQL twin of [[Dedup.probeAugmented]] (DuckDB lambda index is 1-based,
     * so the last coordinate is `i = Dim`).

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** From near-dup PAIRS to a dedup KEEP-LIST: connected components over the
+  * pair graph, each document labeled with its cluster representative (the
+  * minimum doc_id in its component — deterministic, engine-independent), and
+  * a kept/dropped verdict. This is the half of dedup that pair generation
+  * alone doesn't give you: A~B and B~C must collapse to ONE survivor even
+  * when A~C was never emitted as a pair.
+  *
+  * Algorithm: iterative min-label propagation. Each round every node takes
+  * the min of its own label and its neighbors' labels — a join + groupBy per
+  * round, all distributed; the driver only checks the convergence count
+  * (control flow, not data flow). Rounds needed = component diameter, and
+  * near-dup components are shallow (stars around a template/boilerplate
+  * document), so this converges in a handful of rounds where a general
+  * billion-edge graph would want the large-star/small-star variant. A
+  * `maxIters` bound caps pathological chains; hitting it raises rather than
+  * returning silently-wrong labels.
+  *
+  * The oracle (see [[DedupClustersSql]]) re-derives the same labels with a
+  * DuckDB RECURSIVE CTE (min reachable node over the symmetric edge set) —
+  * an independent fixpoint formulation cross-checking the propagation.
+  */
+object DedupClusters {
+
+  /** (doc_id, cluster_id, kept) for every document in `pairs`
+    * (columns `doc_a`, `doc_b`).
+    */
+  def components(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    val spark = pairs.sparkSession
+    // symmetric edge set; self-loops make every node its own neighbor so the
+    // propagation join needs no separate "keep own label" branch
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val nodes = p.select(col("doc_a").as("node"))
+      .unionAll(p.select(col("doc_b").as("node"))).distinct()
+    val edges = Caching.cached(
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .unionAll(nodes.select(col("node").as("src"), col("node").as("dst"))))
+    var labels = Caching.cached(nodes.select(col("node"), col("node").as("label")))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = Caching.cached(
+        edges.join(labels, edges("dst") === labels("node"))
+          .groupBy(col("src").as("n"))
+          .agg(min(col("label")).as("label"))
+          .select(col("n").as("node"), col("label")))
+      val changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    require(converged, s"component propagation did not converge in $maxIters rounds")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
+      (col("node") === col("label")).as("kept"))
+  }
+}
+
+/** DuckDB oracle for [[DedupClusters]]: min reachable node via RECURSIVE CTE
+  * over the symmetric edges of a pairs CTE named `pairs(doc_a, doc_b)`.
+  */
+object DedupClustersSql {
+
+  def componentsSql(pairsCte: String): String =
+    s"""WITH RECURSIVE $pairsCte,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node)
+       |SELECT node AS doc_id, min(label) AS cluster_id,
+       |       node = min(label) AS kept
+       |FROM reach GROUP BY node
+       |ORDER BY doc_id""".stripMargin
+}

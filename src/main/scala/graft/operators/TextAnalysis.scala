@@ -58,6 +58,20 @@ object TextAnalysis {
       round(lenFactor * 0.4 + stopFactor * 0.3 + alphaFactor * 0.3, 6).as("quality"))
   }
 
+  /** Deterministic content-addressed train/valid/test split (80/10/10): the
+    * assignment is a pure function of doc_id via the shared 60-bit md5 hash,
+    * so it is reproducible across runs, engines, and cluster sizes — the
+    * property a training-data pipeline needs so that re-ingesting a corpus
+    * never migrates documents between splits. Narrow, shuffle-free,
+    * codegen'd.
+    */
+  def split(docs: DataFrame): DataFrame = {
+    val bucket = TF.hash60(col("doc_id").cast("string")) % 100
+    docs.select(col("doc_id"), col("lang"),
+      when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test").as("split"))
+  }
+
   /** Content fingerprints: exact hash + order-insensitive token-set hash. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(
@@ -77,6 +91,13 @@ object TextAnalysisSql {
        |  len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
        |  CAST(ceil(length(regexp_replace(text, '[^\\w]', '', 'g')) / 4.0)
        |       + len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_bpe_est
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val splitSql: String =
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN ${TS.hash60("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+       |       WHEN ${TS.hash60("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'valid'
+       |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
 
   val langIdSql: String = {

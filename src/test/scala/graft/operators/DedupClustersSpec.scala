@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(pairs: (Long, Long)*) =
+    DedupClusters.components(pairs.toDF("doc_a", "doc_b"))
+      .as[(Long, Long, Boolean)].collect().toSet
+
+  test("transitive pairs collapse to one cluster with the min-id survivor") {
+    // A~B, B~C (A~C never emitted) plus an independent D~E
+    val got = components((1L, 2L), (2L, 3L), (10L, 11L))
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("a long chain converges (diameter many rounds) with correct labels") {
+    // path 0-1-2-...-9: worst-case diameter for propagation
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val got = components(chain: _*)
+    assert(got == (0L to 9L).map(i => (i, 0L, i == 0L)).toSet)
+  }
+
+  test("exactly one survivor per cluster") {
+    val got = components((5L, 3L), (3L, 8L), (8L, 5L), (20L, 21L))
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster.keySet == Set(3L, 20L))
+    byCluster.values.foreach(c => assert(c.count(_._3) == 1))
+  }
+}
