@@ -31,9 +31,10 @@ object DedupClusters {
     */
   def components(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
     val spark = pairs.sparkSession
-    // symmetric edge set; self-loops make every node its own neighbor so the
-    // propagation join needs no separate "keep own label" branch
-    val p = pairs.select(col("doc_a"), col("doc_b"))
+    // materialize the pair frame ONCE: nodes, both edge directions, and the
+    // self-loops all re-reference it, and the upstream pair generation (a
+    // whole LSH pipeline) must not re-run per reference
+    val p = Caching.cached(pairs.select(col("doc_a"), col("doc_b")))
     val nodes = p.select(col("doc_a").as("node"))
       .unionAll(p.select(col("doc_b").as("node"))).distinct()
     val edges = Caching.cached(
@@ -41,20 +42,36 @@ object DedupClusters {
         .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .unionAll(nodes.select(col("node").as("src"), col("node").as("dst"))))
     var labels = Caching.cached(nodes.select(col("node"), col("node").as("label")))
+    // materialize the graph under the session's full parallelism; the
+    // propagation rounds then run on a frame that is node-count-sized (the
+    // PAIR graph, not the corpus), so they get a small shuffle width —
+    // 32 near-empty reducers per round would be pure scheduler overhead
+    edges.count()
+    labels.count()
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.get(shuffleKey)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
-      val next = Caching.cached(
-        edges.join(labels, edges("dst") === labels("node"))
+    try {
+      spark.conf.set(shuffleKey, "8")
+      while (!converged && iter < maxIters) {
+        // neighbor-min round ...
+        val nm = edges.join(labels, edges("dst") === labels("node"))
           .groupBy(col("src").as("n"))
           .agg(min(col("label")).as("label"))
-          .select(col("n").as("node"), col("label")))
-      val changed = next.as("n").join(labels.as("o"), Seq("node"))
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
-      labels = next
-      converged = changed == 0L
-      iter += 1
-    }
+        // ... plus one pointer jump (label := label of label): path-length
+        // halves per round, so rounds = O(log diameter) instead of diameter
+        val next = Caching.cached(
+          nm.as("x").join(labels.as("l"), col("x.label") === col("l.node"), "left")
+            .select(col("x.n").as("node"),
+              least(col("x.label"), coalesce(col("l.label"), col("x.label"))).as("label")))
+        val changed = next.as("n").join(labels.as("o"), Seq("node"))
+          .filter(col("n.label") =!= col("o.label")).limit(1).count()
+        labels = next
+        converged = changed == 0L
+        iter += 1
+      }
+    } finally spark.conf.set(shuffleKey, prevShuffle)
     require(converged, s"component propagation did not converge in $maxIters rounds")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
       (col("node") === col("label")).as("kept"))
