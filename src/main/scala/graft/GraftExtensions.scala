@@ -45,8 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2 && children(1).foldable,
           "shingle_hash60(text, n) — n must be a literal")
-        ShingleHash60(children(0),
-          children(1).eval(null).asInstanceOf[Number].intValue())
+        val n = children(1).eval(null) match {
+          case num: Number => num.intValue()
+          case other => throw new IllegalArgumentException(
+            s"shingle_hash60(text, n): n must be a non-null integer literal, got $other")
+        }
+        ShingleHash60(children(0), n)
       }))
   }
 }

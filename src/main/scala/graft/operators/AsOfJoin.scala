@@ -40,6 +40,11 @@ object AsOfJoin {
       leftTs: String, rightTs: String): DataFrame = {
     val leftPayload = left.columns.filterNot(c => key.contains(c) || c == leftTs).toSeq
     val rightPayload = right.columns.filterNot(c => key.contains(c) || c == rightTs).toSeq
+    val shared = leftPayload.intersect(rightPayload :+ rightTs) ++
+      rightPayload.intersect(leftPayload :+ leftTs)
+    require(shared.isEmpty,
+      s"asOf: payload column names must be disjoint across sides " +
+        s"(rename before joining): ${shared.distinct.mkString(", ")}")
     val lSel = key.map(col) ++
       Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
       leftPayload.map(col) ++

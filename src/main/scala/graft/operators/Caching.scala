@@ -21,10 +21,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caching {
 
-  def cached(df: DataFrame): DataFrame = {
+  def cached(df: DataFrame): DataFrame = cachedWithHandle(df)._1
+
+  /** Like [[cached]] but also returns the persisted RDD so callers that
+    * supersede caches in a loop (e.g. [[DedupClusters]]'s label rounds) can
+    * unpersist eagerly instead of waiting for GC.
+    *
+    * Caveat: materializing through the RDD boundary bypasses Dataset
+    * actions, so `observe()` metrics in the UPSTREAM plan are not delivered
+    * to QueryExecutionListeners for this materialization — run the observed
+    * query standalone when its metrics are needed (the driver-contract
+    * queries do).
+    */
+  def cachedWithHandle(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
     val rdd = InternalBridge.toInternalRdd(df)
       .map(_.copy())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    InternalBridge.internalCreateDataFrame(df.sparkSession, rdd, df.schema)
+    (InternalBridge.internalCreateDataFrame(df.sparkSession, rdd, df.schema), rdd)
   }
 }

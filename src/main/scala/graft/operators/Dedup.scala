@@ -49,6 +49,22 @@ object Dedup {
   val MaxShingleDf = 128 // stop-shingle document-frequency cap
   val NearDupTables = 4 // sign-LSH OR-amplification tables for embeddings
 
+  /** Skew hard bound shared by every banded/inverted-index operator: drop
+    * ALL rows of groups holding more than `cap` rows of `keyCol` (a
+    * degenerate bucket is quadratic in its size under a self-join), with the
+    * dropped-row count surfaced as an observe() metric — caps are never
+    * silent (read via QueryExecutionListener). One window count over the
+    * same hash partitioning the downstream self-join shuffles on.
+    */
+  private def capGroups(df: DataFrame, keyCol: String, cap: Int,
+      metricName: String, metricCol: String): DataFrame =
+    df.withColumn("__cnt", count("*")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
+      .observe(metricName,
+        sum(when(col("__cnt") > cap, 1L).otherwise(0L)).as(metricCol))
+      .filter(col("__cnt") <= cap)
+      .drop("__cnt")
+
   /** Exact dedup: group identical normalized text, keep the smallest doc_id.
     * Emits one row per distinct content with its representative and
     * multiplicity. groupBy on md5 -> partial aggregation map-side, one
@@ -106,18 +122,10 @@ object Dedup {
     // so counts match the string-keyed oracle
     val sets = Caching.cached(hashedShingleSets(docs, n))
     val inv0 = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-    // document frequency via ONE window over the same hash partitioning the
-    // self-join shuffles on — no driver-side hot list (a broadcast of the
-    // stop-shingle set would grow with corpus size at 100 TB). The dropped
-    // posting count is surfaced as an observe() metric: caps are never silent
-    // (read via QueryExecutionListener / StreamingQueryProgress).
-    val inv = inv0
-      .withColumn("df", count("*")
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .observe("ngram_jaccard_caps",
-        sum(when(col("df") > maxShingleDf, 1L).otherwise(0L)).as("dropped_postings"))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
+    // stop-shingle document-frequency cap — no driver-side hot list (a
+    // broadcast of the stop-shingle set would grow with corpus size at 100 TB)
+    val inv = capGroups(inv0, "s", maxShingleDf,
+      "ngram_jaccard_caps", "dropped_postings")
     val sizes = inv.groupBy("doc_id").agg(count("*").as("sz"))
     val common = inv.as("a")
       .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -181,16 +189,8 @@ object Dedup {
     val sets = Caching.cached(hashedShingleSets(docs, n))
     val banded = minhashSignatures(sets)
       .select(col("doc_id"), explode(bandKeys(col("mh"))).as("bk"))
-    // dropped-bucket rows surfaced as an observe() metric — the cap is never
-    // silent (the repo's own no-silent-caps principle; read via
-    // QueryExecutionListener)
-    val bounded = banded
-      .withColumn("bsz", count("*")
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
-      .observe("minhash_lsh_caps",
-        sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_band_rows"))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
+    val bounded = capGroups(banded, "bk", maxBucket,
+      "minhash_lsh_caps", "dropped_band_rows")
     val cand = bounded.as("a")
       .join(bounded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -245,15 +245,10 @@ object Dedup {
         shiftright(col("simhash"), b * bandWidth)
           .bitwiseAND(lit((1L << bandWidth) - 1)).cast("string"))
     }
-    val banded = sigs.select(
-      col("doc_id"), col("simhash"),
-      explode(array(bandCols: _*)).as("bk"))
-      .withColumn("bsz", count("*")
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
-      .observe("simhash_caps",
-        sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_band_rows"))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
+    val banded = capGroups(
+      sigs.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bk")),
+      "bk", maxBucket, "simhash_caps", "dropped_band_rows")
     banded.as("a")
       .join(banded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -274,7 +269,7 @@ object Dedup {
     * itself testable. Candidate pairs are deduped across tables BEFORE the
     * cosine verification, so each surviving pair pays the 64-dim fold once.
     */
-  /** Deterministic near-dup probes derived from the corpus itself: exact
+  /** VERIFICATION FIXTURE (not a production operator): deterministic near-dup
     * copies (cos = 1) at `vec_id + 1e6` and last-coordinate-negated copies
     * (cos ~ 1 - 2*v_d²/|v|² ~ 0.97 for 64-dim) at `vec_id + 2e6`, for the
     * first `k` vectors. The driver corpus has no natural pairs above the
@@ -284,7 +279,9 @@ object Dedup {
     * non-zero matches: LSH bucket parity, pair dedup across tables, and the
     * cosine fold are all exercised on surviving rows. Sign flips are exact
     * in IEEE floats, so Spark and DuckDB see bit-identical values; the SQL
-    * twin is [[DedupSql.probeAugmentedSql]].
+    * twin is [[DedupSql.probeAugmentedSql]]. The probe id offsets assume the
+    * corpus keeps vec_id < 1e6 (true for every driver sf) — this fixture is
+    * for oracle verification, not for corpora of arbitrary scale.
     */
   def probeAugmented(emb: DataFrame, k: Int = 4): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))

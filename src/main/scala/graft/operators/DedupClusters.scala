@@ -41,7 +41,8 @@ object DedupClusters {
       p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .unionAll(nodes.select(col("node").as("src"), col("node").as("dst"))))
-    var labels = Caching.cached(nodes.select(col("node"), col("node").as("label")))
+    var (labels, labelsHandle) =
+      Caching.cachedWithHandle(nodes.select(col("node"), col("node").as("label")))
     // materialize the graph under the session's full parallelism; the
     // propagation rounds then run on a frame that is node-count-sized (the
     // PAIR graph, not the corpus), so they get a small shuffle width —
@@ -61,13 +62,17 @@ object DedupClusters {
           .agg(min(col("label")).as("label"))
         // ... plus one pointer jump (label := label of label): path-length
         // halves per round, so rounds = O(log diameter) instead of diameter
-        val next = Caching.cached(
+        val (next, nextHandle) = Caching.cachedWithHandle(
           nm.as("x").join(labels.as("l"), col("x.label") === col("l.node"), "left")
             .select(col("x.n").as("node"),
               least(col("x.label"), coalesce(col("l.label"), col("x.label"))).as("label")))
         val changed = next.as("n").join(labels.as("o"), Seq("node"))
           .filter(col("n.label") =!= col("o.label")).limit(1).count()
+        // `next` is materialized (the count above) — the superseded round's
+        // cache can be released now instead of waiting for GC
+        labelsHandle.unpersist(blocking = false)
         labels = next
+        labelsHandle = nextHandle
         converged = changed == 0L
         iter += 1
       }

@@ -80,7 +80,13 @@ object MqttPipeline {
     * `flags` carries per-topic (history_enable, history_diffonly); the
     * reference defaults both to 1 (mysql.sql:49-50).
     */
-  def history(msgs: DataFrame, flags: Option[DataFrame] = None): DataFrame = {
+  /** The kept (trigger-passing) rows BEFORE id assignment — the sub-step the
+    * streaming CDC path shares: [[graft.streaming.StatefulCdc]] produces the
+    * same `(ts, topic, value, msg_id)` rows incrementally, and both feed
+    * [[history]]'s id assignment through
+    * [[MqttQueries.finishHistory]].
+    */
+  def historyKept(msgs: DataFrame, flags: Option[DataFrame] = None): DataFrame = {
     val withFlags = flags match {
       case Some(f) => msgs.join(broadcast(f), Seq("topic"), "left")
         .na.fill(Map("history_enable" -> 1, "history_diffonly" -> 1))
@@ -89,17 +95,19 @@ object MqttPipeline {
         .withColumn("history_diffonly", lit(1))
     }
     val w = Window.partitionBy(col("topic")).orderBy(arrival: _*)
-    val changed = withFlags
+    withFlags
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .filter(col("history_enable") === 1 &&
         (col("history_diffonly") === 0 ||
           col("prev_value").isNull ||
           !(col("prev_value") <=> col("value"))))
       .select(col("ts"), col("topic"), col("value"), col("msg_id"))
+  }
+
+  def history(msgs: DataFrame, flags: Option[DataFrame] = None): DataFrame =
     // history ids are ascending in arrival order across ALL topics (the
     // autoincrement users sort by, README.md:251)
-    ContiguousId.assign(changed, "id", arrival)
-  }
+    ContiguousId.assign(historyKept(msgs, flags), "id", arrival)
 
   /** J1 + F5 — `mqtt_history_view` (mysql.sql:94-103): resolve each history
     * row's topic to its state-table id and last-receive time. The state side is

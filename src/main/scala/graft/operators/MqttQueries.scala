@@ -79,13 +79,23 @@ object MqttQueries {
 
   // ---- history (F3/F4 trigger CDC, default flags enable=1, diffonly=1) ----
 
-  def history(spark: SparkSession, dir: String): DataFrame = {
-    val m = msgs(spark, dir)
-    val h = MqttPipeline.history(m)
+  /** Shared tail of the history queries, batch AND streaming: contiguous id
+    * assignment over the kept rows in arrival order, topicid resolved via
+    * the broadcast state dimension, hex projection, id order. Keeping this
+    * in ONE place is what makes the incremental-equals-batch check honest —
+    * the two paths can only differ in how `kept` was produced.
+    */
+  def finishHistory(kept: DataFrame, m: DataFrame): DataFrame = {
+    val h = ContiguousId.assign(kept, "id", Seq(col("ts"), col("msg_id")))
     val dim = MqttPipeline.stateTable(m).select(col("id").as("topicid"), col("topic"))
     h.join(broadcast(dim), Seq("topic"))
       .select(col("id"), col("ts"), col("topicid"), hex(col("value")).as("value_hex"))
       .orderBy(col("id"))
+  }
+
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val m = msgs(spark, dir)
+    finishHistory(MqttPipeline.historyKept(m), m)
   }
 
   /** CDC kept-rows CTE: lag() is the batch form of "trigger compares NEW

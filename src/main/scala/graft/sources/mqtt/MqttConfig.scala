@@ -1,14 +1,16 @@
 package graft.sources.mqtt
 
 import java.net.URI
-import java.net.URLDecoder
 
 /** MQTT connection-config resolution (SURVEY §2.1 S2), matching the
   * reference's `get_mqtt_parts` semantics
   * (/root/reference/mqtt2sql.py:679-726, defaults :95-131):
   *
-  *  - a `mqtt(s)://user:pass@host:port/topic` URL is parsed into parts, with
-  *    percent-decoding of host/user/pass/topic;
+  *  - a `mqtt(s)://user:pass@host:port/topic` URL is parsed into parts which
+  *    pass through LITERALLY: the reference quotes the whole URL before
+  *    urlparse and unquotes each part after — a net identity, so `%2B` stays
+  *    `%2B` and `+` stays `+` (an MQTT wildcard). We therefore read the RAW
+  *    (undecoded) URI components;
   *  - precedence per part: explicit option > URL part > default;
   *  - the URL path (sans leading '/') is the subscription topic;
   *  - TLS is scheme-inferred (`mqtts`), and a scheme is upgraded to `mqtts`
@@ -32,13 +34,6 @@ object MqttConfig {
   val DefaultPortMqtt = 1883
   val DefaultPortMqtts = 8883
 
-  /** Percent-decoding with unquote semantics: literal '+' stays '+' (it is a
-    * valid MQTT wildcard in topics) — URLDecoder alone would form-decode it
-    * to a space.
-    */
-  private def decode(s: String): String =
-    URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
-
   def resolve(url: Option[String] = Some(DefaultUrl),
       host: Option[String] = None, port: Option[Int] = None,
       username: Option[String] = None, password: Option[String] = None,
@@ -51,20 +46,21 @@ object MqttConfig {
       } catch { case _: Exception => None }
     }
     val urlScheme = parsed.flatMap(u => Option(u.getScheme))
-    val userInfo = parsed.flatMap(u => Option(u.getUserInfo)).map(_.split(":", 2))
+    // RAW components: java.net.URI's cooked accessors percent-decode, which
+    // the reference never does (quote-then-unquote is a net identity)
+    val userInfo = parsed.flatMap(u => Option(u.getRawUserInfo)).map(_.split(":", 2))
     val scheme = urlScheme.getOrElse(if (hasTlsMaterial) "mqtts" else "mqtt")
     val resolvedHost = host
-      .orElse(parsed.flatMap(u => Option(u.getHost)).map(decode))
+      .orElse(parsed.flatMap(u => Option(u.getHost)))
       .getOrElse(DefaultHost)
     val resolvedPort = port
       .orElse(parsed.map(_.getPort).filter(_ > 0))
       .getOrElse(if (scheme.endsWith("s")) DefaultPortMqtts else DefaultPortMqtt)
     val resolvedTopic = topic.orElse(
-      parsed.flatMap(u => Option(u.getPath)).filter(_.nonEmpty)
-        .map(p => decode(p.stripPrefix("/"))).filter(_.nonEmpty))
-    val resolvedUser = username.orElse(userInfo.map(ui => decode(ui(0))))
-    val resolvedPass = password.orElse(
-      userInfo.filter(_.length > 1).map(ui => decode(ui(1))))
+      parsed.flatMap(u => Option(u.getRawPath)).filter(_.nonEmpty)
+        .map(_.stripPrefix("/")).filter(_.nonEmpty))
+    val resolvedUser = username.orElse(userInfo.map(_(0)))
+    val resolvedPass = password.orElse(userInfo.filter(_.length > 1).map(_(1)))
     Endpoint(scheme, resolvedHost, resolvedPort, resolvedUser, resolvedPass,
       resolvedTopic, scheme.endsWith("s"))
   }

@@ -7,11 +7,14 @@ import org.apache.spark.sql.SparkSession
   * The reference installs a SIGINT/SIGTERM handler that logs and exits 0
   * (/root/reference/mqtt2sql.py:926-963). The Spark equivalent: a JVM
   * shutdown hook (the JVM's signal seam) that calls `StreamingQuery.stop()`
-  * on every active query. `stop()` interrupts the trigger loop after the
-  * in-flight micro-batch's checkpoint commit, so a later restart resumes
-  * exactly after the last committed offset — no duplicated and no lost
-  * history rows (asserted by StreamingCdcSpec's restart test; the
-  * idempotent keyed sink absorbs the one possibly re-run batch).
+  * on every active query. NOTE: `stop()` interrupts the stream thread and
+  * may ABORT the in-flight micro-batch mid-run — it does not wait for its
+  * commit. The no-duplicate/no-loss guarantee comes from restart-from-
+  * checkpoint (the aborted batch's offsets were never committed, so it is
+  * simply re-executed) plus sink idempotence (keyed merge / dedupable
+  * appends), NOT from shutdown atomicity — a non-idempotent sink can
+  * observe partial effects of the aborted batch. StreamingCdcSpec's
+  * restart test asserts the recovery property.
   */
 object GracefulShutdown {
 

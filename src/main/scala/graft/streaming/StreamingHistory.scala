@@ -83,12 +83,8 @@ object StreamingHistory {
     val kept = spark.createDataset(events).toDF()
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
       .select(col("ts"), col("topic"), col("value"), col("msg_id"))
-    // identical post-processing to MqttQueries.history: contiguous history
-    // ids in arrival order, topicid resolved via the broadcast state dim
-    val h = ContiguousId.assign(kept, "id", Seq(col("ts"), col("msg_id")))
-    val dim = MqttPipeline.stateTable(m).select(col("id").as("topicid"), col("topic"))
-    h.join(broadcast(dim), Seq("topic"))
-      .select(col("id"), col("ts"), col("topicid"), hex(col("value")).as("value_hex"))
-      .orderBy(col("id"))
+    // the SAME post-processing as the batch query — the two paths can only
+    // differ in how `kept` was produced (lag window vs GroupState)
+    MqttQueries.finishHistory(kept, m)
   }
 }

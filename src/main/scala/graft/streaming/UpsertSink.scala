@@ -98,9 +98,7 @@ object UpsertSink {
     val existing = readState(spark, statePath).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batchLast.schema))
-    val w = Window.partitionBy(col("topic")).orderBy(col("ts").desc, col("msg_id").desc)
-    val merged = existing.unionByName(batchLast)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val merged = lastPerKey(existing.unionByName(batchLast))
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(statePath)
     val tmp = new org.apache.hadoop.fs.Path(statePath + s"_tmp_$batchId")
