@@ -49,6 +49,24 @@ object DedupClusters {
     // 32 near-empty reducers per round would be pure scheduler overhead
     edges.count()
     labels.count()
+    // one propagation round, built lazily (name-based joins so chained
+    // rounds self-join cleanly): neighbor-min, then one pointer jump
+    // (label := label of label) — path lengths halve per round, so rounds
+    // are O(log diameter) instead of diameter
+    def round(lbl: DataFrame): DataFrame = {
+      val byDst = lbl.select(col("node").as("dst"), col("label"))
+      val nm = edges.join(byDst, Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("label")).as("label"))
+      val byLabel = lbl.select(col("node").as("label"), col("label").as("label2"))
+      nm.join(byLabel, Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
+    }
+    // materialization is the expensive part at any scale (a barrier + cache
+    // per round), so `unroll` rounds chain lazily into ONE job between
+    // barriers; convergence is a fixpoint test (no edge may still see a
+    // smaller neighbor label), one count over the cached result
+    val unroll = 3
     val shuffleKey = "spark.sql.shuffle.partitions"
     val prevShuffle = spark.conf.get(shuffleKey)
     var converged = false
@@ -56,28 +74,23 @@ object DedupClusters {
     try {
       spark.conf.set(shuffleKey, "8")
       while (!converged && iter < maxIters) {
-        // neighbor-min round ...
-        val nm = edges.join(labels, edges("dst") === labels("node"))
-          .groupBy(col("src").as("n"))
-          .agg(min(col("label")).as("label"))
-        // ... plus one pointer jump (label := label of label): path-length
-        // halves per round, so rounds = O(log diameter) instead of diameter
-        val (next, nextHandle) = Caching.cachedWithHandle(
-          nm.as("x").join(labels.as("l"), col("x.label") === col("l.node"), "left")
-            .select(col("x.n").as("node"),
-              least(col("x.label"), coalesce(col("l.label"), col("x.label"))).as("label")))
-        val changed = next.as("n").join(labels.as("o"), Seq("node"))
-          .filter(col("n.label") =!= col("o.label")).limit(1).count()
-        // `next` is materialized (the count above) — the superseded round's
+        val chained = (1 to unroll).foldLeft(labels)((l, _) => round(l))
+        val (next, nextHandle) = Caching.cachedWithHandle(chained)
+        val s = next.select(col("node").as("src"), col("label").as("slabel"))
+        val d = next.select(col("node").as("dst"), col("label").as("dlabel"))
+        val violations = edges.join(s, Seq("src")).join(d, Seq("dst"))
+          .filter(col("dlabel") < col("slabel")).limit(1).count()
+        // `next` is materialized (the count above) — the superseded batch's
         // cache can be released now instead of waiting for GC
         labelsHandle.unpersist(blocking = false)
         labels = next
         labelsHandle = nextHandle
-        converged = changed == 0L
+        converged = violations == 0L
         iter += 1
       }
     } finally spark.conf.set(shuffleKey, prevShuffle)
-    require(converged, s"component propagation did not converge in $maxIters rounds")
+    require(converged,
+      s"component propagation did not converge in ${maxIters * unroll} rounds")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
       (col("node") === col("label")).as("kept"))
   }
