@@ -33,9 +33,11 @@ object TextFunctions {
   def hash32(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
 
-  /** First 15 hex chars of md5 -> 60-bit non-negative int64 (SimHash basis). */
-  def hash60(s: Column): Column =
-    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+  /** First 15 hex chars of md5 -> 60-bit non-negative int64 (SimHash basis).
+    * Native one-pass digest expression; bit-identical to the composed
+    * `conv(substring(md5(...)))` spelling the oracle keeps (see [[Hash60]]).
+    */
+  def hash60(s: Column): Column = Hash60(s)
 
   /** Content-defined fingerprint: md5 of the sorted distinct token set
     * (the classic "key collision" fingerprint — token-order- and
