@@ -98,6 +98,8 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(sources.Tables.embeddings(s, d))
       .orderBy(col("query_id"), col("rank"))),
+    "ann_ivf" -> ((s, d) => Similarity.ivfTopK(sources.Tables.embeddings(s, d))
+      .orderBy(col("query_id"), col("rank"))),
     // --- multimodal extensions ---
     "mm_metadata" -> ((s, d) => Multimodal.metadata(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -156,6 +158,7 @@ object SparkEntry {
     "dedup_embedding" -> DedupSql.embeddingNearDupSql(),
     "ann_brute_force" -> SimilaritySql.bruteForceTopKSql(),
     "ann_lsh" -> SimilaritySql.lshTopKSql(),
+    "ann_ivf" -> SimilaritySql.ivfTopKSql(),
     "mm_metadata" -> MultimodalSql.metadataSql,
     "mm_frame_sample" -> MultimodalSql.frameSampleSql
   )

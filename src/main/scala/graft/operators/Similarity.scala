@@ -112,6 +112,56 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
   }
+  /** IVF-flat ANN: a coarse codebook partitions the corpus into inverted
+    * lists; a query probes only its `nProbe` nearest centroids' lists.
+    *
+    * The codebook here is deterministic (the first `nCentroids` vectors —
+    * the k-means++ refinement is an offline concern; the ENGINE contract is
+    * the two-stage probe). Scale shape: assignment is a broadcast-codebook
+    * argmax per vector (narrow, one pass, no corpus shuffle — at 100 TB the
+    * codebook is KBs); search joins the probed (query, centroid) pairs to
+    * the assignment on centroid id, so the scan touches nProbe/nCentroids
+    * of the corpus instead of all of it. Recall loss is exactly the
+    * probed-list miss rate, reproduced identically by the oracle (same
+    * codebook, same argmax ties on centroid id).
+    */
+  def ivfTopK(emb: DataFrame, nCentroids: Int = 16, nProbe: Int = 4,
+      queryMaxId: Long = 8, k: Int = 5): DataFrame = {
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      VF.norm(col("embedding")).as("nrm"))
+    val centroids = withNorm.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
+    def nearestCentroids(side: DataFrame, idCol: String, vecCol: String,
+        nrmCol: String, keep: Int): DataFrame = {
+      val scored = side.join(broadcast(centroids))
+        .withColumn("nn", col(nrmCol) * col("cnrm"))
+        .withColumn("ccos", when(col("nn") === 0.0, 0.0)
+          .otherwise(VF.dot(col(vecCol), col("cvec")) / col("nn")))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
+        .select(col(idCol), col("cid"))
+    }
+    val assigned = nearestCentroids(withNorm, "vec_id", "embedding", "nrm", 1)
+    val queries = withNorm.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val probes = nearestCentroids(
+      queries.select(col("query_id"), col("qv"), col("qn")), "query_id", "qv", "qn", nProbe)
+    val cands = probes.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = cands
+      .join(queries, Seq("query_id"))
+      .join(withNorm.as("c"), Seq("vec_id"))
+      .withColumn("nn", col("qn") * col("c.nrm"))
+      .select(col("query_id"), col("vec_id"),
+        when(col("nn") === 0.0, 0.0)
+          .otherwise(VF.dot(col("qv"), col("c.embedding")) / col("nn")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
 }
 
 /** DuckDB oracle SQL for [[Similarity]] — same constants, same fold order. */
@@ -143,6 +193,41 @@ object SimilaritySql {
     }.mkString("(", " + ", ")")
 
   def bucketSql(v: String): String = tableBucketSql(v, 0)
+
+  def ivfTopKSql(nCentroids: Int = 16, nProbe: Int = 4,
+      queryMaxId: Long = 8, k: Int = 5): String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id < $nCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${VS.cosine("e.embedding", "c.cvec")} DESC, c.cid) AS crn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE crn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |      WHERE vec_id < $queryMaxId),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${VS.cosine("q.qv", "c.cvec")} DESC, c.cid) AS crn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE crn <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id, ${VS.cosine("q.qv", "e.embedding")} AS cos
+       |  FROM probes p
+       |  JOIN q ON p.query_id = q.query_id
+       |  JOIN assigned a ON p.cid = a.cid AND a.vec_id <> q.query_id
+       |  JOIN embeddings e ON a.vec_id = e.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
 
   def lshTopKSql(queryMaxId: Long = 8, k: Int = 5): String =
     s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
