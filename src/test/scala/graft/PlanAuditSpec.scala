@@ -11,7 +11,11 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private val intentionalNestedLoop = Set("ann_brute_force")
+  // ann_brute_force: the broadcast nested loop against the tiny query set IS
+  // the exact-baseline operator. ann_ivf: vectors score against the ENTIRE
+  // coarse codebook by definition (argmin over K) — a broadcast cross join
+  // over a constant-size (KBs) side, not a data-sized explosion.
+  private val intentionalNestedLoop = Set("ann_brute_force", "ann_ivf")
   // the streaming query executes eagerly (it must run a stream to build its
   // result); its batch post-processing is audited via mqtt_history's twin plan
   private val eager = Set("mqtt_history_streaming")
