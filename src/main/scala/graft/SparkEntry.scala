@@ -39,6 +39,9 @@ object SparkEntry {
     // flatMapGroupsWithState), checked against the SAME oracle as the batch
     // mqtt_history — the incremental-equals-batch property, driver-verified
     "mqtt_history_streaming" -> ((s, d) => streaming.StreamingHistory.history(s, d)),
+    // the keyed upsert sink end-to-end (source -> micro-batches -> foreachBatch
+    // merge), against the SAME oracle as the batch state table
+    "mqtt_state_streaming" -> ((s, d) => streaming.StreamingState.state(s, d)),
     // as-of join (single-shuffle union-merge) vs DuckDB's native ASOF JOIN
     "mqtt_asof_change" -> (MqttQueries.asofChange _),
     // event-time tumbling windows (batch form; streaming twin is watermarked)
@@ -126,6 +129,7 @@ object SparkEntry {
     "mqtt_localtime" -> MqttQueries.localtimeSql,
     "mqtt_payload_json" -> MqttQueries.payloadJsonSql,
     "mqtt_history_streaming" -> MqttQueries.historySql,
+    "mqtt_state_streaming" -> MqttQueries.stateSql,
     "mqtt_asof_change" -> MqttQueries.asofChangeSql,
     "mqtt_windowed_counts" -> MqttQueries.windowedCountsSql,
     "q1_pricing_summary" -> Relational.pricingSummarySql,

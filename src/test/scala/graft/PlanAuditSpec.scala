@@ -16,9 +16,10 @@ class PlanAuditSpec extends SparkSpec {
   // coarse codebook by definition (argmin over K) — a broadcast cross join
   // over a constant-size (KBs) side, not a data-sized explosion.
   private val intentionalNestedLoop = Set("ann_brute_force", "ann_ivf")
-  // the streaming query executes eagerly (it must run a stream to build its
-  // result); its batch post-processing is audited via mqtt_history's twin plan
-  private val eager = Set("mqtt_history_streaming")
+  // streaming/iterative queries execute eagerly (they must run a stream or a
+  // convergence loop to build their result); their batch post-processing is
+  // audited via the batch twins' plans
+  private val eager = Set("mqtt_history_streaming", "mqtt_state_streaming")
 
   test("no driver query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq
