@@ -66,6 +66,19 @@ object Similarity {
       .map(p => when(VF.dot(v, planeLit(t * NumPlanes + p)) > 0.0, lit(1L << p)).otherwise(0L))
       .reduce(_ + _)
 
+  /** The shared ranking tail of every ANN operator: per-query top-k by
+    * cosine, ties broken on vec_id, rounded projection — ONE definition so
+    * the contract (and its oracle mirror) cannot drift between variants.
+    * `scored` must carry (query_id, vec_id, cos).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Exact cosine top-k of `corpus` for each query vector (queries broadcast,
     * self-matches excluded). Ranking ties break on vec_id for determinism.
     */
@@ -81,11 +94,7 @@ object Similarity {
       .select(col("query_id"), col("c.vec_id").as("vec_id"),
         when(col("nn") === 0.0, 0.0)
           .otherwise(VF.dot(col("qv"), col("c.embedding")) / col("nn")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed ANN: candidates restricted to the query's bucket. Same
@@ -106,12 +115,9 @@ object Similarity {
       .select(col("query_id"), col("c.vec_id").as("vec_id"),
         when(col("nn") === 0.0, 0.0)
           .otherwise(VF.dot(col("qv"), col("c.embedding")) / col("nn")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    rankTopK(scored, k)
   }
+
   /** IVF-flat ANN: a coarse codebook partitions the corpus into inverted
     * lists; a query probes only its `nProbe` nearest centroids' lists.
     *
@@ -149,18 +155,16 @@ object Similarity {
     val cands = probes.join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
+    // queries are broadcast (like the sibling operators); the candidate ->
+    // corpus join on vec_id is the probed-list scan and stays an equi-join
     val scored = cands
-      .join(queries, Seq("query_id"))
+      .join(broadcast(queries), Seq("query_id"))
       .join(withNorm.as("c"), Seq("vec_id"))
       .withColumn("nn", col("qn") * col("c.nrm"))
       .select(col("query_id"), col("vec_id"),
         when(col("nn") === 0.0, 0.0)
           .otherwise(VF.dot(col("qv"), col("c.embedding")) / col("nn")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    rankTopK(scored, k)
   }
 }
 

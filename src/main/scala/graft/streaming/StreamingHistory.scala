@@ -1,12 +1,10 @@
 package graft.streaming
 
-import java.util.concurrent.atomic.AtomicInteger
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.operators.{ContiguousId, MqttPipeline, MqttQueries}
+import graft.operators.MqttQueries
 import graft.sources.mqtt.MqttBroker
 
 /** The reference's defining path — streaming ingestion feeding trigger CDC
@@ -32,8 +30,6 @@ import graft.sources.mqtt.MqttBroker
   */
 object StreamingHistory {
 
-  private val runId = new AtomicInteger(0)
-
   /** Run the streaming CDC over the sf replay frame in ~`chunks` micro-batches
     * and return the history table `(id, ts, topicid, value_hex)`. Two batches
     * by default: enough to cross a batch boundary (the state-carry property;
@@ -43,43 +39,36 @@ object StreamingHistory {
   def history(spark: SparkSession, dir: String, chunks: Int = 2): DataFrame = {
     import spark.implicits._
     val m = MqttQueries.replayMessages(spark, dir)
-    // driver-side publish in arrival order — the ingest seam, not the
-    // operator; buffer positions become msg_ids, preserving the (ts, msg_id)
-    // total order the CDC and id assignment sort by
-    val rows = m.select(col("msg_id"),
-        expr("unix_micros(cast(ts as timestamp))").as("us"),
-        col("topic"), col("value"), col("qos"), col("retain"))
-      .orderBy(col("us"), col("msg_id")) // distributed sort; driver only iterates
-      .collect()
-    val broker = s"replay_${runId.incrementAndGet()}"
-    MqttBroker.clear(broker)
-    rows.foreach { r =>
-      MqttBroker.publish(broker, r.getString(2), r.getAs[Array[Byte]](3),
-        qos = r.getInt(4), retain = r.getInt(5) != 0, tsMicros = r.getLong(1))
-    }
-    val perTrigger = math.max(1L, math.ceil(rows.length.toDouble / chunks).toLong)
+    // driver-side publish in arrival order ([[Replay]], the ingest seam
+    // shared with StreamingState); buffer positions become msg_ids,
+    // preserving the (ts, msg_id) total order the CDC and id assignment
+    // sort by
+    val (broker, n) = Replay.publish(m, "history")
     val name = s"mqtt_cdc_stream_$broker"
-    // state-store partition count is fixed at the query's first run from
-    // spark.sql.shuffle.partitions; the keyspace is topic-sized (hundreds),
-    // so size the stateful shuffle to it rather than the session default
-    // (a per-stream, not per-session, decision) and restore the conf after.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val stream = spark.readStream
-        .format("graft.sources.mqtt.MqttSourceProvider")
-        .option("broker", broker)
-        .option("maxOffsetsPerTrigger", perTrigger.toString)
-        .load()
-      StatefulCdc.changes(stream.as[MqttMsg])
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    try q.awaitTermination() finally q.stop()
-    // detach results from the memory sink before dropping its registration
-    val events = spark.table(name).as[CdcEvent].collect().toSeq
-    spark.catalog.dropTempView(name)
-    MqttBroker.clear(broker)
+    val events = try {
+      // state-store partition count is fixed at the query's first run from
+      // spark.sql.shuffle.partitions; the keyspace is topic-sized (hundreds),
+      // so size the stateful shuffle to it rather than the session default
+      // (a per-stream, not per-session, decision) and restore the conf after.
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val stream = spark.readStream
+          .format("graft.sources.mqtt.MqttSourceProvider")
+          .option("broker", broker)
+          .option("maxOffsetsPerTrigger", Replay.perTrigger(n, chunks).toString)
+          .load()
+        StatefulCdc.changes(stream.as[MqttMsg])
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      try q.awaitTermination() finally q.stop()
+      // detach results from the memory sink before dropping its registration
+      spark.table(name).as[CdcEvent].collect().toSeq
+    } finally {
+      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+      MqttBroker.clear(broker)
+    }
     val kept = spark.createDataset(events).toDF()
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
       .select(col("ts"), col("topic"), col("value"), col("msg_id"))

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import java.nio.file.Files
-import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -15,13 +14,14 @@ import graft.sources.mqtt.MqttBroker
   * (`INSERT ... ON DUPLICATE KEY UPDATE`, /root/reference/mqtt2sql.py:579-629)
   * — run END-TO-END through Structured Streaming and exposed as a
   * driver-checkable query: replay messages are published into the DSv2
-  * source, consumed under Trigger.AvailableNow in multiple micro-batches,
-  * and each batch is merged into the keyed state by
-  * [[UpsertSink.merge]] (the same foreachBatch body the JDBC MERGE variant
-  * shares). The final state's VALUES come entirely from the streaming
-  * merge; only the surrogate ids (a function of first-publish order, which
-  * the reference's autoincrement assigns at insert time) are derived from
-  * the replay frame, exactly as the batch form does.
+  * source ([[Replay]], the seam shared with [[StreamingHistory]]), consumed
+  * under Trigger.AvailableNow in multiple micro-batches, and each batch is
+  * merged into the keyed state by [[UpsertSink.merge]] (the same
+  * foreachBatch body the JDBC MERGE variant shares). The final state's
+  * VALUES come entirely from the streaming merge; only the surrogate ids (a
+  * function of first-publish order, which the reference's autoincrement
+  * assigns at insert time) are derived from the replay frame, exactly as
+  * the batch form does.
   *
   * Oracle: [[MqttQueries.stateSql]] — the same DuckDB SQL that checks the
   * batch state table, so the micro-batch upsert's convergence to
@@ -30,41 +30,48 @@ import graft.sources.mqtt.MqttBroker
   */
 object StreamingState {
 
-  private val runId = new AtomicInteger(0)
-
   def state(spark: SparkSession, dir: String, chunks: Int = 2): DataFrame = {
-    import spark.implicits._
     val m = MqttQueries.replayMessages(spark, dir)
-    val rows = m.select(col("msg_id"),
-        expr("unix_micros(cast(ts as timestamp))").as("us"),
-        col("topic"), col("value"), col("qos"), col("retain"))
-      .orderBy(col("us"), col("msg_id"))
-      .collect()
-    val broker = s"state_replay_${runId.incrementAndGet()}"
-    MqttBroker.clear(broker)
-    rows.foreach { r =>
-      MqttBroker.publish(broker, r.getString(2), r.getAs[Array[Byte]](3),
-        qos = r.getInt(4), retain = r.getInt(5) != 0, tsMicros = r.getLong(1))
+    // NOTE the merge tiebreak contract: the source emits buffer POSITIONS as
+    // msg_ids; Replay.publish feeds in (ts, msg_id) order, so position order
+    // == the batch replay's arrival order and lastPerKey picks the same
+    // winner the oracle's ORDER BY ts DESC, msg_id DESC does
+    val (broker, n) = Replay.publish(m, "state")
+    val work = Files.createTempDirectory("mqtt_state_stream").toFile
+    val statePath = s"${work.getAbsolutePath}/state"
+    val merged = try {
+      val q = spark.readStream
+        .format("graft.sources.mqtt.MqttSourceProvider")
+        .option("broker", broker)
+        .option("maxOffsetsPerTrigger", Replay.perTrigger(n, chunks).toString)
+        .load()
+        .writeStream
+        .foreachBatch(UpsertSink.merge(statePath) _)
+        .option("checkpointLocation", s"${work.getAbsolutePath}/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      // detach: the state is topic-dimension-sized — pull it off the temp
+      // parquet so the working dir can be deleted before returning
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("topic",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampNTZType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("qos",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("retain",
+          org.apache.spark.sql.types.IntegerType)))
+      val rows = spark.read.parquet(statePath)
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .select(col("topic"), col("ts"), col("value"), col("qos"), col("retain"))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally {
+      MqttBroker.clear(broker)
+      org.apache.commons.io.FileUtils.deleteQuietly(work)
     }
-    val perTrigger = math.max(1L, math.ceil(rows.length.toDouble / chunks).toLong)
-    val work = Files.createTempDirectory("mqtt_state_stream").toFile.getAbsolutePath
-    val statePath = s"$work/state"
-    val q = spark.readStream
-      .format("graft.sources.mqtt.MqttSourceProvider")
-      .option("broker", broker)
-      .option("maxOffsetsPerTrigger", perTrigger.toString)
-      .load()
-      // buffer positions are this run's arrival ids; carry the ORIGINAL
-      // msg_id payload-side so the merge tiebreak matches the batch replay
-      .writeStream
-      .foreachBatch(UpsertSink.merge(statePath) _)
-      .option("checkpointLocation", s"$work/ckpt")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
-    MqttBroker.clear(broker)
-    val merged = spark.read.parquet(statePath)
-      .withColumn("ts", col("ts").cast("timestamp_ntz"))
-      .select(col("topic"), col("ts"), col("value"), col("qos"), col("retain"))
     // surrogate ids in first-publish order (the reference's insert-order
     // autoincrement) — an arrival-order dimension of the input, same as the
     // batch stateTable derives

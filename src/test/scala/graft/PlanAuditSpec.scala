@@ -11,11 +11,14 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
+  // Allowed BroadcastNestedLoopJoin OCCURRENCES per query (0 for everyone
+  // else) — the exemption is counted, not query-wide, so a regression adding
+  // a data-sized nested loop to an exempted query still fails.
   // ann_brute_force: the broadcast nested loop against the tiny query set IS
-  // the exact-baseline operator. ann_ivf: vectors score against the ENTIRE
-  // coarse codebook by definition (argmin over K) — a broadcast cross join
-  // over a constant-size (KBs) side, not a data-sized explosion.
-  private val intentionalNestedLoop = Set("ann_brute_force", "ann_ivf")
+  // the exact-baseline operator (1). ann_ivf: vectors and queries each score
+  // against the ENTIRE coarse codebook by definition (argmin over K) — two
+  // broadcast cross joins over a constant-size (KBs) side (2).
+  private val allowedNestedLoops = Map("ann_brute_force" -> 1, "ann_ivf" -> 2)
   // streaming/iterative queries execute eagerly (they must run a stream or a
   // convergence loop to build their result); their batch post-processing is
   // audited via the batch twins' plans
@@ -26,8 +29,8 @@ class PlanAuditSpec extends SparkSpec {
       .filterNot { case (name, _) => eager.contains(name) }
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
-        val nested = plan.contains("BroadcastNestedLoopJoin") &&
-          !intentionalNestedLoop.contains(name)
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+        val nested = bnlj > allowedNestedLoops.getOrElse(name, 0)
         val cartesian = plan.contains("CartesianProduct")
         if (nested || cartesian) Some(name) else None
       }
