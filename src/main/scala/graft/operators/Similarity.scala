@@ -54,16 +54,20 @@ object Similarity {
   /** Sign-LSH bucket id: bit p = (v . plane_p) > 0. */
   def bucket(v: Column): Column = tableBucket(v, 0)
 
-  /** Bucket id under hash table `t` — each table draws its NumPlanes
+  /** Bucket id under hash table `t` — each table draws its `planes`
     * hyperplanes from an independent region of the deterministic plane
-    * sequence, giving the standard LSH OR-amplification: a near-dup pair
-    * missed by one table's split is caught by another
-    * (P[miss all T tables] = (1 - p^NumPlanes)^T). Used by
-    * [[Dedup.embeddingNearDup]] with T=4.
+    * sequence, giving the standard LSH OR-amplification: a pair missed by
+    * one table's split is caught by another
+    * (P[miss all T tables] = (1 - p^planes)^T). Plane count tunes the
+    * regime: 6 planes for near-dup pairs (cos >= 0.95, p/plane ~ 0.95 —
+    * [[Dedup.embeddingNearDup]], T=4), 4 planes for top-k search where
+    * neighbors sit much further apart (cos ~ 0.5, p/plane ~ 0.65 — a
+    * 6-plane table collides with p ~ 0.07 and recall collapses; measured by
+    * AnnRecallSpec).
     */
-  def tableBucket(v: Column, t: Int): Column =
-    (0 until NumPlanes)
-      .map(p => when(VF.dot(v, planeLit(t * NumPlanes + p)) > 0.0, lit(1L << p)).otherwise(0L))
+  def tableBucket(v: Column, t: Int, planes: Int = NumPlanes): Column =
+    (0 until planes)
+      .map(p => when(VF.dot(v, planeLit(t * planes + p)) > 0.0, lit(1L << p)).otherwise(0L))
       .reduce(_ + _)
 
   /** The shared ranking tail of every ANN operator: per-query top-k by
@@ -97,22 +101,40 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** LSH-bucketed ANN: candidates restricted to the query's bucket. Same
-    * output shape as bruteForceTopK (rank may hold fewer than k rows when a
-    * bucket is sparse — that IS the approximation, identically reproduced by
-    * the oracle).
+  val TopKTables = 4 // OR-amplification tables for top-k search
+  val TopKPlanes = 4 // planes per table in the top-k regime (see tableBucket)
+
+  /** Multi-table LSH ANN: candidates are vectors sharing >= 1 of `tables`
+    * sign-LSH buckets with the query (OR-amplification — the single-table
+    * form collides with p ~ 0.07 in the top-k similarity regime and recall
+    * collapses; AnnRecallSpec pins the floor). Candidate (query, vector)
+    * pairs are deduped across tables BEFORE scoring, so each pair pays the
+    * cosine fold once; rank may still hold fewer than k rows when all
+    * buckets are sparse — that residual approximation is identically
+    * reproduced by the oracle.
     */
-  def lshTopK(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5): DataFrame = {
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      bucket(col("embedding")).as("bucket"), VF.norm(col("embedding")).as("nrm"))
-    val queries = bucketed.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("bucket"), col("nrm").as("qn"))
-    val scored = bucketed.as("c")
-      .join(broadcast(queries),
-        col("c.bucket") === queries("bucket") && col("query_id") =!= col("c.vec_id"))
+  def lshTopK(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5,
+      tables: Int = TopKTables, planes: Int = TopKPlanes): DataFrame = {
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      VF.norm(col("embedding")).as("nrm"))
+    // bk encodes (table, bucket) so buckets never collide across tables
+    val bucketed = emb.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        tableBucket(col("embedding"), t, planes) + lit(t.toLong << 32)): _*)).as("bk"))
+    val queryBuckets = bucketed.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("bk"))
+    val cands = bucketed.as("c")
+      .join(broadcast(queryBuckets),
+        col("c.bk") === queryBuckets("bk") && col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"))
+      .distinct()
+    val queries = withNorm.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = cands
+      .join(broadcast(queries), Seq("query_id"))
+      .join(withNorm.as("c"), Seq("vec_id"))
       .withColumn("nn", col("qn") * col("c.nrm"))
-      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+      .select(col("query_id"), col("vec_id"),
         when(col("nn") === 0.0, 0.0)
           .otherwise(VF.dot(col("qv"), col("c.embedding")) / col("nn")).as("cos"))
     rankTopK(scored, k)
@@ -189,10 +211,10 @@ object SimilaritySql {
   /** The bucket expression over a SQL list column `v` (table `t`), mirroring
     * [[Similarity.tableBucket]] plane-for-plane.
     */
-  def tableBucketSql(v: String, t: Int): String =
-    (0 until NumPlanes).map { p =>
+  def tableBucketSql(v: String, t: Int, planes: Int = NumPlanes): String =
+    (0 until planes).map { p =>
       val plane = (0 until Dim)
-        .map(d => f"${planeWeight(t * NumPlanes + p, d)}%.17g").mkString("[", ", ", "]")
+        .map(d => f"${planeWeight(t * planes + p, d)}%.17g").mkString("[", ", ", "]")
       s"(CASE WHEN ${VS.dot(v, plane)} > 0.0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
@@ -233,14 +255,25 @@ object SimilaritySql {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
-  def lshTopKSql(queryMaxId: Long = 8, k: Int = 5): String =
-    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
-       |           FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+  def lshTopKSql(queryMaxId: Long = 8, k: Int = 5,
+      tables: Int = TopKTables, planes: Int = TopKPlanes): String = {
+    val bucketList = (0 until tables)
+      .map(t => s"${tableBucketSql("embedding", t, planes)} + ${t.toLong << 32}")
+      .mkString("[", ",\n  ", "]")
+    s"""WITH b AS (
+       |  SELECT vec_id, unnest($bucketList) AS bk FROM embeddings),
+       |qb AS (SELECT vec_id AS query_id, bk FROM b WHERE vec_id < $queryMaxId),
+       |cand AS (
+       |  SELECT DISTINCT qb.query_id, c.vec_id
+       |  FROM b c JOIN qb ON c.bk = qb.bk AND c.vec_id <> qb.query_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
        |      WHERE vec_id < $queryMaxId),
        |scored AS (
-       |  SELECT q.query_id, c.vec_id, ${VS.cosine("q.qv", "c.embedding")} AS cos
-       |  FROM b c JOIN q ON q.bucket = c.bucket AND q.query_id <> c.vec_id),
+       |  SELECT cand.query_id, cand.vec_id,
+       |         ${VS.cosine("q.qv", "e.embedding")} AS cos
+       |  FROM cand
+       |  JOIN q ON cand.query_id = q.query_id
+       |  JOIN embeddings e ON cand.vec_id = e.vec_id),
        |ranked AS (
        |  SELECT query_id, vec_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
@@ -248,4 +281,5 @@ object SimilaritySql {
        |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
 }
