@@ -51,9 +51,6 @@ object Similarity {
   private def planeLit(p: Int): Column =
     typedLit((0 until Dim).map(planeWeight(p, _)))
 
-  /** Sign-LSH bucket id: bit p = (v . plane_p) > 0. */
-  def bucket(v: Column): Column = tableBucket(v, 0)
-
   /** Bucket id under hash table `t` — each table draws its `planes`
     * hyperplanes from an independent region of the deterministic plane
     * sequence, giving the standard LSH OR-amplification: a pair missed by
@@ -217,8 +214,6 @@ object SimilaritySql {
         .map(d => f"${planeWeight(t * planes + p, d)}%.17g").mkString("[", ", ", "]")
       s"(CASE WHEN ${VS.dot(v, plane)} > 0.0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
-
-  def bucketSql(v: String): String = tableBucketSql(v, 0)
 
   def ivfTopKSql(nCentroids: Int = 16, nProbe: Int = 4,
       queryMaxId: Long = 8, k: Int = 5): String =
