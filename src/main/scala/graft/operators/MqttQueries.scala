@@ -244,7 +244,8 @@ object MqttQueries {
   val windowedCountsSql: String =
     s"""WITH $msgsCte
        |SELECT date_trunc('hour', ts) AS win_start, topic,
-       |       count(*) AS n_msgs, sum(octet_length(value)) AS total_bytes
+       |       count(*) AS n_msgs,
+       |       CAST(sum(octet_length(value)) AS BIGINT) AS total_bytes
        |FROM msgs GROUP BY 1, 2
        |ORDER BY win_start, topic""".stripMargin
 

@@ -52,6 +52,16 @@ def main(sf_dir: str, out_dir: str) -> int:
         mismatch = None
         for c in odf.columns:
             a, b = sdf[c], odf[c]
+            # Strict dtype-kind check: the driver hashes serialized values, so
+            # an int64 Spark column vs a float64 oracle column (e.g. DuckDB's
+            # HUGEINT sum() landing in arrow as float) is a driver-side FAIL
+            # even when 1234 == 1234.0. Mirror that here. 'i'/'u' are one
+            # class; datetime unit differences (ns vs us) share kind 'M'.
+            ka = "i" if a.dtype.kind == "u" else a.dtype.kind
+            kb = "i" if b.dtype.kind == "u" else b.dtype.kind
+            if ka != kb:
+                mismatch = f"col {c} dtype kind: spark={a.dtype} oracle={b.dtype}"
+                break
             try:
                 eq = (a == b) | (a.isna() & b.isna())
             except Exception:
