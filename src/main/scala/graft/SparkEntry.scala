@@ -108,7 +108,9 @@ object SparkEntry {
       .orderBy(col("doc_id"))),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"), col("frame_idx"))),
-    // --- multimodal decode plumbing (mapPartitions batch stub; rows-only check) ---
+    // --- multimodal decode plumbing (mapPartitions batch stub) ---
+    // partial oracle: (doc_id, width, height) hash-checked; the `features`
+    // array is the declared-stub half and is dropped from the checked surface
     "mm_decode_stub" -> ((s, d) => Multimodal.decodeStub(
       Multimodal.asMedia(sources.Tables.documents(s, d)))
       .orderBy(col("doc_id"))
@@ -116,8 +118,8 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for mm_decode_stub (mapPartitions
-    * plumbing, not SQL-expressible) -> driver records a rows-only check.
+    * the same parquet tables. Every query is oracle-checked; mm_decode_stub's
+    * oracle covers the SQL-expressible (doc_id, width, height) projection.
     */
   def oracleSql: Map[String, String] = Map(
     "mqtt_messages" -> MqttQueries.messagesSql,
@@ -164,6 +166,7 @@ object SparkEntry {
     "ann_lsh" -> SimilaritySql.lshTopKSql(),
     "ann_ivf" -> SimilaritySql.ivfTopKSql(),
     "mm_metadata" -> MultimodalSql.metadataSql,
-    "mm_frame_sample" -> MultimodalSql.frameSampleSql
+    "mm_frame_sample" -> MultimodalSql.frameSampleSql,
+    "mm_decode_stub" -> MultimodalSql.decodeStubSql
   )
 }

@@ -118,4 +118,15 @@ object MultimodalSql {
       |SELECT doc_id, media_type, unnest(generate_series(0, n_frames - 1)) AS frame_idx,
       |       unnest(generate_series(0, n_frames - 1)) * 1000 AS frame_ts_ms
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Partial oracle for the decode stub: the deterministic fake dimensions are
+    * a pure function of payload byte length, so (doc_id, width, height) is
+    * SQL-expressible; only the `features` array (per-chunk byte means) stays
+    * outside the oracle and is dropped from the driver-checked projection.
+    */
+  val decodeStubSql: String =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) % 640 + 16 AS width,
+      |  octet_length(encode(text)) % 480 + 16 AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
 }
