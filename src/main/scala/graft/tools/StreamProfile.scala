@@ -15,16 +15,10 @@ object StreamProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = {
-        val p = e.progress
-        println(s"[stream] batch=${p.batchId} rows=${p.numInputRows} " +
-          s"durTotal=${p.durationMs}")
-      }
-    })
+    // the S6 log sink carries per-batch progress + observe() metrics
+    graft.streaming.LogSink.install(spark, new graft.streaming.GraftLogger(
+      verboseLevel = graft.streaming.LogLevel.Notice,
+      sink = l => println(s"[stream] $l")))
     val t0 = System.nanoTime()
     val out = graft.streaming.StreamingHistory.history(spark, dir)
     out.write.format("noop").mode("overwrite").save()
