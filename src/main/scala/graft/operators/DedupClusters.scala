@@ -26,10 +26,37 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
+  /** Sizing target for the propagation shuffle: (long, long) edge rows are
+    * ~16 bytes, so 250k edges per reducer is a few MB — far below executor
+    * memory, high enough that reducers aren't scheduler noise.
+    */
+  val TargetEdgesPerPartition = 250000L
+
+  /** Shuffle width for the propagation rounds: explicit when given, else
+    * edge-count / [[TargetEdgesPerPartition]], clamped to [8, session width].
+    * The pair graph is usually orders of magnitude smaller than the corpus,
+    * so the rounds get a narrow shuffle locally (8 for anything under 2M
+    * edges — near-empty reducers are pure scheduler overhead per round); a
+    * billion-edge graph on a real cluster widens up to the session's
+    * configured `spark.sql.shuffle.partitions`, which stays the operator's
+    * ceiling because it is the deployment's statement of cluster size.
+    */
+  def propagationPartitions(edgeCount: Long, sessionWidth: Int,
+      explicit: Option[Int]): Int = explicit.getOrElse {
+    val bySize = ((edgeCount + TargetEdgesPerPartition - 1) /
+      TargetEdgesPerPartition).toInt
+    math.max(8, math.min(sessionWidth, bySize))
+  }
+
   /** (doc_id, cluster_id, kept) for every document in `pairs`
     * (columns `doc_a`, `doc_b`).
+    *
+    * @param shufflePartitions shuffle width for the propagation rounds;
+    *   derived from the pair-graph size via [[propagationPartitions]] when
+    *   not given.
     */
-  def components(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+  def components(pairs: DataFrame, maxIters: Int = 15,
+      shufflePartitions: Option[Int] = None): DataFrame = {
     val spark = pairs.sparkSession
     // materialize the pair frame ONCE: nodes, both edge directions, and the
     // self-loops all re-reference it, and the upstream pair generation (a
@@ -47,7 +74,7 @@ object DedupClusters {
     // propagation rounds then run on a frame that is node-count-sized (the
     // PAIR graph, not the corpus), so they get a small shuffle width —
     // 32 near-empty reducers per round would be pure scheduler overhead
-    edges.count()
+    val edgeCount = edges.count()
     labels.count()
     // one propagation round, built lazily (name-based joins so chained
     // rounds self-join cleanly): neighbor-min, then one pointer jump
@@ -69,10 +96,11 @@ object DedupClusters {
     val unroll = 3
     val shuffleKey = "spark.sql.shuffle.partitions"
     val prevShuffle = spark.conf.get(shuffleKey)
+    val width = propagationPartitions(edgeCount, prevShuffle.toInt, shufflePartitions)
     var converged = false
     var iter = 0
     try {
-      spark.conf.set(shuffleKey, "8")
+      spark.conf.set(shuffleKey, width.toString)
       while (!converged && iter < maxIters) {
         val chained = (1 to unroll).foldLeft(labels)((l, _) => round(l))
         val (next, nextHandle) = Caching.cachedWithHandle(chained)

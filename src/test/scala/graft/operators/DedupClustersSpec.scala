@@ -24,6 +24,22 @@ class DedupClustersSpec extends SparkSpec {
     assert(got == (0L to 9L).map(i => (i, 0L, i == 0L)).toSet)
   }
 
+  test("propagation shuffle width derives from the edge count, clamped to the session") {
+    import DedupClusters.{propagationPartitions => p, TargetEdgesPerPartition => T}
+    assert(p(100L, 2000, None) == 8) // tiny graph: floor of 8, not near-empty reducers
+    assert(p(T * 2, 2000, None) == 8) // still under the floor
+    assert(p(T * 100, 2000, None) == 100) // big graph: sized by edges
+    assert(p(T * 100000, 2000, None) == 2000) // ceiling: the session's cluster sizing
+    assert(p(T * 100, 2000, Some(64)) == 64) // explicit parameter wins
+  }
+
+  test("an explicit shuffle-partition override still yields correct labels") {
+    val got = DedupClusters.components(
+      Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"), shufflePartitions = Some(2))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
+  }
+
   test("exactly one survivor per cluster") {
     val got = components((5L, 3L), (3L, 8L), (8L, 5L), (20L, 21L))
     val byCluster = got.groupBy(_._2)
