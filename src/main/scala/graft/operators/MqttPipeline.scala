@@ -49,20 +49,27 @@ object MqttPipeline {
     * stand-in — which is the order the reference's max(id)+1 before-insert
     * trigger assigns (ids reflect insert order, not the read-side (ts, id)
     * order history rows use).
-    * One shuffle on topic; both the "latest" row_number and the min(msg_id)
-    * aggregate reuse the same hash partitioning (Catalyst plans a single
-    * Exchange, then partial/final aggregate + window partition-locally).
+    * One aggregation on topic with map-side partial combine: `max_by` over
+    * the (ts, msg_id) arrival order picks the latest full row and min(msg_id)
+    * the first arrival in the same pass, so each mapper ships ONE candidate
+    * row per topic — the shuffle is O(topics × mappers), not O(messages),
+    * where the earlier window formulation shuffled every message. At fact
+    * scale that is the difference between a dimension-build and a full
+    * re-shuffle of the stream.
     */
   def stateTable(msgs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("topic")).orderBy(col("ts").desc, col("msg_id").desc)
     val latest = msgs
-      .withColumn("rn", row_number().over(w))
-      .withColumn("first_arrival", min(col("msg_id")).over(Window.partitionBy(col("topic"))))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy(col("topic"))
+      .agg(
+        max_by(
+          struct(col("ts"), col("value"), col("qos"), col("retain")),
+          struct(col("ts"), col("msg_id"))).as("last"),
+        min(col("msg_id")).as("first_arrival"))
     ContiguousId
       .assign(latest, "id", Seq(col("first_arrival")))
-      .select(col("id"), col("ts"), col("topic"), col("value"), col("qos"), col("retain"))
+      .select(col("id"), col("last.ts").as("ts"), col("topic"),
+        col("last.value").as("value"), col("last.qos").as("qos"),
+        col("last.retain").as("retain"))
   }
 
   /** F3 + F4 + S5 — the `mqtt_history` CDC log, batch-replay form.
