@@ -22,6 +22,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _dtype_benign(da, db) -> bool:
+    if da == db:
+        return True
+    if da.kind in "iu" and db.kind in "iu":
+        return True
+    if da.kind == "M" and db.kind == "M":
+        return getattr(da, "tz", None) is None and getattr(db, "tz", None) is None
+    return False
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -52,15 +62,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         mismatch = None
         for c in odf.columns:
             a, b = sdf[c], odf[c]
-            # Strict dtype-kind check: the driver hashes serialized values, so
-            # an int64 Spark column vs a float64 oracle column (e.g. DuckDB's
-            # HUGEINT sum() landing in arrow as float) is a driver-side FAIL
-            # even when 1234 == 1234.0. Mirror that here. 'i'/'u' are one
-            # class; datetime unit differences (ns vs us) share kind 'M'.
-            ka = "i" if a.dtype.kind == "u" else a.dtype.kind
-            kb = "i" if b.dtype.kind == "u" else b.dtype.kind
-            if ka != kb:
-                mismatch = f"col {c} dtype kind: spark={a.dtype} oracle={b.dtype}"
+            # Exact-dtype check with an explicit allowlist of differences
+            # known benign for the driver's serialized-value hash:
+            #  - integer width/signedness (int32 vs DuckDB's BIGINT): proven
+            #    benign by mm_metadata's green hash in CORRECTNESS_r04;
+            #  - tz-NAIVE datetime unit (ns vs us): parquet round-trip
+            #    artifact; values still compare exactly below.
+            # Everything else (float32 vs float64, tz-aware vs naive, bool
+            # vs int, ...) fails here even when values compare equal —
+            # stricter than the old dtype-kind collapse.
+            if not _dtype_benign(a.dtype, b.dtype):
+                mismatch = f"col {c} dtype: spark={a.dtype} oracle={b.dtype}"
                 break
             try:
                 eq = (a == b) | (a.isna() & b.isna())
