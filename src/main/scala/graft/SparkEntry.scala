@@ -75,6 +75,16 @@ object SparkEntry {
     // deterministic content-addressed train/valid/test assignment
     "text_split" -> ((s, d) => TextAnalysis.split(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
+    // Gopher-style repetition signals (per-row array fold, shuffle-free)
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(sources.Tables.documents(s, d))
+      .orderBy(col("doc_id"))),
+    // benchmark decontamination: broadcast bench postings, probe-augmented
+    // bench suite so the correctness row is structurally non-vacuous
+    "text_decontaminate" -> ((s, d) => {
+      val docs = sources.Tables.documents(s, d)
+      Decontaminate.contaminated(docs, Decontaminate.probeBenchmarks(docs))
+        .orderBy(col("doc_id"))
+    }),
     // --- dedup extensions ---
     "dedup_exact" -> ((s, d) => Dedup.exact(sources.Tables.documents(s, d))
       .orderBy(col("content_hash"))),
@@ -155,6 +165,8 @@ object SparkEntry {
     "text_quality" -> TextAnalysisSql.qualitySql,
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,
     "text_split" -> TextAnalysisSql.splitSql,
+    "text_repetition" -> TextAnalysisSql.repetitionSql,
+    "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_fingerprint" -> DedupSql.fingerprintSql,
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardSql(),

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextSql => TS}
+
+/** Benchmark decontamination — the training-pipeline step that finds corpus
+  * documents overlapping an evaluation suite, so they can be dropped before
+  * training: a corpus document is contaminated when it shares at least one
+  * word n-gram shingle with a benchmark document.
+  *
+  * Scale shape (100 TB corpus vs a benchmark suite of at most ~10^5 docs):
+  * the BENCHMARK posting list is the broadcast side, so the corpus side is
+  * scan -> per-row shingle hashing -> broadcast hash join -> partial-agg
+  * groupBy on doc_id. The corpus never shuffles its postings; the only
+  * shuffle is the per-document hit aggregation (doc_id keys, map-side
+  * combined). Shingles are the shared 60-bit md5 hashes
+  * ([[Dedup.hashedShingleSets]]) — 8-byte join keys, string-collision odds
+  * negligible (same argument as the n-gram Jaccard operator).
+  */
+object Decontaminate {
+
+  /** (doc_id, n_bench_docs, n_hit_shingles) for every corpus document
+    * sharing >= 1 shingle with a benchmark document. Corpus documents that
+    * ARE benchmark documents (same doc_id) don't self-contaminate.
+    */
+  def contaminated(docs: DataFrame, bench: DataFrame,
+      n: Int = Dedup.ShingleN): DataFrame = {
+    val corpusInv = Dedup.hashedShingleSets(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val benchInv = Dedup.hashedShingleSets(bench, n)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("s"))
+    corpusInv.join(broadcast(benchInv), Seq("s"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct("bench_id").as("n_bench_docs"),
+        countDistinct("s").as("n_hit_shingles"))
+  }
+
+  /** Deterministic synthetic benchmark suite for the driver check: exact
+    * copies of every doc_id % 100 == [[ProbeResidue]] document under shifted
+    * ids. A copy shares every shingle with its source, so the check is
+    * structurally non-vacuous (the oracle cannot detect a uselessly-empty
+    * result otherwise — the dedup_embedding lesson).
+    */
+  val ProbeResidue = 7
+  val ProbeIdShift = 1000000L
+
+  def probeBenchmarks(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 100 === ProbeResidue)
+      .select((col("doc_id") + ProbeIdShift).as("doc_id"), col("text"))
+}
+
+/** DuckDB oracle for [[Decontaminate]] over the probe benchmark suite.
+  * Shingles stay STRINGS here (the Spark side joins on their 60-bit hashes;
+  * distinct counts agree absent collisions — the jaccard-oracle argument).
+  */
+object DecontaminateSql {
+
+  def contaminatedSql(n: Int = Dedup.ShingleN): String =
+    s"""WITH bench AS (
+       |  SELECT doc_id + ${Decontaminate.ProbeIdShift} AS doc_id, text
+       |  FROM documents WHERE doc_id % 100 = ${Decontaminate.ProbeResidue}),
+       |ct AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM documents
+       |       WHERE ${TS.nTokens("text")} >= $n),
+       |cinv AS (
+       |  SELECT doc_id, unnest(list_distinct(${TS.shingles("text", n)})) AS s
+       |  FROM ct),
+       |bt AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM bench
+       |       WHERE ${TS.nTokens("text")} >= $n),
+       |binv AS (
+       |  SELECT doc_id AS bench_id,
+       |         unnest(list_distinct(${TS.shingles("text", n)})) AS s
+       |  FROM bt)
+       |SELECT c.doc_id,
+       |       count(DISTINCT b.bench_id) AS n_bench_docs,
+       |       count(DISTINCT c.s) AS n_hit_shingles
+       |FROM cinv c JOIN binv b ON c.s = b.s AND c.doc_id <> b.bench_id
+       |GROUP BY c.doc_id
+       |ORDER BY doc_id""".stripMargin
+}

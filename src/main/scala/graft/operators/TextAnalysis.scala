@@ -78,6 +78,38 @@ object TextAnalysis {
       col("doc_id"),
       md5(trim(col("text")).cast("binary")).as("content_hash"),
       TF.fingerprint(col("text")).as("token_set_hash"))
+
+  /** Repetition signals — the Gopher/MassiveText-style rules that catch
+    * degenerate boilerplate and looping generations: distinct-token ratio
+    * and the most-frequent word-bigram's share of all bigrams.
+    *
+    * Scale shape: token multiplicity is folded INSIDE each row (sort the
+    * bigram array, run-length fold via `aggregate`), never via
+    * explode + groupBy — exploding would shuffle every token of the corpus
+    * to count something that is a per-document property. Narrow,
+    * shuffle-free, pipelined with the scan.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    val nTok = size(toks)
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok.cast("double")
+    val bigrams = array_sort(TF.shingles(col("text"), 2))
+    // longest equal-run over the sorted array == the mode bigram's count
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0).as("run"), lit(0).as("best"))
+    val maxRun = aggregate(bigrams, zero, (acc, x) => {
+      val run = when(acc("prev").isNotNull && (x === acc("prev")), acc("run") + 1)
+        .otherwise(lit(1))
+      struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+    }, acc => acc("best"))
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      round(distinctRatio, 6).as("distinct_ratio"),
+      when(nTok >= 2, maxRun).otherwise(0).cast("long").as("max_bigram_count"),
+      round(when(nTok >= 2, maxRun.cast("double") / (nTok - 1).cast("double"))
+        .otherwise(0.0), 6).as("top_bigram_frac"))
+  }
 }
 
 /** DuckDB oracle SQL for [[TextAnalysis] ]— same formulas. */
@@ -130,4 +162,27 @@ object TextAnalysisSql {
     s"""SELECT doc_id, md5(trim(text)) AS content_hash,
        |       ${TS.fingerprint("text")} AS token_set_hash
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Mirror of [[TextAnalysis.repetition]]: the mode-bigram count is
+    * re-derived as max(per-distinct-bigram filter length) — an independent
+    * formulation of the same multiplicity the Spark side gets from its
+    * sorted run-length fold.
+    */
+  val repetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, __t,
+       |    CASE WHEN len(__t) >= 2
+       |      THEN list_max(list_transform(list_distinct(${TS.shingles("text", 2)}),
+       |             b -> len(list_filter(${TS.shingles("text", 2)}, x -> x = b))))
+       |      ELSE 0 END AS max_bigram_count
+       |  FROM t)
+       |SELECT doc_id,
+       |  len(__t) AS n_tokens,
+       |  round(CAST(len(list_distinct(__t)) AS DOUBLE) / len(__t), 6) AS distinct_ratio,
+       |  CAST(max_bigram_count AS BIGINT) AS max_bigram_count,
+       |  CASE WHEN len(__t) >= 2
+       |    THEN round(CAST(max_bigram_count AS DOUBLE) / (len(__t) - 1), 6)
+       |    ELSE 0.0 END AS top_bigram_frac
+       |FROM bg ORDER BY doc_id""".stripMargin
 }

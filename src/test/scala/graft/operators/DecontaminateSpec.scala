@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Benchmark decontamination: planted overlap/no-overlap cases, self-match
+  * exclusion, and the broadcast-bench plan shape.
+  */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+
+  private val benchText = "the quick brown fox jumps over the lazy dog"
+
+  test("docs sharing a shingle with a benchmark doc are flagged; clean docs are not") {
+    val corpus = df(
+      (1L, s"intro words then $benchText and more"), // contains the bench 3-grams
+      (2L, "completely unrelated content with no overlap at all"),
+      (3L, "quick brown fox appears here too")) // shares "quick brown fox"
+    val bench = df((100L, benchText))
+    val got = Decontaminate.contaminated(corpus, bench)
+      .select($"doc_id", $"n_bench_docs").as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == 1L && got(3L) == 1L)
+  }
+
+  test("a corpus doc that IS the benchmark doc does not self-contaminate") {
+    val corpus = df((100L, benchText), (2L, "nothing in common here at all"))
+    val bench = df((100L, benchText))
+    val got = Decontaminate.contaminated(corpus, bench)
+      .select($"doc_id").as[Long].collect()
+    assert(got.isEmpty) // same doc_id excluded; doc 2 shares nothing
+  }
+
+  test("hit counts: n_hit_shingles counts distinct shared shingles, n_bench_docs distinct suites") {
+    // corpus doc contains two bench docs' full text -> hits both
+    val corpus = df((1L, s"$benchText padded padded $benchText"))
+    val bench = df((100L, benchText), (101L, benchText)) // two identical bench docs
+    val got = Decontaminate.contaminated(corpus, bench)
+      .select($"doc_id", $"n_bench_docs", $"n_hit_shingles")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (_, nBench, nShingles) = got.head
+    assert(nBench == 2L) // both bench ids matched
+    assert(nShingles >= 7L) // all shingles of the 9-token bench text
+  }
+
+  test("plan broadcasts the benchmark side; corpus never shuffles its postings") {
+    val corpus = df((1L, benchText))
+    val plan = Decontaminate.contaminated(corpus, df((100L, benchText)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("probe benchmark suite copies every residue-7 doc under shifted ids") {
+    val corpus = df((7L, "a b c d"), (107L, "e f g h"), (12L, "i j k l"))
+    val probes = Decontaminate.probeBenchmarks(corpus)
+      .as[(Long, String)].collect().toSet
+    assert(probes == Set((1000007L, "a b c d"), (1000107L, "e f g h")))
+  }
+}
