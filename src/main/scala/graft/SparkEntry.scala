@@ -75,6 +75,9 @@ object SparkEntry {
     // deterministic content-addressed train/valid/test assignment
     "text_split" -> ((s, d) => TextAnalysis.split(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
+    // per-doc top-k terms by smoothed TF-IDF (inverted-index analytics)
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(sources.Tables.documents(s, d))
+      .orderBy(col("doc_id"), col("rank"))),
     // Gopher-style repetition signals (per-row array fold, shuffle-free)
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -165,6 +168,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysisSql.qualitySql,
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,
     "text_split" -> TextAnalysisSql.splitSql,
+    "text_tfidf" -> TextAnalysisSql.tfidfTopTermsSql(),
     "text_repetition" -> TextAnalysisSql.repetitionSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,

@@ -110,6 +110,36 @@ object TextAnalysis {
       round(when(nTok >= 2, maxRun.cast("double") / (nTok - 1).cast("double"))
         .otherwise(0.0), 6).as("top_bigram_frac"))
   }
+
+  /** Per-document top-k terms by TF-IDF (smoothed idf = ln((N+1)/(df+1))+1).
+    *
+    * The inherently-shuffling text operator, shaped for scale: term
+    * frequencies aggregate map-side before the (doc_id, term) shuffle, the
+    * document-frequency table aggregates map-side on term (its size is the
+    * VOCABULARY, not the corpus), the tf x idf join is a plain equi-join on
+    * term that AQE can re-plan (vocabulary tables are often broadcastable
+    * after aggregation, but that is a runtime size call, not a structural
+    * one — no forced broadcast here), and the per-doc top-k is a windowed
+    * row_number over (score desc, term) — a total order, so ties cannot make
+    * the result nondeterministic.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+    val tokens = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+    val tf = tokens.groupBy("doc_id", "term").agg(count("*").as("tf"))
+    val df = tokens.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count("*").as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score",
+        round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+  }
 }
 
 /** DuckDB oracle SQL for [[TextAnalysis] ]— same formulas. */
@@ -185,4 +215,26 @@ object TextAnalysisSql {
        |    THEN round(CAST(max_bigram_count AS DOUBLE) / (len(__t) - 1), 6)
        |    ELSE 0.0 END AS top_bigram_frac
        |FROM bg ORDER BY doc_id""".stripMargin
+
+  /** Mirror of [[TextAnalysis.tfidfTopTerms]]. Ranks on the ROUNDED score on
+    * both sides, so near-tie float ordering can never diverge between
+    * engines.
+    */
+  def tfidfTopTermsSql(k: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${TS.tokens("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+       |  FROM tf JOIN df USING (term), n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, tf, df, score
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY doc_id, rank""".stripMargin
 }
