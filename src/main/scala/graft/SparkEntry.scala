@@ -116,6 +116,10 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(sources.Tables.embeddings(s, d))
       .orderBy(col("query_id"), col("rank"))),
+    // one k-means refinement step (broadcast-argmax assign + exact scaled-
+    // integer centroid update, so partial-agg order can't shift the result)
+    "emb_kmeans_step" -> ((s, d) => Similarity.kmeansStep(sources.Tables.embeddings(s, d))
+      .orderBy(col("cid"), col("pos"))),
     // --- multimodal extensions ---
     "mm_metadata" -> ((s, d) => Multimodal.metadata(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -181,6 +185,7 @@ object SparkEntry {
     "ann_brute_force" -> SimilaritySql.bruteForceTopKSql(),
     "ann_lsh" -> SimilaritySql.lshTopKSql(),
     "ann_ivf" -> SimilaritySql.ivfTopKSql(),
+    "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),
     "mm_metadata" -> MultimodalSql.metadataSql,
     "mm_frame_sample" -> MultimodalSql.frameSampleSql,
     "mm_decode_stub" -> MultimodalSql.decodeStubSql

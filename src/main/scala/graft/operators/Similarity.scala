@@ -150,26 +150,39 @@ object Similarity {
     * probed-list miss rate, reproduced identically by the oracle (same
     * codebook, same argmax ties on centroid id).
     */
+  /** Broadcast-codebook argmax: the `keep` nearest centroids per vector of
+    * `side` (cosine, ties on cid) — shared by the IVF probe/assignment and
+    * the k-means step. The centroid frame must carry (cid, cvec, cnrm).
+    */
+  private def nearestCentroids(side: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nrmCol: String, keep: Int): DataFrame = {
+    val scored = side.join(broadcast(centroids))
+      .withColumn("nn", col(nrmCol) * col("cnrm"))
+      .withColumn("ccos", when(col("nn") === 0.0, 0.0)
+        .otherwise(VF.dot(col(vecCol), col("cvec")) / col("nn")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
+    scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
+      .select(col(idCol), col("cid"))
+  }
+
+  private def withNormOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+
+  private def centroidsOf(withNorm: DataFrame, nCentroids: Int): DataFrame =
+    withNorm.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
+
   def ivfTopK(emb: DataFrame, nCentroids: Int = 16, nProbe: Int = 4,
       queryMaxId: Long = 8, k: Int = 5): DataFrame = {
-    val withNorm = emb.select(col("vec_id"), col("embedding"),
-      VF.norm(col("embedding")).as("nrm"))
-    val centroids = withNorm.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
-    def nearestCentroids(side: DataFrame, idCol: String, vecCol: String,
-        nrmCol: String, keep: Int): DataFrame = {
-      val scored = side.join(broadcast(centroids))
-        .withColumn("nn", col(nrmCol) * col("cnrm"))
-        .withColumn("ccos", when(col("nn") === 0.0, 0.0)
-          .otherwise(VF.dot(col(vecCol), col("cvec")) / col("nn")))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
-      scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
-        .select(col(idCol), col("cid"))
-    }
-    val assigned = nearestCentroids(withNorm, "vec_id", "embedding", "nrm", 1)
+    val withNorm = withNormOf(emb)
+    val centroids = centroidsOf(withNorm, nCentroids)
+    def nearest(side: DataFrame, idCol: String, vecCol: String,
+        nrmCol: String, keep: Int): DataFrame =
+      nearestCentroids(side, centroids, idCol, vecCol, nrmCol, keep)
+    val assigned = nearest(withNorm, "vec_id", "embedding", "nrm", 1)
     val queries = withNorm.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
-    val probes = nearestCentroids(
+    val probes = nearest(
       queries.select(col("query_id"), col("qv"), col("qn")), "query_id", "qv", "qn", nProbe)
     val cands = probes.join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -184,6 +197,36 @@ object Similarity {
         when(col("nn") === 0.0, 0.0)
           .otherwise(VF.dot(col("qv"), col("c.embedding")) / col("nn")).as("cos"))
     rankTopK(scored, k)
+  }
+
+  /** One k-means (Lloyd) refinement step over the embedding corpus: assign
+    * every vector to its nearest codebook centroid (broadcast argmax — the
+    * same assignment the IVF index uses), then emit the element-wise mean of
+    * each centroid's members as (cid, pos, n_members, centroid_val) rows.
+    *
+    * Scale shape: assignment is one narrow broadcast pass; the update is a
+    * posexplode to (cid, dim) keys aggregated with map-side combine — the
+    * shuffle carries nCentroids x Dim partial sums per mapper, independent
+    * of corpus size. Components stay 1e6-SCALED INTEGERS end-to-end
+    * (floor(v * 1e6) per element, Long sums, floored integer mean), so the
+    * result is bit-identical regardless of partial-aggregation order AND
+    * carries no decimal-rounding boundary an exact-match oracle could
+    * straddle — a double mean rounded to 6 places measurably diverges
+    * between engines at half-way points. `centroid_micro` is the component
+    * in 1e-6 units.
+    */
+  def kmeansStep(emb: DataFrame, nCentroids: Int = 16): DataFrame = {
+    val withNorm = withNormOf(emb)
+    val assigned = nearestCentroids(withNorm, centroidsOf(withNorm, nCentroids),
+      "vec_id", "embedding", "nrm", 1)
+    assigned.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("sv", floor(col("v").cast("double") * 1e6).cast("long"))
+      .groupBy("cid", "pos")
+      .agg(count("*").as("n_members"), sum("sv").as("s"))
+      .select(col("cid"), col("pos").cast("long").as("pos"), col("n_members"),
+        floor(col("s").cast("double") / col("n_members")).cast("long")
+          .as("centroid_micro"))
   }
 }
 
@@ -249,6 +292,33 @@ object SimilaritySql {
        |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Mirror of [[Similarity.kmeansStep]]: same assignment CTE as the IVF
+    * oracle, update via zipped unnest/generate_subscripts (1-based -> -1),
+    * scaled-integer sums and floored integer means so neither addition
+    * order nor decimal rounding can diverge.
+    */
+  def kmeansStepSql(nCentroids: Int = 16): String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id < $nCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${VS.cosine("e.embedding", "c.cvec")} DESC, c.cid) AS crn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE crn = 1),
+       |ex AS (
+       |  SELECT a.cid,
+       |    generate_subscripts(e.embedding, 1) - 1 AS pos,
+       |    CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1000000) AS BIGINT) AS sv
+       |  FROM assigned a JOIN embeddings e USING (vec_id))
+       |SELECT cid, CAST(pos AS BIGINT) AS pos, count(*) AS n_members,
+       |       CAST(floor(CAST(sum(sv) AS DOUBLE) / count(*)) AS BIGINT)
+       |         AS centroid_micro
+       |FROM ex GROUP BY cid, pos
+       |ORDER BY cid, pos""".stripMargin
 
   def lshTopKSql(queryMaxId: Long = 8, k: Int = 5,
       tables: Int = TopKTables, planes: Int = TopKPlanes): String = {
