@@ -83,31 +83,23 @@ object TextAnalysis {
     * degenerate boilerplate and looping generations: distinct-token ratio
     * and the most-frequent word-bigram's share of all bigrams.
     *
-    * Scale shape: token multiplicity is folded INSIDE each row (sort the
-    * bigram array, run-length fold via `aggregate`), never via
-    * explode + groupBy — exploding would shuffle every token of the corpus
-    * to count something that is a per-document property. Narrow,
+    * Scale shape: token multiplicity is counted INSIDE each row by the
+    * one-pass native [[graft.functions.RepetitionStats]] expression, never
+    * via explode + groupBy — exploding would shuffle every token of the
+    * corpus to count something that is a per-document property. Narrow,
     * shuffle-free, pipelined with the scan.
     */
   def repetition(docs: DataFrame): DataFrame = {
-    val toks = TF.tokens(col("text"))
-    val nTok = size(toks)
-    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok.cast("double")
-    val bigrams = array_sort(TF.shingles(col("text"), 2))
-    // longest equal-run over the sorted array == the mode bigram's count
-    val zero = struct(lit(null).cast("string").as("prev"),
-      lit(0).as("run"), lit(0).as("best"))
-    val maxRun = aggregate(bigrams, zero, (acc, x) => {
-      val run = when(acc("prev").isNotNull && (x === acc("prev")), acc("run") + 1)
-        .otherwise(lit(1))
-      struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
-    }, acc => acc("best"))
+    val st = graft.functions.RepetitionStats(col("text"))
+    val nTok = st.getField("n_tokens")
+    val maxBg = st.getField("max_bigram_count")
     docs.select(
       col("doc_id"),
-      nTok.cast("long").as("n_tokens"),
-      round(distinctRatio, 6).as("distinct_ratio"),
-      when(nTok >= 2, maxRun).otherwise(0).cast("long").as("max_bigram_count"),
-      round(when(nTok >= 2, maxRun.cast("double") / (nTok - 1).cast("double"))
+      nTok.as("n_tokens"),
+      round(st.getField("n_distinct_tokens").cast("double") / nTok.cast("double"), 6)
+        .as("distinct_ratio"),
+      maxBg.as("max_bigram_count"),
+      round(when(nTok >= 2, maxBg.cast("double") / (nTok - 1).cast("double"))
         .otherwise(0.0), 6).as("top_bigram_frac"))
   }
 
