@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MqttTopicMatches, ShingleHash60}
+import graft.functions.{DotProduct, MqttTopicMatches, RepetitionStats, ShingleHash60}
 
 /** SQL surface for graft's native Catalyst expressions
   * (`spark.sql.extensions=graft.GraftExtensions`, or
@@ -15,7 +15,9 @@ import graft.functions.{DotProduct, MqttTopicMatches, ShingleHash60}
   *  - `dot_product(a, b)` — codegen'd dense dot product over float/double
   *    arrays (the embedding-similarity hot loop);
   *  - `shingle_hash60(text, n)` — per-document distinct word-n-gram 60-bit
-  *    hash set (the dedup shingling primitive); `n` must be a literal.
+  *    hash set (the dedup shingling primitive); `n` must be a literal;
+  *  - `repetition_stats(text)` — one-pass (n_tokens, n_distinct_tokens,
+  *    max_bigram_count) struct (the text-quality repetition signals).
   *
   * With these registered, a SQL-only user can run the engine's custom
   * operators without touching the Scala API — e.g.
@@ -51,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"shingle_hash60(text, n): n must be a non-null integer literal, got $other")
         }
         ShingleHash60(children(0), n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "repetition_stats(text)")
+        RepetitionStats(children(0))
       }))
   }
 }

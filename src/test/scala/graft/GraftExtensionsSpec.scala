@@ -58,4 +58,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[Seq[Long]].collect()(0)
     assert(viaSql == viaCol && viaSql.nonEmpty)
   }
+
+  test("repetition_stats from SQL returns the one-pass struct") {
+    import spark.implicits._
+    Seq((1L, "spam spam spam")).toDF("doc_id", "text")
+      .createOrReplaceTempView("docs_rep")
+    val row = spark.sql(
+      """SELECT s.n_tokens, s.n_distinct_tokens, s.max_bigram_count
+        |FROM (SELECT repetition_stats(text) AS s FROM docs_rep)""".stripMargin)
+      .as[(Long, Long, Long)].collect()(0)
+    assert(row == ((3L, 1L, 2L))) // 3 tokens, 1 distinct, "spam spam" twice
+  }
 }
