@@ -30,7 +30,7 @@ case class RepetitionStats(child: Expression)
   override def prettyName: String = "repetition_stats"
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.trim.split(" +")
+    val toks = SpaceTokens(input.toString)
     val distinct = new java.util.HashSet[String]()
     var i = 0
     while (i < toks.length) { distinct.add(toks(i)); i += 1 }

@@ -33,7 +33,7 @@ case class ShingleHash60(child: Expression, n: Int)
   override def prettyName: String = s"shingle_hash60_$n"
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.trim.split(" +")
+    val toks = SpaceTokens(input.toString)
     if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
     val md = ShingleHash60.digest.get()
     val seen = new java.util.LinkedHashSet[java.lang.Long]()

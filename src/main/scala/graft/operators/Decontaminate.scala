@@ -23,7 +23,10 @@ object Decontaminate {
 
   /** (doc_id, n_bench_docs, n_hit_shingles) for every corpus document
     * sharing >= 1 shingle with a benchmark document. Corpus documents that
-    * ARE benchmark documents (same doc_id) don't self-contaminate.
+    * ARE benchmark documents (same doc_id) don't self-contaminate —
+    * callers whose suite has its OWN id space (the normal case) must keep
+    * it disjoint from corpus ids, or an accidental id collision silently
+    * suppresses a genuine hit.
     */
   def contaminated(docs: DataFrame, bench: DataFrame,
       n: Int = Dedup.ShingleN): DataFrame = {
@@ -39,17 +42,20 @@ object Decontaminate {
   }
 
   /** Deterministic synthetic benchmark suite for the driver check: exact
-    * copies of every doc_id % 100 == [[ProbeResidue]] document under shifted
-    * ids. A copy shares every shingle with its source, so the check is
-    * structurally non-vacuous (the oracle cannot detect a uselessly-empty
-    * result otherwise — the dedup_embedding lesson).
+    * copies of every doc_id % 100 == [[ProbeResidue]] document under
+    * NEGATIVE ids (-(doc_id + 1)). A copy shares every shingle with its
+    * source, so the check is structurally non-vacuous (the oracle cannot
+    * detect a uselessly-empty result otherwise — the dedup_embedding
+    * lesson), and negative ids can never collide with the non-negative
+    * corpus id space at ANY corpus size (a fixed additive shift silently
+    * collides once the corpus outgrows it, falsely suppressing hits via
+    * the self-match guard).
     */
   val ProbeResidue = 7
-  val ProbeIdShift = 1000000L
 
   def probeBenchmarks(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 100 === ProbeResidue)
-      .select((col("doc_id") + ProbeIdShift).as("doc_id"), col("text"))
+      .select((-(col("doc_id") + 1)).as("doc_id"), col("text"))
 }
 
 /** DuckDB oracle for [[Decontaminate]] over the probe benchmark suite.
@@ -60,7 +66,7 @@ object DecontaminateSql {
 
   def contaminatedSql(n: Int = Dedup.ShingleN): String =
     s"""WITH bench AS (
-       |  SELECT doc_id + ${Decontaminate.ProbeIdShift} AS doc_id, text
+       |  SELECT -(doc_id + 1) AS doc_id, text
        |  FROM documents WHERE doc_id % 100 = ${Decontaminate.ProbeResidue}),
        |ct AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM documents
        |       WHERE ${TS.nTokens("text")} >= $n),

@@ -45,7 +45,9 @@ object DedupClusters {
       explicit: Option[Int]): Int = explicit.getOrElse {
     val bySize = ((edgeCount + TargetEdgesPerPartition - 1) /
       TargetEdgesPerPartition).toInt
-    math.max(8, math.min(sessionWidth, bySize))
+    // session width is the OUTER clamp: a deployment configured narrower
+    // than the 8-partition floor keeps its stated ceiling
+    math.min(sessionWidth, math.max(8, bySize))
   }
 
   /** (doc_id, cluster_id, kept) for every document in `pairs`

@@ -204,22 +204,34 @@ object Similarity {
     * same assignment the IVF index uses), then emit the element-wise mean of
     * each centroid's members as (cid, pos, n_members, centroid_val) rows.
     *
-    * Scale shape: assignment is one narrow broadcast pass; the update is a
-    * posexplode to (cid, dim) keys aggregated with map-side combine — the
-    * shuffle carries nCentroids x Dim partial sums per mapper, independent
-    * of corpus size. Components stay 1e6-SCALED INTEGERS end-to-end
-    * (floor(v * 1e6) per element, Long sums, floored integer mean), so the
-    * result is bit-identical regardless of partial-aggregation order AND
-    * carries no decimal-rounding boundary an exact-match oracle could
-    * straddle — a double mean rounded to 6 places measurably diverges
-    * between engines at half-way points. `centroid_micro` is the component
-    * in 1e-6 units.
+    * Scale shape: the broadcast-codebook scoring happens map-side (each
+    * vector's nCentroids candidate rows never leave their mapper), and the
+    * argmax is a `max_by` over (ccos, -cid) — partial aggregation collapses
+    * to ONE row per vector before its only shuffle, with the embedding
+    * carried through the aggregate so no second corpus join is needed (the
+    * windowed row_number form shuffled corpus x nCentroids rows and then
+    * re-joined the corpus — two corpus-sized exchanges). The (ccos, -cid)
+    * ordering reproduces the IVF assignment's tie-break exactly (highest
+    * cosine, then lowest cid). The update is a posexplode to (cid, dim)
+    * keys aggregated with map-side combine. Components stay 1e6-SCALED
+    * INTEGERS end-to-end (floor(v * 1e6) per element, Long sums, floored
+    * integer mean), so the result is bit-identical regardless of
+    * partial-aggregation order AND carries no decimal-rounding boundary an
+    * exact-match oracle could straddle — a double mean rounded to 6 places
+    * measurably diverges between engines at half-way points.
+    * `centroid_micro` is the component in 1e-6 units.
     */
   def kmeansStep(emb: DataFrame, nCentroids: Int = 16): DataFrame = {
     val withNorm = withNormOf(emb)
-    val assigned = nearestCentroids(withNorm, centroidsOf(withNorm, nCentroids),
-      "vec_id", "embedding", "nrm", 1)
-    assigned.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val assigned = withNorm.join(broadcast(centroidsOf(withNorm, nCentroids)))
+      .withColumn("nn", col("nrm") * col("cnrm"))
+      .withColumn("ccos", when(col("nn") === 0.0, 0.0)
+        .otherwise(VF.dot(col("embedding"), col("cvec")) / col("nn")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("embedding")),
+        struct(col("ccos"), (-col("cid")).as("neg_cid"))).as("best"))
+      .select(col("best.cid").as("cid"), col("best.embedding").as("embedding"))
+    assigned
       .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("sv", floor(col("v").cast("double") * 1e6).cast("long"))
       .groupBy("cid", "pos")

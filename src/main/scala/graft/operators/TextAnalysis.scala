@@ -106,27 +106,31 @@ object TextAnalysis {
   /** Per-document top-k terms by TF-IDF (smoothed idf = ln((N+1)/(df+1))+1).
     *
     * The inherently-shuffling text operator, shaped for scale: term
-    * frequencies aggregate map-side before the (doc_id, term) shuffle, the
-    * document-frequency table aggregates map-side on term (its size is the
-    * VOCABULARY, not the corpus), the tf x idf join is a plain equi-join on
-    * term that AQE can re-plan (vocabulary tables are often broadcastable
-    * after aggregation, but that is a runtime size call, not a structural
-    * one — no forced broadcast here), and the per-doc top-k is a windowed
-    * row_number over (score desc, term) — a total order, so ties cannot make
-    * the result nondeterministic.
+    * frequencies aggregate map-side before the (doc_id, term) shuffle; the
+    * document-frequency table derives from the ALREADY AGGREGATED tf frame
+    * (one row per (doc, term)), so the corpus explodes once and df costs one
+    * vocabulary-sized aggregation — no second explode, no extra distinct
+    * shuffle. The corpus cardinality N joins in as a broadcast single-row
+    * aggregate, keeping construction lazy (no driver-side action); the
+    * tf x idf join is a plain equi-join on term that AQE can re-plan
+    * (vocabulary tables are often broadcastable after aggregation, but that
+    * is a runtime size call, not a structural one — no forced broadcast
+    * here); the per-doc top-k is a windowed row_number over
+    * (score desc, term) — a total order, so ties cannot make the result
+    * nondeterministic.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+    val nDf = docs.select(countDistinct(col("doc_id")).as("n"))
     val tokens = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
     val tf = tokens.groupBy("doc_id", "term").agg(count("*").as("tf"))
-    val df = tokens.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count("*").as("df"))
+    val df = tf.groupBy("term").agg(count("*").as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDf))
       .withColumn("score",
-        round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+        round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank").cast("long").as("rank"),

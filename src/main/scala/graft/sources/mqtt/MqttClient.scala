@@ -126,8 +126,15 @@ final class MqttClient(
   def connectOnce(): Option[Int] = {
     connected = false
     connectRc = ConnackAccepted
-    val tls = opts.tls.filter(_.defined)
-      .orElse(if (opts.endpoint.tls) Some(TlsOptions()) else None)
+    // TLS engages when material is configured OR the scheme demands it; a
+    // user-supplied options object is passed through whole in either case
+    // (an insecure-only TlsOptions on an mqtts endpoint must keep its
+    // insecure flag — reference: tls_insecure_set, mqtt2sql.py:875)
+    val tls = opts.tls match {
+      case Some(t) if t.defined || opts.endpoint.tls => Some(t)
+      case Some(_) => None // options without material on a plain scheme: no TLS
+      case None => if (opts.endpoint.tls) Some(TlsOptions()) else None
+    }
     try transport.connect(opts.endpoint, opts.clientId, cleanSession = true,
       opts.keepaliveSec, tls, listener)
     catch {
@@ -202,6 +209,9 @@ final class MqttClient(
 object LinearRetry {
   def apply[E](retries: Int, startDelayMs: Long, sleeper: Long => Unit)(
       attempt: => Option[E]): Option[E] = {
+    // retries <= 0 must not read as success-without-attempting (the caller
+    // would proceed on a transport that never dialed)
+    require(retries >= 1, s"retries must be >= 1, got $retries")
     var remaining = retries
     var delay = startDelayMs
     var last: Option[E] = None

@@ -104,7 +104,7 @@ final class StreamingLogListener(logger: GraftLogger) extends StreamingQueryList
     val p = e.progress
     logger.log(LogLevel.Notice,
       s"stream ${p.name} batch=${p.batchId} rows=${p.numInputRows} " +
-        f"rps=${p.processedRowsPerSecond}%.1f")
+        f"rps=${p.processedRowsPerSecond}%.1f dur=${p.durationMs}")
   }
 
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit =

@@ -19,9 +19,10 @@ class PlanAuditSpec extends SparkSpec {
   // against the ENTIRE coarse codebook by definition (argmin over K) — two
   // broadcast cross joins over a constant-size (KBs) side (2).
   // emb_kmeans_step: the Lloyd assignment is the same argmax-over-codebook
-  // scan as ann_ivf's, once (1).
-  private val allowedNestedLoops =
-    Map("ann_brute_force" -> 1, "ann_ivf" -> 2, "emb_kmeans_step" -> 1)
+  // scan as ann_ivf's, once (1). text_tfidf: the corpus-cardinality N joins
+  // in as a broadcast SINGLE-ROW aggregate (1).
+  private val allowedNestedLoops = Map("ann_brute_force" -> 1, "ann_ivf" -> 2,
+    "emb_kmeans_step" -> 1, "text_tfidf" -> 1)
   // streaming/iterative queries execute eagerly (they must run a stream or a
   // convergence loop to build their result); their batch post-processing is
   // audited via the batch twins' plans

@@ -9,15 +9,19 @@ import org.scalacheck.Prop.forAll
   */
 object RepetitionStatsProperties extends Properties("RepetitionStats") {
 
-  // small token pool forces duplicate tokens and repeated bigrams
+  // small token pool forces duplicate tokens and repeated bigrams; pads
+  // include tabs/newlines, which space-only trim must NOT strip (the
+  // Java-String.trim divergence the review caught)
   private val textGen: Gen[String] = for {
     n <- Gen.choose(0, 40)
     toks <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "dd", "e"))
-    pad <- Gen.oneOf("", " ", "  ")
+    pad <- Gen.oneOf("", " ", "  ", "\t", "\n ")
   } yield pad + toks.mkString(" ") + pad
 
   private def model(text: String): (Long, Long, Long) = {
-    val toks = text.trim.split(" +").toSeq
+    // space-only trim, written independently of SpaceTokens
+    val toks = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+      .reverse.split(" +").toSeq
     val maxBigram =
       if (toks.length < 2) 0L
       else toks.sliding(2).toSeq.groupBy(identity).values.map(_.size).max.toLong

@@ -55,10 +55,10 @@ class DecontaminateSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("probe benchmark suite copies every residue-7 doc under shifted ids") {
+  test("probe benchmark suite copies every residue-7 doc under collision-proof negative ids") {
     val corpus = df((7L, "a b c d"), (107L, "e f g h"), (12L, "i j k l"))
     val probes = Decontaminate.probeBenchmarks(corpus)
       .as[(Long, String)].collect().toSet
-    assert(probes == Set((1000007L, "a b c d"), (1000107L, "e f g h")))
+    assert(probes == Set((-8L, "a b c d"), (-108L, "e f g h")))
   }
 }

@@ -30,6 +30,7 @@ class DedupClustersSpec extends SparkSpec {
     assert(p(T * 2, 2000, None) == 8) // still under the floor
     assert(p(T * 100, 2000, None) == 100) // big graph: sized by edges
     assert(p(T * 100000, 2000, None) == 2000) // ceiling: the session's cluster sizing
+    assert(p(100L, 4, None) == 4) // a narrow session keeps its ceiling, floor or not
     assert(p(T * 100, 2000, Some(64)) == 64) // explicit parameter wins
   }
 

@@ -203,6 +203,22 @@ class MqttClientSpec extends AnyFunSuite {
       (_, _, _, _) => (), fake2.tick)
     assert(c2.connectOnce().isEmpty)
     assert(fake2.lastConnect.get._5.contains(material))
+    // insecure-only options on a TLS scheme keep their insecure flag (a
+    // material-less TlsOptions must not be silently replaced by defaults)
+    val insecureOnly = TlsOptions(insecure = true)
+    val fake3 = new FakeTransport(connackAfterMs = 0)
+    val c3 = new MqttClient(fake3,
+      Options(tlsEndpoint, Seq("tele/#"), clientId = "t", tls = Some(insecureOnly)),
+      (_, _, _, _) => (), fake3.tick)
+    assert(c3.connectOnce().isEmpty)
+    assert(fake3.lastConnect.get._5.contains(insecureOnly))
+  }
+
+  test("zero connection retries is a loud misconfiguration, not silent success") {
+    val fake = new FakeTransport(refuseDials = Int.MaxValue)
+    val c = client(fake, opts().copy(connectionRetries = 0))
+    intercept[IllegalArgumentException] { c.connectWithRetry() }
+    assert(fake.dials == 0)
   }
 
   test("forBroker wires the sink into the MqttBroker buffer the DSv2 source reads") {
