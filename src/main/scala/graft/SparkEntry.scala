@@ -78,6 +78,10 @@ object SparkEntry {
     // per-doc top-k terms by smoothed TF-IDF (inverted-index analytics)
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"), col("rank"))),
+    // PII scrubbing (emails), probe-augmented so redactions actually occur
+    "text_redact" -> ((s, d) => TextAnalysis.redactEmails(
+      TextAnalysis.redactProbeAugmented(sources.Tables.documents(s, d)))
+      .orderBy(col("doc_id"))),
     // Gopher-style repetition signals (per-row array fold, shuffle-free)
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -172,6 +176,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysisSql.qualitySql,
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,
     "text_split" -> TextAnalysisSql.splitSql,
+    "text_redact" -> TextAnalysisSql.redactEmailsSql,
     "text_tfidf" -> TextAnalysisSql.tfidfTopTermsSql(),
     "text_repetition" -> TextAnalysisSql.repetitionSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),

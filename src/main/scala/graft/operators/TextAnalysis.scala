@@ -103,6 +103,38 @@ object TextAnalysis {
         .otherwise(0.0), 6).as("top_bigram_frac"))
   }
 
+  /** Conservative email pattern shared by the Spark and DuckDB sides —
+    * deliberately restricted to constructs with identical semantics in Java
+    * regex and RE2 (character classes, +, bounded repetition; no
+    * backreferences, no lookaround).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII scrubbing (email redaction): per-document redaction count and the
+    * md5 of the redacted text (hash, not body — keeps the driver compare
+    * narrow). Narrow per-row regex work, shuffle-free, pipelined with the
+    * scan — the shape of every scrubbing pass over a 100 TB corpus.
+    */
+  def redactEmails(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      md5(regexp_replace(col("text"), EmailRe, "[EMAIL]").cast("binary"))
+        .as("redacted_hash"))
+
+  /** Probe augmentation for the driver check: residue docs get a
+    * deterministic email appended, so the redaction row is structurally
+    * non-vacuous (the synthetic corpus contains no natural emails).
+    */
+  val RedactProbeResidue = 13
+
+  def redactProbeAugmented(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 100 === RedactProbeResidue,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com")))
+        .otherwise(col("text")))
+
   /** Per-document top-k terms by TF-IDF (smoothed idf = ln((N+1)/(df+1))+1).
     *
     * The inherently-shuffling text operator, shaped for scale: term
@@ -211,6 +243,24 @@ object TextAnalysisSql {
        |    THEN round(CAST(max_bigram_count AS DOUBLE) / (len(__t) - 1), 6)
        |    ELSE 0.0 END AS top_bigram_frac
        |FROM bg ORDER BY doc_id""".stripMargin
+
+  /** Mirror of [[TextAnalysis.redactEmails]] over the probe-augmented
+    * corpus ([[TextAnalysis.redactProbeAugmented]]).
+    */
+  val redactEmailsSql: String = {
+    // DuckDB single-quoted strings keep backslashes literal — embed as-is
+    val re = TextAnalysis.EmailRe
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 100 = ${TextAnalysis.RedactProbeResidue}
+       |      THEN text || ' contact user' || doc_id || '@example.com'
+       |      ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$re')) AS n_emails,
+       |  md5(regexp_replace(text, '$re', '[EMAIL]', 'g')) AS redacted_hash
+       |FROM aug ORDER BY doc_id""".stripMargin
+  }
 
   /** Mirror of [[TextAnalysis.tfidfTopTerms]]. Ranks on the ROUNDED score on
     * both sides, so near-tie float ordering can never diverge between
