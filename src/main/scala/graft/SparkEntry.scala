@@ -63,6 +63,7 @@ object SparkEntry {
     "q_session_windows" -> (Relational.sessionWindows _),
     "q_percentiles" -> (Relational.percentiles _),
     "q_cube" -> (Relational.cubeEvents _),
+    "q_pivot" -> (Relational.pivotEvents _),
     // --- text analysis extensions ---
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -171,6 +172,7 @@ object SparkEntry {
     "q_session_windows" -> Relational.sessionWindowsSql,
     "q_percentiles" -> Relational.percentilesSql,
     "q_cube" -> Relational.cubeEventsSql,
+    "q_pivot" -> Relational.pivotEventsSql,
     "text_token_stats" -> TextAnalysisSql.tokenStatsSql,
     "text_langid" -> TextAnalysisSql.langIdSql,
     "text_quality" -> TextAnalysisSql.qualitySql,

@@ -281,6 +281,31 @@ object Relational {
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
   /** Time bucketing: monthly event rollup (date_trunc + agg). */
+  /** Pivot: per-user-cohort event counts fanned into one column per event
+    * type. The value list is EXPLICIT (Spark's values-less pivot runs a
+    * driver-side distinct scan first — an extra corpus pass, and the result
+    * schema would depend on the data); with explicit values the pivot plans
+    * as one map-side-combined conditional aggregation, no extra scan.
+    */
+  val PivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("cohort", (col("user_id") % 10).cast("int"))
+      .groupBy(col("cohort"))
+      .pivot("event_type", PivotEventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, PivotEventTypes)
+      .orderBy(col("cohort"))
+
+  val pivotEventsSql: String = {
+    val cols = PivotEventTypes.map(t =>
+      s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS $t").mkString(",\n  ")
+    s"""SELECT CAST(user_id % 10 AS INT) AS cohort,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
+  }
+
   def monthlyEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(date_trunc("month", col("ts")).cast("timestamp_ntz").as("month"), col("event_type"))
