@@ -50,20 +50,43 @@ object DedupClusters {
     math.min(sessionWidth, math.max(8, bySize))
   }
 
+  /** Pair-count ceiling for the driver fast path: 1M (long, long) pairs is
+    * ~16 MB on the driver — far under any driver heap, far over any
+    * realistic near-dup pair graph at test scale.
+    */
+  val DriverMaxPairs: Long = 1L << 20
+
   /** (doc_id, cluster_id, kept) for every document in `pairs`
     * (columns `doc_a`, `doc_b`).
     *
+    * Size-switched execution (the pair COUNT is known before choosing — one
+    * count over the cached pair frame): below [[DriverMaxPairs]] the
+    * component labeling runs as union-find on the driver — a handful of
+    * distributed jobs each costing more in scheduling + plan compilation
+    * than the entire sub-second union-find would, the same runtime-size
+    * reasoning AQE applies to join strategies. Above it (or when an
+    * explicit shuffle width demands the distributed shape) the min-label
+    * propagation with pointer jumping runs as before. Both paths produce
+    * IDENTICAL labels (component-minimum representative) and are checked by
+    * the same DuckDB RECURSIVE CTE oracle.
+    *
     * @param shufflePartitions shuffle width for the propagation rounds;
     *   derived from the pair-graph size via [[propagationPartitions]] when
-    *   not given.
+    *   not given. Passing a width also forces the distributed path.
+    * @param driverMaxPairs fast-path ceiling (tests pass 0 to force the
+    *   distributed path at unit scale).
     */
   def components(pairs: DataFrame, maxIters: Int = 15,
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None,
+      driverMaxPairs: Long = DriverMaxPairs): DataFrame = {
     val spark = pairs.sparkSession
     // materialize the pair frame ONCE: nodes, both edge directions, and the
     // self-loops all re-reference it, and the upstream pair generation (a
     // whole LSH pipeline) must not re-run per reference
     val p = Caching.cached(pairs.select(col("doc_a"), col("doc_b")))
+    val pairCount = p.count()
+    if (shufflePartitions.isEmpty && pairCount <= driverMaxPairs)
+      return driverComponents(spark, p)
     val nodes = p.select(col("doc_a").as("node"))
       .unionAll(p.select(col("doc_b").as("node"))).distinct()
     val edges = Caching.cached(
@@ -123,6 +146,36 @@ object DedupClusters {
       s"component propagation did not converge in ${maxIters * unroll} rounds")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
       (col("node") === col("label")).as("kept"))
+  }
+
+  /** Driver fast path: union-find with the smaller root winning, so each
+    * component's root IS its minimum id — the same labels the distributed
+    * propagation converges to. Path compression keeps finds near-constant.
+    */
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+      p: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    p.collect().foreach { row =>
+      val a = row.getLong(0)
+      val b = row.getLong(1)
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)](parent.size)
+    parent.keySet.forEach { n => val r = find(n); out += ((n, r, n == r)) }
+    out.toSeq.toDF("doc_id", "cluster_id", "kept")
   }
 }
 

@@ -24,6 +24,18 @@ class DedupClustersSpec extends SparkSpec {
     assert(got == (0L to 9L).map(i => (i, 0L, i == 0L)).toSet)
   }
 
+  test("the distributed path (forced past the driver fast path) labels identically") {
+    val chain = (0L until 9L).map(i => (i, i + 1)) :+ (20L, 21L)
+    val got = DedupClusters.components(
+      chain.toDF("doc_a", "doc_b"), driverMaxPairs = 0L)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val fast = DedupClusters.components(chain.toDF("doc_a", "doc_b"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == fast)
+    assert(got == ((0L to 9L).map(i => (i, 0L, i == 0L)) ++
+      Seq((20L, 20L, true), (21L, 20L, false))).toSet)
+  }
+
   test("propagation shuffle width derives from the edge count, clamped to the session") {
     import DedupClusters.{propagationPartitions => p, TargetEdgesPerPartition => T}
     assert(p(100L, 2000, None) == 8) // tiny graph: floor of 8, not near-empty reducers
