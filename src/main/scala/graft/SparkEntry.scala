@@ -64,6 +64,9 @@ object SparkEntry {
     "q_percentiles" -> (Relational.percentiles _),
     "q_cube" -> (Relational.cubeEvents _),
     "q_pivot" -> (Relational.pivotEvents _),
+    // bucketed point-in-interval range join (the raw BETWEEN predicate
+    // would plan as a nested-loop join)
+    "q_range_join" -> (RangeJoin.inTransitCounts _),
     // --- text analysis extensions ---
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -173,6 +176,7 @@ object SparkEntry {
     "q_percentiles" -> Relational.percentilesSql,
     "q_cube" -> Relational.cubeEventsSql,
     "q_pivot" -> Relational.pivotEventsSql,
+    "q_range_join" -> RangeJoin.inTransitCountsSql,
     "text_token_stats" -> TextAnalysisSql.tokenStatsSql,
     "text_langid" -> TextAnalysisSql.langIdSql,
     "text_quality" -> TextAnalysisSql.qualitySql,

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Point-in-interval range join, bucketed.
+  *
+  * Spark's native plan for a `p BETWEEN start AND end` join predicate is a
+  * nested-loop join (no equi-key to hash on) — quadratic, the shape
+  * PlanAuditSpec bans repo-wide. The scalable form: explode each interval
+  * into the day buckets it covers, equi-join points to buckets on the
+  * truncated day, then apply the exact containment filter as a residual.
+  * Fan-out is interval-length-in-days per row (bounded by the domain, not
+  * the table sizes), the join is a plain hash/sort-merge equi-join, and the
+  * residual keeps the operator exact for arbitrary (non-midnight)
+  * timestamps. Same technique as [[AsOfJoin]]'s single-shuffle union-merge:
+  * restructure the predicate so the engine gets an equi-key.
+  */
+object RangeJoin {
+
+  def pointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String): DataFrame = {
+    val buckets = intervals.withColumn("__bucket",
+      explode(sequence(date_trunc("DAY", col(startCol)),
+        date_trunc("DAY", col(endCol)), expr("interval 1 day"))))
+    points.withColumn("__pb", date_trunc("DAY", col(pointCol)))
+      .join(buckets, col("__pb") === col("__bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bucket", "__pb")
+  }
+
+  /** Driver query: shipments in transit (14-day window from ship date) on
+    * each distinct order date — a point-in-interval join aggregated to one
+    * row per date.
+    */
+  def inTransitCounts(spark: SparkSession, dir: String): DataFrame = {
+    val points = Tables.orders(spark, dir).select(col("o_orderdate")).distinct()
+    val intervals = Tables.lineitem(spark, dir).select(
+      col("l_shipdate"),
+      expr("l_shipdate + interval 14 days").as("l_ship_end"))
+    pointInInterval(points, "o_orderdate", intervals, "l_shipdate", "l_ship_end")
+      .groupBy(col("o_orderdate"))
+      .agg(count(lit(1)).as("n_in_transit"))
+      .orderBy(col("o_orderdate"))
+  }
+
+  val inTransitCountsSql: String =
+    """WITH p AS (SELECT DISTINCT o_orderdate FROM orders)
+      |SELECT p.o_orderdate, count(*) AS n_in_transit
+      |FROM p JOIN lineitem l
+      |  ON p.o_orderdate BETWEEN l.l_shipdate AND l.l_shipdate + INTERVAL 14 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+}
