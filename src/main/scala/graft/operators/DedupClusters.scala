@@ -82,8 +82,12 @@ object DedupClusters {
     val spark = pairs.sparkSession
     // materialize the pair frame ONCE: nodes, both edge directions, and the
     // self-loops all re-reference it, and the upstream pair generation (a
-    // whole LSH pipeline) must not re-run per reference
-    val p = Caching.cached(pairs.select(col("doc_a"), col("doc_b")))
+    // whole LSH pipeline) must not re-run per reference. Ids normalize to
+    // long up front so both execution paths emit the same schema (and the
+    // driver path's getLong cannot see an int-typed input).
+    val p = Caching.cached(pairs.select(
+      col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b")))
     val pairCount = p.count()
     if (shufflePartitions.isEmpty && pairCount <= driverMaxPairs)
       return driverComponents(spark, p)

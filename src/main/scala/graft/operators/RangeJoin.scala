@@ -22,9 +22,13 @@ object RangeJoin {
 
   def pointInInterval(points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String): DataFrame = {
-    val buckets = intervals.withColumn("__bucket",
-      explode(sequence(date_trunc("DAY", col(startCol)),
-        date_trunc("DAY", col(endCol)), expr("interval 1 day"))))
+    // an inverted interval must match NOTHING (BETWEEN semantics), not
+    // crash the job — Spark's sequence() throws on start > stop
+    val buckets = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(date_trunc("DAY", col(startCol)),
+          date_trunc("DAY", col(endCol)), expr("interval 1 day"))))
     points.withColumn("__pb", date_trunc("DAY", col(pointCol)))
       .join(buckets, col("__pb") === col("__bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))

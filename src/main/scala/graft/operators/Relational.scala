@@ -280,7 +280,6 @@ object Relational {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
-  /** Time bucketing: monthly event rollup (date_trunc + agg). */
   /** Pivot: per-user-cohort event counts fanned into one column per event
     * type. The value list is EXPLICIT (Spark's values-less pivot runs a
     * driver-side distinct scan first — an extra corpus pass, and the result
@@ -306,6 +305,7 @@ object Relational {
        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
   }
 
+  /** Time bucketing: monthly event rollup (date_trunc + agg). */
   def monthlyEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(date_trunc("month", col("ts")).cast("timestamp_ntz").as("month"), col("event_type"))

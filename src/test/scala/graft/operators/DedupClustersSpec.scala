@@ -24,6 +24,22 @@ class DedupClustersSpec extends SparkSpec {
     assert(got == (0L to 9L).map(i => (i, 0L, i == 0L)).toSet)
   }
 
+  test("distributed propagation equals driver union-find on a seeded random graph") {
+    // the two paths are INDEPENDENT implementations (min-label propagation
+    // with pointer jumping vs union-find), so agreement on a messy graph —
+    // chains, cycles, stars, singleton-free random edges — is real evidence
+    // for both; the small fixtures above all route to the fast path now
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val dist = DedupClusters.components(edges.toDF("doc_a", "doc_b"), driverMaxPairs = 0L)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val fast = DedupClusters.components(edges.toDF("doc_a", "doc_b"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(dist == fast)
+    assert(dist.nonEmpty && dist.exists(!_._3)) // non-trivial clusters exist
+  }
+
   test("the distributed path (forced past the driver fast path) labels identically") {
     val chain = (0L until 9L).map(i => (i, i + 1)) :+ (20L, 21L)
     val got = DedupClusters.components(
