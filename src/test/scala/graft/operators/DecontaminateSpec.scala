@@ -55,6 +55,29 @@ class DecontaminateSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("agrees with the brute-force shingle-intersection model on a seeded random corpus") {
+    val rnd = new scala.util.Random(11)
+    def doc(n: Int) = (1 to n).map(_ => s"w${rnd.nextInt(8)}").mkString(" ")
+    val corpus = (0L until 40L).map(i => (i, doc(3 + rnd.nextInt(8))))
+    val bench = (100L until 106L).map(i => (i, doc(3 + rnd.nextInt(8))))
+    def shingles(text: String): Set[String] =
+      text.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val model = (for {
+      (cid, ctext) <- corpus
+      hits = bench.filter { case (bid, btext) =>
+        bid != cid && (shingles(ctext) & shingles(btext)).nonEmpty }
+      if hits.nonEmpty
+    } yield cid -> ((hits.size.toLong,
+      shingles(ctext).count(s => hits.exists(h => shingles(h._2).contains(s))).toLong)))
+      .toMap
+    val got = Decontaminate.contaminated(df(corpus: _*), df(bench: _*))
+      .select($"doc_id", $"n_bench_docs", $"n_hit_shingles")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == model)
+    assert(model.nonEmpty) // the tiny token pool forces real overlap
+  }
+
   test("probe benchmark suite copies every residue-7 doc under collision-proof negative ids") {
     val corpus = df((7L, "a b c d"), (107L, "e f g h"), (12L, "i j k l"))
     val probes = Decontaminate.probeBenchmarks(corpus)

@@ -32,6 +32,30 @@ class RangeJoinSpec extends SparkSpec {
       ts("2024-01-05 00:00:00")))
   }
 
+  test("agrees with the brute-force containment model on a seeded random instance") {
+    val rnd = new scala.util.Random(7)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def randTs() = new Timestamp(base + rnd.nextInt(40 * 24) * 3600000L +
+      rnd.nextInt(3600000)) // random hour + sub-hour offset over 40 days
+    val pts = (1 to 60).map(_ => randTs())
+    // ~1/6 of intervals generated inverted: must match nothing, not crash
+    val ivs = (1 to 80).map { i =>
+      val a = randTs()
+      val span = (rnd.nextInt(7 * 24) - 24) * 3600000L
+      (i.toLong, a, new Timestamp(a.getTime + span))
+    }
+    val got = RangeJoin.pointInInterval(
+      pts.toDF("p"), "p", ivs.toDF("iv_id", "lo", "hi"), "lo", "hi")
+      .select($"p", $"iv_id").as[(Timestamp, Long)].collect().toSet
+    val expected = (for {
+      p <- pts
+      (id, lo, hi) <- ivs
+      if !p.before(lo) && !p.after(hi)
+    } yield (p, id)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty) // the instance actually exercises matches
+  }
+
   test("overlapping intervals each match; the plan is an equi-join") {
     val points = Seq(ts("2024-01-02 00:00:00")).toDF("p")
     val intervals = Seq(
