@@ -21,12 +21,27 @@ import graft.functions.{TextSql => TS}
   */
 object Decontaminate {
 
+  /** Name of the observe() metric counting (corpus_doc, bench_doc, shingle)
+    * join hits suppressed by the self-match guard — read it via
+    * QueryExecutionListener / [[graft.streaming.LogSink]] like the dedup
+    * skew-cap drop counts.
+    */
+  val SelfMatchMetric = "decontaminate_guard"
+
   /** (doc_id, n_bench_docs, n_hit_shingles) for every corpus document
     * sharing >= 1 shingle with a benchmark document. Corpus documents that
     * ARE benchmark documents (same doc_id) don't self-contaminate —
     * callers whose suite has its OWN id space (the normal case) must keep
-    * it disjoint from corpus ids, or an accidental id collision silently
-    * suppresses a genuine hit.
+    * it disjoint from corpus ids, or an id collision suppresses a genuine
+    * hit. The guard cannot key on provenance (the inputs are two arbitrary
+    * frames), so suppression is made VISIBLE instead of silent: the count
+    * of guarded-out join hits surfaces as the [[SelfMatchMetric]] observe()
+    * metric — zero whenever the id spaces are disjoint, so any non-zero
+    * value under a suite that claims its own id space is the collision
+    * alarm. (AQE caveat: if EVERY join hit is guarded out, the empty first
+    * stage lets AQE's empty-relation propagation drop the metric node from
+    * the final plan and the metric is not delivered — that requires every
+    * contaminated document to be an id collision, a fully-degenerate input.)
     */
   def contaminated(docs: DataFrame, bench: DataFrame,
       n: Int = Dedup.ShingleN): DataFrame = {
@@ -35,6 +50,9 @@ object Decontaminate {
     val benchInv = Dedup.hashedShingleSets(bench, n)
       .select(col("doc_id").as("bench_id"), explode(col("sh")).as("s"))
     corpusInv.join(broadcast(benchInv), Seq("s"))
+      .observe(SelfMatchMetric,
+        sum(when(col("doc_id") === col("bench_id"), 1L).otherwise(0L))
+          .as("self_matches_dropped"))
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id")
       .agg(countDistinct("bench_id").as("n_bench_docs"),

@@ -85,15 +85,21 @@ object DedupClusters {
     // whole LSH pipeline) must not re-run per reference. Ids normalize to
     // long up front so both execution paths emit the same schema (and the
     // driver path's getLong cannot see an int-typed input).
-    val p = Caching.cached(pairs.select(
+    val (p, pHandle) = Caching.cachedWithHandle(pairs.select(
       col("doc_a").cast("long").as("doc_a"),
       col("doc_b").cast("long").as("doc_b")))
     val pairCount = p.count()
-    if (shufflePartitions.isEmpty && pairCount <= driverMaxPairs)
-      return driverComponents(spark, p)
+    if (shufflePartitions.isEmpty && pairCount <= driverMaxPairs) {
+      // driverComponents collects eagerly and returns a local relation, so
+      // the pair cache has no remaining reader — release it now rather than
+      // letting repeated components() calls accumulate blocks until GC
+      val out = driverComponents(spark, p)
+      pHandle.unpersist(blocking = false)
+      return out
+    }
     val nodes = p.select(col("doc_a").as("node"))
       .unionAll(p.select(col("doc_b").as("node"))).distinct()
-    val edges = Caching.cached(
+    val (edges, edgesHandle) = Caching.cachedWithHandle(
       p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .unionAll(nodes.select(col("node").as("src"), col("node").as("dst"))))
@@ -148,6 +154,14 @@ object DedupClusters {
     } finally spark.conf.set(shuffleKey, prevShuffle)
     require(converged,
       s"component propagation did not converge in ${maxIters * unroll} rounds")
+    // the final labels are materialized (the convergence count), so the pair
+    // frame and edge graph have no remaining reader — release them eagerly.
+    // The labels cache itself stays: it backs the returned frame, and its
+    // RDD-owned blocks are reclaimed by ContextCleaner once the result is
+    // garbage-collected (the Caching contract). An evicted label partition
+    // recomputes through the unpersisted lineage — correct, just slower.
+    pHandle.unpersist(blocking = false)
+    edgesHandle.unpersist(blocking = false)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
       (col("node") === col("label")).as("kept"))
   }

@@ -90,13 +90,21 @@ object TextAnalysis {
     * shuffle-free, pipelined with the scan.
     */
   def repetition(docs: DataFrame): DataFrame = {
-    val st = graft.functions.RepetitionStats(col("text"))
-    val nTok = st.getField("n_tokens")
-    val maxBg = st.getField("max_bigram_count")
-    docs.select(
+    // The struct is evaluated ONCE per row behind an alias, with the five
+    // derived columns extracting fields from the alias in a second
+    // projection. Writing `st.getField(...)` five times in one select would
+    // instantiate five copies of the (interpreted) tokenize-and-count pass
+    // per row; the aliased form relies on CollapseProject's non-cheap
+    // duplication guard (SPARK-36718) to keep the two projections stacked —
+    // asserted by the single-occurrence plan check in TextAnalysisSpec.
+    val withR = docs.select(col("doc_id"),
+      graft.functions.RepetitionStats(col("text")).as("r"))
+    val nTok = col("r.n_tokens")
+    val maxBg = col("r.max_bigram_count")
+    withR.select(
       col("doc_id"),
       nTok.as("n_tokens"),
-      round(st.getField("n_distinct_tokens").cast("double") / nTok.cast("double"), 6)
+      round(col("r.n_distinct_tokens").cast("double") / nTok.cast("double"), 6)
         .as("distinct_ratio"),
       maxBg.as("max_bigram_count"),
       round(when(nTok >= 2, maxBg.cast("double") / (nTok - 1).cast("double"))

@@ -78,6 +78,35 @@ class DecontaminateSpec extends SparkSpec {
     assert(model.nonEmpty) // the tiny token pool forces real overlap
   }
 
+  test("self-match suppression is observed, not silent: guarded hits surface as a metric") {
+    var observed = -1L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get(Decontaminate.SelfMatchMetric)
+          .foreach(row => observed = row.getLong(0))
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    // doc 100 collides with bench id 100 (guarded out, counted); doc 1
+    // keeps the result non-empty so AQE cannot fold the metric stage away
+    val corpus = df((100L, benchText), (1L, s"also has the $benchText inside"))
+    def run(bench: DataFrame): Long = {
+      observed = -1L
+      spark.listenerManager.register(listener)
+      try {
+        Decontaminate.contaminated(corpus, bench).collect()
+        val deadline = System.currentTimeMillis() + 10000
+        while (observed < 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        observed
+      } finally spark.listenerManager.unregister(listener)
+    }
+    // colliding id space: every doc-100 shared shingle is guarded out AND counted
+    assert(run(df((100L, benchText))) >= 7L) // all shingles of the 9-token bench text
+    // disjoint id space (the documented contract): zero — the alarm is quiet
+    assert(run(df((999L, benchText))) == 0L)
+  }
+
   test("probe benchmark suite copies every residue-7 doc under collision-proof negative ids") {
     val corpus = df((7L, "a b c d"), (107L, "e f g h"), (12L, "i j k l"))
     val probes = Decontaminate.probeBenchmarks(corpus)

@@ -27,4 +27,18 @@ class TextRepetitionSpec extends SparkSpec {
     assert(got(1L) == ((1L, 1.0, 0L, 0.0))) // split('') -> [''], no bigrams
     assert(got(2L) == ((1L, 1.0, 0L, 0.0)))
   }
+
+  test("the tokenize-and-count pass runs ONCE per row: one repetition_stats in the plan") {
+    // five derived columns extract fields from ONE aliased struct; if
+    // projection collapse ever re-inlines the expression into each
+    // referencing column (the 23 s fold pathology), this count jumps to 5.
+    // Range input, not a local relation — ConvertToLocalRelation would
+    // otherwise evaluate the whole projection at plan time
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(4).select(col("id").as("doc_id"),
+      concat(lit("a b a b w"), col("id")).as("text"))
+    val plan = TextAnalysis.repetition(docs).queryExecution.executedPlan.toString
+    val n = "repetition_stats".r.findAllIn(plan).size
+    assert(n == 1, s"expected exactly one repetition_stats evaluation, got $n:\n$plan")
+  }
 }
