@@ -89,6 +89,14 @@ object SparkEntry {
     // Gopher-style repetition signals (per-row array fold, shuffle-free)
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
+    // deterministic per-language rebalancing sample (content-addressed)
+    "text_sample_stratified" -> ((s, d) => TextAnalysis.sampleStratified(
+      sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // concat-and-chunk sequence packing (sharded running sum, integer math)
+    "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(
+      sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // linear-counting distinct sketch: the oracle verifies the sketch itself
+    "q_approx_distinct" -> (Sketches.approxDistinctUsers _),
     // benchmark decontamination: broadcast bench postings, probe-augmented
     // bench suite so the correctness row is structurally non-vacuous
     "text_decontaminate" -> ((s, d) => {
@@ -128,6 +136,9 @@ object SparkEntry {
     // integer centroid update, so partial-agg order can't shift the result)
     "emb_kmeans_step" -> ((s, d) => Similarity.kmeansStep(sources.Tables.embeddings(s, d))
       .orderBy(col("cid"), col("pos"))),
+    // symmetric int8 vector quantization, payload hash-checked exactly
+    "emb_quantize" -> ((s, d) => Quantize.int8(sources.Tables.embeddings(s, d))
+      .orderBy(col("vec_id"))),
     // --- multimodal extensions ---
     "mm_metadata" -> ((s, d) => Multimodal.metadata(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -185,6 +196,9 @@ object SparkEntry {
     "text_redact" -> TextAnalysisSql.redactEmailsSql,
     "text_tfidf" -> TextAnalysisSql.tfidfTopTermsSql(),
     "text_repetition" -> TextAnalysisSql.repetitionSql,
+    "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,
+    "text_pack_sequences" -> TextAnalysisSql.packSequencesSql,
+    "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_fingerprint" -> DedupSql.fingerprintSql,
@@ -197,6 +211,7 @@ object SparkEntry {
     "ann_lsh" -> SimilaritySql.lshTopKSql(),
     "ann_ivf" -> SimilaritySql.ivfTopKSql(),
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),
+    "emb_quantize" -> QuantizeSql.int8Sql,
     "mm_metadata" -> MultimodalSql.metadataSql,
     "mm_frame_sample" -> MultimodalSql.frameSampleSql,
     "mm_decode_stub" -> MultimodalSql.decodeStubSql

@@ -38,15 +38,26 @@ object RangeJoin {
   /** Driver query: shipments in transit (14-day window from ship date) on
     * each distinct order date — a point-in-interval join aggregated to one
     * row per date.
+    *
+    * Pre-aggregation before the range join: the in-transit count depends
+    * only on `l_shipdate`, so lineitem first collapses to one weighted row
+    * per distinct ship date (a map-side-combined shuffle to date
+    * cardinality — thousands of rows at ANY table scale), and the bucketed
+    * range join + final sum run on the collapsed frame. Without this the
+    * interval explode fans out per LINEITEM row (15x the fact table through
+    * the join); with it, fan-out is 15x the date domain. The classic
+    * push-partial-aggregation-below-the-join rewrite, done by hand because
+    * the aggregate's grain (a join input column) is invisible to Catalyst
+    * across the explode.
     */
   def inTransitCounts(spark: SparkSession, dir: String): DataFrame = {
     val points = Tables.orders(spark, dir).select(col("o_orderdate")).distinct()
-    val intervals = Tables.lineitem(spark, dir).select(
-      col("l_shipdate"),
-      expr("l_shipdate + interval 14 days").as("l_ship_end"))
+    val intervals = Tables.lineitem(spark, dir)
+      .groupBy(col("l_shipdate")).agg(count(lit(1)).as("__n"))
+      .withColumn("l_ship_end", expr("l_shipdate + interval 14 days"))
     pointInInterval(points, "o_orderdate", intervals, "l_shipdate", "l_ship_end")
       .groupBy(col("o_orderdate"))
-      .agg(count(lit(1)).as("n_in_transit"))
+      .agg(sum(col("__n")).as("n_in_transit"))
       .orderBy(col("o_orderdate"))
   }
 

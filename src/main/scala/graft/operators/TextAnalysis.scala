@@ -143,6 +143,75 @@ object TextAnalysis {
           lit("@example.com")))
         .otherwise(col("text")))
 
+  /** Per-language sampling rates in basis points of 10000 — the
+    * rebalance-by-language step of corpus assembly (upsample scarce
+    * languages, downsample the dominant one). Languages not listed keep
+    * [[DefaultSampleBp]].
+    */
+  val SampleRatesBp: Seq[(String, Int)] =
+    Seq("en" -> 10000, "de" -> 5000, "fr" -> 5000, "es" -> 2500, "zh" -> 2500)
+  val DefaultSampleBp = 1000
+
+  /** Salt distinguishing the sampling hash from the split hash — the sample
+    * must be independent of train/valid/test assignment.
+    */
+  val SampleSalt = "sample:"
+
+  /** Deterministic stratified (per-language) sampling: keep a document iff
+    * its content-addressed bucket falls under its language's rate. Like
+    * [[split]], the decision is a pure function of doc_id — reproducible
+    * across runs, engines, and cluster sizes, and stable under corpus
+    * growth (a document's verdict never changes when neighbors arrive).
+    * Narrow, shuffle-free, codegen'd — a filter that pipelines with the
+    * scan at any scale.
+    */
+  def sampleStratified(docs: DataFrame): DataFrame = {
+    val bucket = TF.hash60(concat(lit(SampleSalt), col("doc_id").cast("string"))) % 10000
+    val rate = SampleRatesBp.foldRight(lit(DefaultSampleBp)) { case ((l, bp), rest) =>
+      when(col("lang") === l, bp).otherwise(rest)
+    }
+    docs.select(col("doc_id"), col("lang"), bucket.as("sample_bucket"))
+      .filter(col("sample_bucket") < rate)
+  }
+
+  /** Tokens per packed training sequence and the shard fan-out for
+    * [[packSequences]]. 512 is sized to the synthetic docs (~60-120 tokens);
+    * a real pipeline passes its context length.
+    */
+  val PackBudget = 512L
+  val PackShards = 8
+  val PackSalt = "pack:"
+
+  /** Deterministic concat-and-chunk sequence packing: documents are dealt
+    * into [[PackShards]] content-addressed shards, concatenated in doc_id
+    * order within each shard, and the token stream is cut every
+    * `budget` tokens; each document reports the chunk its first token lands
+    * in and its offset inside that chunk (documents may straddle a cut —
+    * the standard concat-then-chunk training layout).
+    *
+    * Scale shape: ONE shuffle (hash-partition by shard) and a per-shard
+    * running sum — the window never sees more than corpus/shards rows, and
+    * shard count is the parallelism dial (a real cluster raises it so each
+    * shard's window state fits one task). All integer arithmetic — exact
+    * under any engine.
+    */
+  def packSequences(docs: DataFrame, budget: Long = PackBudget,
+      shards: Int = PackShards): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"),
+        (TF.hash60(concat(lit(PackSalt), col("doc_id").cast("string")))
+          % shards).as("shard"),
+        TF.nTokens(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        // integral `div`, not `/` (long / long is a DOUBLE division in
+        // Spark — lossy past 2^53, and the oracle's // is integral)
+        expr(s"start div ${budget}L").as("chunk_id"),
+        (col("start") % budget).as("chunk_offset"))
+  }
+
   /** Per-document top-k terms by TF-IDF (smoothed idf = ln((N+1)/(df+1))+1).
     *
     * The inherently-shuffling text operator, shaped for scale: term
@@ -268,6 +337,41 @@ object TextAnalysisSql {
        |  len(regexp_extract_all(text, '$re')) AS n_emails,
        |  md5(regexp_replace(text, '$re', '[EMAIL]', 'g')) AS redacted_hash
        |FROM aug ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirror of [[TextAnalysis.sampleStratified]] — same salt, same rates. */
+  val sampleStratifiedSql: String = {
+    val rate = TextAnalysis.SampleRatesBp
+      .map { case (l, bp) => s"WHEN lang = '$l' THEN $bp" }
+      .mkString("CASE ", " ", s" ELSE ${TextAnalysis.DefaultSampleBp} END")
+    val bucket =
+      s"${TS.hash60(s"('${TextAnalysis.SampleSalt}' || CAST(doc_id AS VARCHAR))")} % 10000"
+    s"""SELECT doc_id, lang, $bucket AS sample_bucket
+       |FROM documents
+       |WHERE $bucket < ($rate)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirror of [[TextAnalysis.packSequences]] — same salt, shards, budget;
+    * integral arithmetic end-to-end on both sides.
+    */
+  val packSequencesSql: String = {
+    val b = TextAnalysis.PackBudget
+    s"""WITH sharded AS (
+       |  SELECT doc_id,
+       |    ${TS.hash60(s"('${TextAnalysis.PackSalt}' || CAST(doc_id AS VARCHAR))")}
+       |      % ${TextAnalysis.PackShards} AS shard,
+       |    CAST(${TS.nTokens("text")} AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cum AS (
+       |  -- DuckDB sum() is HUGEINT; pin BIGINT so // stays integral
+       |  SELECT *, CAST(sum(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start
+       |  FROM sharded)
+       |SELECT doc_id, shard, n_tokens,
+       |       start // $b AS chunk_id, start % $b AS chunk_offset
+       |FROM cum ORDER BY doc_id""".stripMargin
   }
 
   /** Mirror of [[TextAnalysis.tfidfTopTerms]]. Ranks on the ROUNDED score on
