@@ -97,6 +97,10 @@ object SparkEntry {
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
     // linear-counting distinct sketch: the oracle verifies the sketch itself
     "q_approx_distinct" -> (Sketches.approxDistinctUsers _),
+    // the sketch maintained incrementally across micro-batches (bounded
+    // 128-byte state per group), against the SAME oracle as the batch form
+    "q_approx_distinct_streaming" -> ((s, d) =>
+      streaming.StreamingSketch.approxDistinctUsers(s, d)),
     // benchmark decontamination: broadcast bench postings, probe-augmented
     // bench suite so the correctness row is structurally non-vacuous
     "text_decontaminate" -> ((s, d) => {
@@ -199,6 +203,7 @@ object SparkEntry {
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,
     "text_pack_sequences" -> TextAnalysisSql.packSequencesSql,
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
+    "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_fingerprint" -> DedupSql.fingerprintSql,

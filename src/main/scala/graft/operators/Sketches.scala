@@ -39,18 +39,25 @@ object Sketches {
     * group. Two narrow shuffles of sketch-sized data — never a shuffle of
     * the raw value domain (the exact-countDistinct cost this replaces).
     */
-  def approxDistinct(df: DataFrame, valueCol: String, groupCols: String*): DataFrame = {
+  /** The shared value -> bucket map (salted 60-bit md5, mod m). */
+  def bucketOf(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    TF.hash60(concat(lit(LinearCountSalt), value.cast("string"))) % LinearCountBuckets
+
+  /** n ~= -m * ln(1 - hits/m); null when the sketch is saturated (hits = m
+    * would take ln(0) — surfaced as undefined rather than an arbitrary
+    * number). Shared by the batch operator and the streaming twin so the
+    * two can never disagree on the formula.
+    */
+  def estimate(hits: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val m = LinearCountBuckets
-    val bucket = TF.hash60(concat(lit(LinearCountSalt),
-      col(valueCol).cast("string"))) % m
+    when(hits < m, round(log(lit(1.0) - hits / m.toDouble) * lit(-m.toDouble), 6))
+  }
+
+  def approxDistinct(df: DataFrame, valueCol: String, groupCols: String*): DataFrame = {
     val g = groupCols.map(col)
-    df.select(g :+ bucket.as("__bucket"): _*)
+    df.select(g :+ bucketOf(col(valueCol)).as("__bucket"): _*)
       .groupBy(g: _*).agg(countDistinct(col("__bucket")).as("n_buckets_hit"))
-      .withColumn("est_distinct",
-        // hits = m (sketch saturated) would take ln(0): undefined estimate,
-        // surfaced as null rather than an arbitrary number
-        when(col("n_buckets_hit") < m,
-          round(log(lit(1.0) - col("n_buckets_hit") / m.toDouble) * lit(-m.toDouble), 6)))
+      .withColumn("est_distinct", estimate(col("n_buckets_hit")))
   }
 
   /** Driver query: approximate distinct users per event type. */

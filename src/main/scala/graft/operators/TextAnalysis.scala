@@ -96,7 +96,7 @@ object TextAnalysis {
     // instantiate five copies of the (interpreted) tokenize-and-count pass
     // per row; the aliased form relies on CollapseProject's non-cheap
     // duplication guard (SPARK-36718) to keep the two projections stacked —
-    // asserted by the single-occurrence plan check in TextAnalysisSpec.
+    // asserted by the single-occurrence plan check in TextRepetitionSpec.
     val withR = docs.select(col("doc_id"),
       graft.functions.RepetitionStats(col("text")).as("r"))
     val nTok = col("r.n_tokens")

@@ -69,6 +69,27 @@ class DedupClustersSpec extends SparkSpec {
     assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
   }
 
+  test("no cached blocks accumulate across repeated calls (both paths release eagerly)") {
+    def persistedCount = spark.sparkContext.getPersistentRDDs.size
+    val before = persistedCount
+    // driver path: pair cache must be released before returning
+    (1 to 3).foreach { _ => components((1L, 2L), (2L, 3L)) }
+    // <= because the async ContextCleaner may also reclaim older RDDs
+    assert(persistedCount <= before,
+      s"driver path leaked caches: $before -> $persistedCount")
+    // distributed path: pair + edge caches released; only the final labels
+    // cache (backing the returned, here fully-consumed, frame) may remain
+    // per call until GC — bounded by 1, not by the loop's round count
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L))
+    (1 to 3).foreach { _ =>
+      DedupClusters.components(edges.toDF("doc_a", "doc_b"), driverMaxPairs = 0L)
+        .collect()
+    }
+    val after = persistedCount
+    assert(after - before <= 3, // at most the per-call labels cache, never p/edges
+      s"distributed path leaked caches: $before -> $after")
+  }
+
   test("exactly one survivor per cluster") {
     val got = components((5L, 3L), (3L, 8L), (8L, 5L), (20L, 21L))
     val byCluster = got.groupBy(_._2)
