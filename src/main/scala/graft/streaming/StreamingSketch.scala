@@ -70,9 +70,17 @@ object StreamingSketch {
       .as[BucketHit].collect()
     val name = s"sketch_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val input = MemoryStream[BucketHit]
-    val q = counts(input.toDS())
-      .writeStream.format("memory").queryName(name)
-      .outputMode("update").start()
+    // state-store partition count freezes from spark.sql.shuffle.partitions
+    // at first run; the group space is event-type-sized (a handful), so 32
+    // near-empty state partitions would multiply per-batch checkpoint
+    // commits (the StreamingHistory sizing rule) — size to the keyspace.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      counts(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val finalCounts = try {
       val per = math.max(1, (rows.length + chunks - 1) / chunks)
       rows.grouped(per).foreach { slice =>
