@@ -38,10 +38,11 @@ object Decontaminate {
     * of guarded-out join hits surfaces as the [[SelfMatchMetric]] observe()
     * metric — zero whenever the id spaces are disjoint, so any non-zero
     * value under a suite that claims its own id space is the collision
-    * alarm. (AQE caveat: if EVERY join hit is guarded out, the empty first
-    * stage lets AQE's empty-relation propagation drop the metric node from
-    * the final plan and the metric is not delivered — that requires every
-    * contaminated document to be an id collision, a fully-degenerate input.)
+    * alarm. (AQE caveat: when the join output is EMPTY — a fully clean
+    * corpus, or every hit guarded out — AQE's empty-relation propagation
+    * can drop the metric node from the final plan and no metric is
+    * delivered; any contamination at all keeps the stage, and with it the
+    * metric, alive.)
     */
   def contaminated(docs: DataFrame, bench: DataFrame,
       n: Int = Dedup.ShingleN): DataFrame = {
@@ -51,8 +52,10 @@ object Decontaminate {
       .select(col("doc_id").as("bench_id"), explode(col("sh")).as("s"))
     corpusInv.join(broadcast(benchInv), Seq("s"))
       .observe(SelfMatchMetric,
-        sum(when(col("doc_id") === col("bench_id"), 1L).otherwise(0L))
-          .as("self_matches_dropped"))
+        // coalesce: sum over an EMPTY join (a fully clean corpus) is null,
+        // and the documented listener pattern reads getLong
+        coalesce(sum(when(col("doc_id") === col("bench_id"), 1L).otherwise(0L)),
+          lit(0L)).as("self_matches_dropped"))
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id")
       .agg(countDistinct("bench_id").as("n_bench_docs"),

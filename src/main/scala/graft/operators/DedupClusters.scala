@@ -91,11 +91,11 @@ object DedupClusters {
     val pairCount = p.count()
     if (shufflePartitions.isEmpty && pairCount <= driverMaxPairs) {
       // driverComponents collects eagerly and returns a local relation, so
-      // the pair cache has no remaining reader — release it now rather than
-      // letting repeated components() calls accumulate blocks until GC
-      val out = driverComponents(spark, p)
-      pHandle.unpersist(blocking = false)
-      return out
+      // the pair cache has no remaining reader — release it (also on the
+      // exception path) rather than letting repeated components() calls
+      // accumulate blocks until GC
+      try return driverComponents(spark, p)
+      finally pHandle.unpersist(blocking = false)
     }
     val nodes = p.select(col("doc_a").as("node"))
       .unionAll(p.select(col("doc_b").as("node"))).distinct()
@@ -135,35 +135,41 @@ object DedupClusters {
     var converged = false
     var iter = 0
     try {
-      spark.conf.set(shuffleKey, width.toString)
-      while (!converged && iter < maxIters) {
-        val chained = (1 to unroll).foldLeft(labels)((l, _) => round(l))
-        val (next, nextHandle) = Caching.cachedWithHandle(chained)
-        val s = next.select(col("node").as("src"), col("label").as("slabel"))
-        val d = next.select(col("node").as("dst"), col("label").as("dlabel"))
-        val violations = edges.join(s, Seq("src")).join(d, Seq("dst"))
-          .filter(col("dlabel") < col("slabel")).limit(1).count()
-        // `next` is materialized (the count above) — the superseded batch's
-        // cache can be released now instead of waiting for GC
-        labelsHandle.unpersist(blocking = false)
-        labels = next
-        labelsHandle = nextHandle
-        converged = violations == 0L
-        iter += 1
-      }
-    } finally spark.conf.set(shuffleKey, prevShuffle)
-    require(converged,
-      s"component propagation did not converge in ${maxIters * unroll} rounds")
-    // the final labels are materialized (the convergence count), so the pair
-    // frame and edge graph have no remaining reader — release them eagerly.
-    // The labels cache itself stays: it backs the returned frame, and its
-    // RDD-owned blocks are reclaimed by ContextCleaner once the result is
-    // garbage-collected (the Caching contract). An evicted label partition
-    // recomputes through the unpersisted lineage — correct, just slower.
-    pHandle.unpersist(blocking = false)
-    edgesHandle.unpersist(blocking = false)
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
-      (col("node") === col("label")).as("kept"))
+      try {
+        spark.conf.set(shuffleKey, width.toString)
+        while (!converged && iter < maxIters) {
+          val chained = (1 to unroll).foldLeft(labels)((l, _) => round(l))
+          val (next, nextHandle) = Caching.cachedWithHandle(chained)
+          val s = next.select(col("node").as("src"), col("label").as("slabel"))
+          val d = next.select(col("node").as("dst"), col("label").as("dlabel"))
+          val violations = edges.join(s, Seq("src")).join(d, Seq("dst"))
+            .filter(col("dlabel") < col("slabel")).limit(1).count()
+          // `next` is materialized (the count above) — the superseded batch's
+          // cache can be released now instead of waiting for GC
+          labelsHandle.unpersist(blocking = false)
+          labels = next
+          labelsHandle = nextHandle
+          converged = violations == 0L
+          iter += 1
+        }
+      } finally spark.conf.set(shuffleKey, prevShuffle)
+      require(converged,
+        s"component propagation did not converge in ${maxIters * unroll} rounds")
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        (col("node") === col("label")).as("kept"))
+    } finally {
+      // the final labels are materialized (the convergence count), so the
+      // pair frame and edge graph have no remaining reader on ANY exit —
+      // release them eagerly. On success the labels cache stays: it backs
+      // the returned frame, and its RDD-owned blocks are reclaimed by
+      // ContextCleaner once the result is garbage-collected (the Caching
+      // contract; an evicted label partition recomputes through the
+      // unpersisted lineage — correct, just slower). On failure it has no
+      // reader and is released too.
+      pHandle.unpersist(blocking = false)
+      edgesHandle.unpersist(blocking = false)
+      if (!converged) labelsHandle.unpersist(blocking = false)
+    }
   }
 
   /** Driver fast path: union-find with the smaller root winning, so each

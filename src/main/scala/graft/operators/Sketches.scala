@@ -47,6 +47,13 @@ object Sketches {
     * would take ln(0) — surfaced as undefined rather than an arbitrary
     * number). Shared by the batch operator and the streaming twin so the
     * two can never disagree on the formula.
+    *
+    * Parity note: `round(ln(x), 6)` carries the known residual 1-ulp
+    * cross-engine risk at a 6th-decimal half-way point (the TF-IDF oracle
+    * ships the same shape and has stayed green at every sf). The argument
+    * domain here is just the m+1 possible hit counts, and the SKETCH itself
+    * is certified exactly through the integer `n_buckets_hit` — a spurious
+    * est_distinct mismatch would implicate only this derived column.
     */
   def estimate(hits: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val m = LinearCountBuckets

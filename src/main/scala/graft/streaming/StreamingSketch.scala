@@ -67,6 +67,10 @@ object StreamingSketch {
     val rows = Tables.events(spark, dir)
       .select(col("event_type"),
         Sketches.bucketOf(col("user_id")).cast("int").as("bucket"))
+      // a null user_id hashes to a null bucket; the batch twin's
+      // countDistinct ignores nulls, so drop them here too (the primitive
+      // Int encoder would otherwise throw and the twins would diverge)
+      .filter(col("bucket").isNotNull)
       .as[BucketHit].collect()
     val name = s"sketch_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val input = MemoryStream[BucketHit]

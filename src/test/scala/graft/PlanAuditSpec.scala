@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
   // streaming/iterative queries execute eagerly (they must run a stream or a
   // convergence loop to build their result); their batch post-processing is
   // audited via the batch twins' plans
-  private val eager = Set("mqtt_history_streaming", "mqtt_state_streaming")
+  private val eager = Set("mqtt_history_streaming", "mqtt_state_streaming",
+    "q_approx_distinct_streaming")
 
   test("no driver query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq
