@@ -67,6 +67,11 @@ object SparkEntry {
     // bucketed point-in-interval range join (the raw BETWEEN predicate
     // would plan as a nested-loop join)
     "q_range_join" -> (RangeJoin.inTransitCounts _),
+    // full-outer reconciliation of two same-key aggregates (zero-fill)
+    "q_outer_join" -> (Relational.outerJoinYears _),
+    // ordered step funnel: staged conditional min-ts aggregation per step,
+    // every stage keyed on user_id
+    "q_funnel" -> (Funnel.funnel _),
     // --- text analysis extensions ---
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -92,11 +97,16 @@ object SparkEntry {
     // deterministic per-language rebalancing sample (content-addressed)
     "text_sample_stratified" -> ((s, d) => TextAnalysis.sampleStratified(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // corpus vocabulary head: top-k tokens by term frequency (+doc freq)
+    "text_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(sources.Tables.documents(s, d))),
     // concat-and-chunk sequence packing (sharded running sum, integer math)
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
     // linear-counting distinct sketch: the oracle verifies the sketch itself
     "q_approx_distinct" -> (Sketches.approxDistinctUsers _),
+    // fixed-width histogram quantile sketch (groups x bins shuffle, never a
+    // per-group sort); the deterministic bin math is oracle-verified exactly
+    "q_approx_quantiles" -> (Sketches.approxQuantilesByType _),
     // the sketch maintained incrementally across micro-batches (bounded
     // 128-byte state per group), against the SAME oracle as the batch form
     "q_approx_distinct_streaming" -> ((s, d) =>
@@ -111,6 +121,10 @@ object SparkEntry {
     // --- dedup extensions ---
     "dedup_exact" -> ((s, d) => Dedup.exact(sources.Tables.documents(s, d))
       .orderBy(col("content_hash"))),
+    // sub-document exact dedup: aligned token-window chunks hashed and
+    // grouped; passages appearing in >= 2 distinct docs
+    "dedup_passage" -> ((s, d) => Dedup.passageDups(sources.Tables.documents(s, d))
+      .orderBy(col("passage_hash"))),
     "dedup_fingerprint" -> ((s, d) => Dedup.fingerprint(sources.Tables.documents(s, d))
       .orderBy(col("fp"))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(sources.Tables.documents(s, d))
@@ -192,6 +206,8 @@ object SparkEntry {
     "q_cube" -> Relational.cubeEventsSql,
     "q_pivot" -> Relational.pivotEventsSql,
     "q_range_join" -> RangeJoin.inTransitCountsSql,
+    "q_outer_join" -> Relational.outerJoinYearsSql,
+    "q_funnel" -> Funnel.funnelSql,
     "text_token_stats" -> TextAnalysisSql.tokenStatsSql,
     "text_langid" -> TextAnalysisSql.langIdSql,
     "text_quality" -> TextAnalysisSql.qualitySql,
@@ -202,10 +218,13 @@ object SparkEntry {
     "text_repetition" -> TextAnalysisSql.repetitionSql,
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,
     "text_pack_sequences" -> TextAnalysisSql.packSequencesSql,
+    "text_vocab_topk" -> TextAnalysisSql.vocabTopKSql,
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
+    "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,
     "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
+    "dedup_passage" -> DedupSql.passageDupsSql,
     "dedup_fingerprint" -> DedupSql.fingerprintSql,
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardSql(),
     "dedup_minhash_lsh" -> DedupSql.minhashLshSql(),

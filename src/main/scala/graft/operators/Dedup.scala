@@ -76,6 +76,46 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min("doc_id").as("keep_id"), count("*").as("n_copies"))
 
+  /** Passage chunk size for sub-document exact dedup. 8 tokens is small
+    * enough that planted near-dup documents share aligned chunks and large
+    * enough that chance collisions are negligible at any scale (the chunk
+    * space is vocabulary^8).
+    */
+  val PassageTokens = 8
+
+  /** Sub-document exact dedup: chunk every document into fixed
+    * [[PassageTokens]]-token aligned windows (stride = width, the
+    * "train-data dedup" chunking of Lee et al., Deduplicating Training Data
+    * Makes Language Models Better), hash each chunk, and report every
+    * passage that occurs in two or more distinct documents. Catches copied
+    * boilerplate/quotations that whole-document hashing (exact/fingerprint)
+    * misses. The trailing partial chunk is deliberately dropped — a sub-width
+    * tail is mostly trivial matches and would make the chunk count
+    * text-length-dependent in both engines anyway.
+    *
+    * Scale shape: the explode emits tokens/width rows per document (narrow,
+    * pipelined with the scan); the groupBy on the 32-byte chunk hash
+    * partially aggregates map-side, so the one shuffle carries at most the
+    * distinct-chunk count per mapper. The >= 2 filter happens after the
+    * aggregation (HAVING) — no candidate pair materialization, never
+    * all-pairs.
+    */
+  def passageDups(docs: DataFrame): DataFrame = {
+    val w = PassageTokens
+    docs
+      .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) >= w)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0L), floor(size(col("__toks")) / w).cast("long") - 1)).as("__i"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("__toks"), (col("__i") * w + 1).cast("int"), w), " ")
+          .cast("binary")).as("passage_hash"))
+      .groupBy(col("passage_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Fingerprint dedup: like exact, but on the order/duplicate-insensitive
     * sorted-distinct-token fingerprint — catches shuffled/repeated-token dups.
     */
@@ -327,6 +367,23 @@ object DedupSql {
       |       count(*) AS n_copies
       |FROM documents GROUP BY 1
       |ORDER BY content_hash""".stripMargin
+
+  val passageDupsSql: String = {
+    val w = PassageTokens
+    s"""WITH toks AS (SELECT doc_id, ${TS.tokens("text")} AS t FROM documents),
+       |idx AS (SELECT doc_id, t, unnest(range(len(t) // $w)) AS i
+       |        FROM toks WHERE len(t) >= $w),
+       |chunks AS (SELECT doc_id,
+       |    md5(array_to_string(
+       |      list_slice(t, CAST(i*$w+1 AS BIGINT), CAST(i*$w+$w AS BIGINT)), ' '))
+       |      AS passage_hash
+       |  FROM idx)
+       |SELECT passage_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS first_doc
+       |FROM chunks GROUP BY passage_hash
+       |HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY passage_hash""".stripMargin
+  }
 
   val fingerprintSql: String =
     s"""SELECT ${TS.fingerprint("text")} AS fp, min(doc_id) AS keep_id,

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Ordered event funnel: for each user, the earliest time each step of a
+  * fixed step sequence was reached, where step k+1 must happen STRICTLY
+  * after the reached time of step k (the standard product-analytics funnel
+  * on an event log; the reference's read surface is exactly this kind of
+  * event-log SQL — README.md:236-247 of the reference shows users querying
+  * the history table by topic and time).
+  *
+  * Scale shape: one staged conditional aggregation per step, every join and
+  * groupBy keyed on `user_id` —
+  *  - each step's event scan carries a pushed `event_type` equality filter
+  *    (row-group pruning at the parquet reader, confirmed in PushedFilters);
+  *  - step frames are user-cardinality (one row per user that reached the
+  *    step), monotonically shrinking down the funnel — the join input is
+  *    never events x events;
+  *  - because every stage hashes on the same key, consecutive stages reuse
+  *    the same partitioning (no re-exchange between the step join and its
+  *    following aggregation at scale).
+  * A collect_list-per-user single pass would bound state by the noisiest
+  * user's event count; the staged form keeps per-task state at one
+  * timestamp per user regardless of skew.
+  */
+object Funnel {
+
+  /** The funnel steps, in order. Shared with [[funnelSql]]. */
+  val Steps: Seq[String] = Seq("signup", "view", "purchase")
+
+  private def stepCol(i: Int): String = s"${Steps(i)}_ts"
+
+  /** Driver query over the events table. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    of(Tables.events(spark, dir)).orderBy(col("user_id"))
+
+  /** The funnel over any (user_id, ts, event_type) frame. */
+  def of(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("ts"), col("event_type"))
+
+    // Step 0: earliest occurrence per user.
+    val s0 = ev.filter(col("event_type") === Steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as(stepCol(0)))
+
+    // Step k: earliest occurrence strictly after the user's step k-1 time.
+    val reached = Steps.indices.tail.foldLeft(Vector(s0)) { (acc, i) =>
+      val prev = acc.last
+      val next = ev.filter(col("event_type") === Steps(i))
+        .join(prev.select(col("user_id"), col(stepCol(i - 1))), Seq("user_id"))
+        .where(col("ts") > col(stepCol(i - 1)))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(stepCol(i)))
+      acc :+ next
+    }
+
+    val depth: Column = Steps.indices.tail
+      .map(i => when(col(stepCol(i)).isNotNull, 1).otherwise(0): Column)
+      .foldLeft(lit(1): Column)(_ + _)
+
+    reached.tail.foldLeft(reached.head)((l, r) => l.join(r, Seq("user_id"), "left"))
+      .select(col("user_id") +: Steps.indices.map(i => col(stepCol(i))) :+
+        depth.cast("int").as("depth"): _*)
+  }
+
+  /** DuckDB mirror — same steps, same strict-after semantics. */
+  val funnelSql: String = {
+    val s0 =
+      s"""s0 AS (SELECT user_id, min(ts) AS ${stepCol(0)} FROM events
+         |  WHERE event_type = '${Steps.head}' GROUP BY user_id)""".stripMargin
+    val rest = Steps.indices.tail.map { i =>
+      s"""s$i AS (SELECT e.user_id, min(e.ts) AS ${stepCol(i)} FROM events e
+         |  JOIN s${i - 1} ON e.user_id = s${i - 1}.user_id
+         |  WHERE e.event_type = '${Steps(i)}' AND e.ts > s${i - 1}.${stepCol(i - 1)}
+         |  GROUP BY e.user_id)""".stripMargin
+    }
+    val depth = Steps.indices.tail
+      .map(i => s"CASE WHEN s$i.${stepCol(i)} IS NULL THEN 0 ELSE 1 END")
+      .mkString("1 + ", " + ", "")
+    val joins = Steps.indices.tail
+      .map(i => s"LEFT JOIN s$i ON s0.user_id = s$i.user_id").mkString("\n")
+    s"""WITH ${(s0 +: rest).mkString(",\n")}
+       |SELECT s0.user_id, ${Steps.indices.map(i => s"${stepCol(i)}").mkString(", ")},
+       |  CAST($depth AS INT) AS depth
+       |FROM s0
+       |$joins
+       |ORDER BY s0.user_id""".stripMargin
+  }
+}

@@ -338,6 +338,49 @@ object Relational {
       |  round(quantile_cont(value, 0.99), 6) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Full-outer reconciliation: year-over-year customer order activity —
+    * customers active in 1995 or 1996, with per-year counts/totals and
+    * zero-fill for the year they were absent. Both inputs are map-side-
+    * combined aggregations on the SAME key (`o_custkey`), so the full-outer
+    * join runs as a sort-merge on an exchange both sides already need — a
+    * fact-to-fact reconciliation with exactly one shuffle per side and no
+    * broadcast assumption (at 100 TB neither year's aggregate is small).
+    * Spark's using-column full outer coalesces the join key natively.
+    */
+  def outerJoinYears(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def yearAgg(y: Int) =
+      o.filter(col("o_orderdate") >= lit(s"$y-01-01") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(s"n_$y"), round(sum(col("o_totalprice")), 2).as(s"total_$y"))
+    yearAgg(1995).join(yearAgg(1996), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+        coalesce(col("total_1995"), lit(0.0)).as("total_1995"),
+        coalesce(col("n_1996"), lit(0L)).as("n_1996"),
+        coalesce(col("total_1996"), lit(0.0)).as("total_1996"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val outerJoinYearsSql: String = {
+    def yearCte(name: String, y: Int) =
+      s"""$name AS (SELECT o_custkey, count(*) AS n_$y,
+         |  round(sum(o_totalprice), 2) AS total_$y
+         |  FROM orders WHERE o_orderdate >= TIMESTAMP '$y-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '${y + 1}-01-01 00:00:00'
+         |  GROUP BY o_custkey)""".stripMargin
+    s"""WITH ${yearCte("y95", 1995)},
+       |${yearCte("y96", 1996)}
+       |SELECT coalesce(y95.o_custkey, y96.o_custkey) AS o_custkey,
+       |  CAST(coalesce(n_1995, 0) AS BIGINT) AS n_1995,
+       |  CAST(coalesce(total_1995, 0.0) AS DOUBLE) AS total_1995,
+       |  CAST(coalesce(n_1996, 0) AS BIGINT) AS n_1996,
+       |  CAST(coalesce(total_1996, 0.0) AS DOUBLE) AS total_1996
+       |FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
+       |ORDER BY o_custkey""".stripMargin
+  }
+
   /** Session windows: per-user activity sessions split at >= 30-minute gaps
     * (`session_window` — the merging event-time window; an event at exactly
     * session_end starts a NEW session, windows are end-exclusive). The oracle

@@ -71,6 +71,53 @@ object Sketches {
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     approxDistinct(Tables.events(spark, dir), "user_id", "event_type")
       .orderBy(col("event_type"))
+
+  /** Histogram quantile-sketch bin width. 0.25 over the events value domain
+    * (~[0, 330]) gives ~1.3k bins — the estimate error is bounded by one bin
+    * width, and the bin id is exact integer arithmetic both engines share.
+    */
+  val QuantileBinWidth = 0.25
+
+  val QuantileQs: Seq[(String, Double)] =
+    Seq("p50_est" -> 0.5, "p90_est" -> 0.9, "p99_est" -> 0.99)
+
+  /** Per-group approximate quantiles from a fixed-width histogram: bin every
+    * value, cumulative-count the bins, report each quantile as the upper
+    * edge of the first bin whose cumulative count reaches q x total (error
+    * <= one bin width, one-sided).
+    *
+    * This is the quantile shape that survives 100 TB where the exact
+    * `percentile` (q_percentiles) cannot: exact percentiles sort every value
+    * of the group; the histogram shuffles at most (groups x bins) partially-
+    * aggregated rows — input-size-independent, like the linear-counting
+    * sketch above. The window pass runs on bins-per-group rows, not data.
+    * Unlike `approx_percentile`'s KLL sketch, the histogram is deterministic
+    * and engine-portable, so the driver oracle verifies the sketch itself.
+    */
+  def approxQuantiles(df: DataFrame, valueCol: String, groupCols: String*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val binned = df
+      .select(g :+ floor(col(valueCol) / QuantileBinWidth).as("__bin"): _*)
+      .groupBy(g :+ col("__bin"): _*).agg(count(lit(1)).as("__n"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    val cum = binned
+      .withColumn("__cum", sum(col("__n")).over(wCum))
+      .withColumn("__total", sum(col("__n")).over(wAll))
+    val qAggs = QuantileQs.map { case (name, q) =>
+      round((min(when(col("__cum").cast("double") >= col("__total").cast("double") * q,
+        col("__bin"))) + 1).cast("double") * QuantileBinWidth, 6).as(name)
+    }
+    cum.groupBy(g: _*)
+      .agg(min(col("__total")).as("n_rows"), qAggs: _*)
+  }
+
+  /** Driver query: approximate value quantiles per event type. */
+  def approxQuantilesByType(spark: SparkSession, dir: String): DataFrame =
+    approxQuantiles(Tables.events(spark, dir), "value", "event_type")
+      .orderBy(col("event_type"))
 }
 
 /** DuckDB oracle for [[Sketches]] — same salt, same bucket count, same
@@ -90,5 +137,25 @@ object SketchesSql {
        |    THEN round(-$m * ln(1.0 - n_buckets_hit / $m.0), 6)
        |  END AS est_distinct
        |FROM h ORDER BY event_type""".stripMargin
+  }
+
+  val approxQuantilesByTypeSql: String = {
+    val w = Sketches.QuantileBinWidth
+    val qCols = Sketches.QuantileQs.map { case (name, q) =>
+      s"""round(CAST(min(CASE WHEN CAST(cum AS DOUBLE) >= CAST(total AS DOUBLE) * $q
+         |    THEN bin END) + 1 AS DOUBLE) * $w, 6) AS $name""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH binned AS (
+       |  SELECT event_type, CAST(floor(value / $w) AS BIGINT) AS bin, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, bin,
+       |    sum(n) OVER (PARTITION BY event_type ORDER BY bin
+       |                 ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(n) OVER (PARTITION BY event_type) AS total
+       |  FROM binned)
+       |SELECT event_type, CAST(min(total) AS BIGINT) AS n_rows,
+       |  $qCols
+       |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 }

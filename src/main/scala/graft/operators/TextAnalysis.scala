@@ -245,6 +245,28 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank").cast("long").as("rank"),
         col("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** Corpus vocabulary head: the top-k tokens by total term frequency, with
+    * document frequency — the first pass of any tokenizer/vocab build over a
+    * training corpus.
+    *
+    * Scale shape: the explode is corpus-sized but feeds a partially-
+    * aggregated groupBy — each mapper emits at most its distinct-token
+    * count (vocabulary-sized, not token-count-sized) into the one shuffle.
+    * `countDistinct(doc_id)` plans as a two-phase distinct aggregate on
+    * (token, doc_id), also map-side-combined. The final top-k is a
+    * TakeOrderedAndProject over vocabulary-sized data with a total order
+    * (tf desc, token) so ties cannot reorder across engines.
+    */
+  val VocabTopK = 50
+
+  def vocabTopK(docs: DataFrame, k: Int = VocabTopK): DataFrame =
+    docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
 }
 
 /** DuckDB oracle SQL for [[TextAnalysis] ]— same formulas. */
@@ -259,6 +281,13 @@ object TextAnalysisSql {
        |  CAST(ceil(length(regexp_replace(text, '[^\\w]', '', 'g')) / 4.0)
        |       + len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_bpe_est
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  val vocabTopKSql: String =
+    s"""SELECT token, CAST(count(*) AS BIGINT) AS tf,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |FROM (SELECT doc_id, unnest(${TS.tokens("text")}) AS token FROM documents)
+       |WHERE token <> ''
+       |GROUP BY token ORDER BY tf DESC, token LIMIT ${TextAnalysis.VocabTopK}""".stripMargin
 
   val splitSql: String =
     s"""SELECT doc_id, lang,

@@ -40,6 +40,31 @@ class DedupSpec extends SparkSpec {
     assert(out.forall { case (a, b, c) => a < b && c >= 0.95 })
   }
 
+  test("passageDups finds aligned shared chunks and ignores sub-width tails") {
+    val shared = (0 until Dedup.PassageTokens).map(i => s"p$i").mkString(" ")
+    val corpus = docs(
+      1L -> s"$shared a1 a2 a3 a4 a5 a6 a7 a8", // chunk 0 = shared
+      2L -> s"$shared b1 b2 b3 b4 b5 b6 b7 b8", // chunk 0 = shared
+      3L -> "c1 c2 c3 c4 c5 c6 c7 c8", // unique chunk
+      4L -> "tiny tail only", // < width -> filtered entirely
+      5L -> s"d1 d2 d3 d4 d5 d6 d7 d8 $shared") // shared text UNALIGNED -> no match
+    val got = Dedup.passageDups(corpus)
+      .select($"n_docs", $"n_occ", $"first_doc").as[(Long, Long, Long)].collect()
+    // exactly one duplicated passage: the aligned shared chunk in docs 1+2
+    assert(got.toSeq == Seq((2L, 2L, 1L)), got.toSeq)
+  }
+
+  test("passageDups counts within-doc repeats in n_occ but requires 2 distinct docs") {
+    val chunk = (0 until Dedup.PassageTokens).map(i => s"r$i").mkString(" ")
+    // doc 1 repeats the chunk twice (both aligned); no second doc has it
+    val got = Dedup.passageDups(docs(1L -> s"$chunk $chunk")).count()
+    assert(got == 0L)
+    // add a second doc: now it's a dup with n_occ = 3
+    val got2 = Dedup.passageDups(docs(1L -> s"$chunk $chunk", 2L -> chunk))
+      .select($"n_docs", $"n_occ").as[(Long, Long)].collect()
+    assert(got2.toSeq == Seq((2L, 3L)))
+  }
+
   test("minhashLsh bounds a synthetic mega-bucket; the cap is not silent") {
     // 80 identical docs: one band bucket of size 80 > MaxBucket=64 in every
     // band -> all dropped from candidate generation (they belong to exact

@@ -1,0 +1,52 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Ordered-funnel semantics: strict-after step ordering, depth counting,
+  * and the staged-aggregation plan shape (user-keyed, never events x events).
+  */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private def events(rows: (Long, Long, String)*): DataFrame =
+    rows.map { case (u, t, e) => (u, ts(t), e) }.toDF("user_id", "ts", "event_type")
+
+  test("steps must occur strictly after the previous step's reached time") {
+    val ev = events(
+      // u1: full funnel in order
+      (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 30L, "purchase"),
+      // u2: purchase BEFORE view -> depth 2 (view reached, purchase not after it)
+      (2L, 10L, "signup"), (2L, 30L, "view"), (2L, 20L, "purchase"),
+      // u3: view at exactly the signup ts -> NOT strictly after -> depth 1
+      (3L, 10L, "signup"), (3L, 10L, "view"),
+      // u4: never signed up -> absent from the funnel entirely
+      (4L, 10L, "view"), (4L, 20L, "purchase"))
+    val got = Funnel.of(ev)
+      .select($"user_id", $"depth").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1))
+  }
+
+  test("earliest qualifying time is reported per step, not any qualifying time") {
+    val ev = events(
+      (1L, 10L, "signup"), (1L, 5L, "signup"), // min signup = 5
+      (1L, 7L, "view"), (1L, 9L, "view"), // min view after 5 = 7
+      (1L, 6L, "purchase"), (1L, 8L, "purchase")) // min purchase after 7 = 8
+    val row = Funnel.of(ev)
+      .select($"signup_ts", $"view_ts", $"purchase_ts").as[(Timestamp, Timestamp, Timestamp)]
+      .head()
+    assert(row == ((ts(5), ts(7), ts(8))))
+  }
+
+  test("plan: every stage is a user-keyed hash join/agg, no cartesian") {
+    val plan = Funnel.of(events((1L, 1L, "signup")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

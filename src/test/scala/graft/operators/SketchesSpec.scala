@@ -37,6 +37,35 @@ class SketchesSpec extends SparkSpec {
     assert(got._2)
   }
 
+  test("histogram quantiles land within one bin width of the exact percentile") {
+    // values 0.0, 0.1, ..., 99.9 in one group: exact p50 = 49.95
+    val rows = (0 until 1000).map(i => ("g", i / 10.0))
+    val got = Sketches.approxQuantiles(rows.toDF("grp", "v"), "v", "grp")
+      .select($"p50_est", $"p90_est", $"p99_est").as[(Double, Double, Double)].head()
+    assert(math.abs(got._1 - 49.95) <= Sketches.QuantileBinWidth, got)
+    assert(math.abs(got._2 - 89.95) <= Sketches.QuantileBinWidth, got)
+    assert(math.abs(got._3 - 98.95) <= Sketches.QuantileBinWidth, got)
+  }
+
+  test("quantile sketch groups are independent and n_rows is the group size") {
+    val rows = (0 until 100).map(i => ("a", i.toDouble)) ++
+      (0 until 10).map(i => ("b", 1000.0 + i))
+    val byGrp = Sketches.approxQuantiles(rows.toDF("grp", "v"), "v", "grp")
+      .select($"grp", $"n_rows", $"p50_est").as[(String, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byGrp("a")._1 == 100L && byGrp("b")._1 == 10L)
+    // group b's small values sit far from group a's: no cross-group bleed
+    assert(byGrp("b")._2 >= 1000.0, byGrp)
+  }
+
+  test("quantile shuffle is bin-sized: partial aggregation on (group, bin) before exchange") {
+    val plan = Sketches.approxQuantiles(Seq(("g", 1.0)).toDF("grp", "v"), "v", "grp")
+      .queryExecution.executedPlan.toString
+    val firstAgg = plan.linesIterator.toSeq.reverse
+      .find(l => l.contains("HashAggregate") && l.contains("__bin"))
+    assert(firstAgg.isDefined, plan)
+  }
+
   test("shuffle carries buckets, not values: the aggregate keys are (group, bucket)") {
     val plan = Sketches.approxDistinct(frame(("g", 1L)), "v", "grp")
       .queryExecution.executedPlan.toString

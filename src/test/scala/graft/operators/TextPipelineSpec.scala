@@ -27,6 +27,15 @@ class TextPipelineSpec extends SparkSpec {
     assert(keptGrown == kept.map(_._1).toSet)
   }
 
+  test("vocabTopK counts term and document frequency with a total tie-break order") {
+    val corpus = docs(
+      (1L, "the cat sat", "en"), (2L, "the the dog", "en"), (3L, "cat and dog", "en"))
+    val got = TextAnalysis.vocabTopK(corpus, k = 3)
+      .select($"token", $"tf", $"df").as[(String, Long, Long)].collect().toSeq
+    // tf: the=3, cat=2, dog=2, and/sat=1; ties at tf=2 break on token asc
+    assert(got == Seq(("the", 3L, 2L), ("cat", 2L, 2L), ("dog", 2L, 2L)), got)
+  }
+
   test("the sample is independent of the train/valid/test split (different salts)") {
     val corpus = (0L until 3000L).map(i => (i, "text here", "zh"))
     val sampled = TextAnalysis.sampleStratified(docs(corpus: _*))
