@@ -108,7 +108,7 @@ object Dedup {
       .select(col("doc_id"), col("__toks"),
         explode(sequence(lit(0L), floor(size(col("__toks")) / w).cast("long") - 1)).as("__i"))
       .select(col("doc_id"),
-        md5(array_join(slice(col("__toks"), (col("__i") * w + 1).cast("int"), w), " ")
+        md5(array_join(slice(col("__toks"), (col("__i") * w + 1).cast("int"), lit(w)), " ")
           .cast("binary")).as("passage_hash"))
       .groupBy(col("passage_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"),

@@ -47,7 +47,7 @@ class DedupSpec extends SparkSpec {
       2L -> s"$shared b1 b2 b3 b4 b5 b6 b7 b8", // chunk 0 = shared
       3L -> "c1 c2 c3 c4 c5 c6 c7 c8", // unique chunk
       4L -> "tiny tail only", // < width -> filtered entirely
-      5L -> s"d1 d2 d3 d4 d5 d6 d7 d8 $shared") // shared text UNALIGNED -> no match
+      5L -> s"d1 d2 d3 d4 d5 $shared") // 5-token prefix: shared text UNALIGNED -> no match
     val got = Dedup.passageDups(corpus)
       .select($"n_docs", $"n_occ", $"first_doc").as[(Long, Long, Long)].collect()
     // exactly one duplicated passage: the aligned shared chunk in docs 1+2
