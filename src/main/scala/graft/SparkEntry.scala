@@ -121,6 +121,11 @@ object SparkEntry {
     // --- dedup extensions ---
     "dedup_exact" -> ((s, d) => Dedup.exact(sources.Tables.documents(s, d))
       .orderBy(col("content_hash"))),
+    // ingest-time horizon-scoped dedup (dropDuplicatesWithinWatermark over
+    // micro-batches), against the batch exact-dedup key set — the
+    // incremental-equals-batch property for the dedup operator class
+    "dedup_exact_streaming" -> ((s, d) =>
+      streaming.StreamingDedup.exactWithinHorizon(s, d)),
     // sub-document exact dedup: aligned token-window chunks hashed and
     // grouped; passages appearing in >= 2 distinct docs
     "dedup_passage" -> ((s, d) => Dedup.passageDups(sources.Tables.documents(s, d))
@@ -224,6 +229,7 @@ object SparkEntry {
     "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
+    "dedup_exact_streaming" -> DedupSql.exactKeySetSql,
     "dedup_passage" -> DedupSql.passageDupsSql,
     "dedup_fingerprint" -> DedupSql.fingerprintSql,
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardSql(),

@@ -368,6 +368,14 @@ object DedupSql {
       |FROM documents GROUP BY 1
       |ORDER BY content_hash""".stripMargin
 
+  /** [[exactSql]] restricted to the key column — the oracle for the
+    * streaming horizon-scoped twin, whose certified surface is the
+    * survivor KEY SET (see StreamingDedup.exactWithinHorizon).
+    */
+  val exactKeySetSql: String =
+    """SELECT DISTINCT md5(trim(text)) AS content_hash
+      |FROM documents ORDER BY content_hash""".stripMargin
+
   val passageDupsSql: String = {
     val w = PassageTokens
     s"""WITH toks AS (SELECT doc_id, ${TS.tokens("text")} AS t FROM documents),

@@ -1,7 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** One replayed document arrival entering the streaming dedup. */
+final case class DocArrival(ts: java.sql.Timestamp, doc_id: Long, text: String)
 
 /** Streaming exact dedup — the incremental twin of
   * [[graft.operators.Dedup.exact]] for ingest-time pipelines: a document
@@ -27,4 +33,66 @@ object StreamingDedup {
       .withColumn("content_hash", md5(trim(col("text")).cast("binary")))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Driver query: the documents table replayed through [[dedupped]] in
+    * ~`chunks` micro-batches, returning the surviving content-hash KEY SET
+    * (ordered). Arrival times are synthetic and deterministic (one second
+    * per doc_id from a fixed epoch), and the horizon covers the whole
+    * replay span, so no state evicts mid-run and the survivor set equals
+    * the batch exact-dedup key set — the incremental-equals-batch property
+    * (the same certification pattern as `q_approx_distinct_streaming` /
+    * `mqtt_history_streaming`), checked against the batch form's DuckDB
+    * oracle. Horizon EVICTION semantics (re-arrival after expiry flows
+    * again) are exercised at unit scale by StreamingDedupSpec, where the
+    * full-horizon oracle configuration would be vacuous.
+    *
+    * Output is the key set only: WHICH physical row survives as a key's
+    * first arrival depends on intra-batch partition processing order, so
+    * doc ids are deliberately not part of the certified surface — the
+    * batch operator ([[graft.operators.Dedup.exact]]) remains the
+    * keep-list authority.
+    *
+    * Scale: state is keyed by the 128-bit hash only (O(distinct keys per
+    * horizon), never the document bodies) and hash-partitions across
+    * executors; the driver-side replay is the single-endpoint ingest seam
+    * (the [[Replay]] pattern) — everything past the MemoryStream is
+    * partitioned streaming execution.
+    */
+  def exactWithinHorizon(spark: SparkSession, dir: String, chunks: Int = 3,
+      horizon: String = "30 days"): DataFrame = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        DocArrival(new java.sql.Timestamp(base + id * 1000L), id, text) }
+    val name = s"dedup_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val input = MemoryStream[DocArrival]
+    // state-store partition count freezes from spark.sql.shuffle.partitions
+    // at the query's first batch; the distinct-key space at test scale is
+    // hundreds, so size the stateful shuffle small rather than the session
+    // default (the StreamingHistory sizing rule) and restore the conf after.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      dedupped(input.toDF(), horizon)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val hashes = try {
+      val per = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(per).foreach { slice =>
+        input.addData(slice.toSeq)
+        q.processAllAvailable()
+      }
+      spark.table(name).select(col("content_hash")).as[String].collect().toSeq
+    } finally {
+      q.stop()
+      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+    }
+    hashes.toDF("content_hash").orderBy(col("content_hash"))
+  }
 }

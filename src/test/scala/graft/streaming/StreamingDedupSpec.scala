@@ -45,4 +45,13 @@ class StreamingDedupSpec extends SparkSpec {
       assert(all == Set(1L, 3L, 5L, 6L))
     } finally q.stop()
   }
+
+  test("driver query: survivor key set equals the batch exact-dedup key set") {
+    val streamed = StreamingDedup.exactWithinHorizon(spark, sf0001)
+      .as[String].collect().toSeq
+    val batch = graft.operators.Dedup
+      .exact(graft.sources.Tables.documents(spark, sf0001))
+      .select($"content_hash").as[String].collect().toSeq.sorted
+    assert(streamed == batch) // same keys, already hash-ordered
+  }
 }
