@@ -27,7 +27,7 @@ class PlanAuditSpec extends SparkSpec {
   // convergence loop to build their result); their batch post-processing is
   // audited via the batch twins' plans
   private val eager = Set("mqtt_history_streaming", "mqtt_state_streaming",
-    "q_approx_distinct_streaming")
+    "q_approx_distinct_streaming", "dedup_exact_streaming")
 
   test("no driver query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq
