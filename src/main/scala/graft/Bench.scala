@@ -43,6 +43,25 @@ object Bench {
     // parquet-footer costs (we measure the engine, not class loading)
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q_distinct_users").foreach(f => run(f(spark, sfDir)))
+    // streaming-machinery warmup: state-store provider, streaming execution
+    // and sink classes are one-time SESSION costs that otherwise land on
+    // whichever streaming query happens to run first (measured as a 7-12 s
+    // swing in BENCH_ATTRIBUTION_r9.md §3) — absorb them with a one-row
+    // stateful stream so measured windows time operators, not class loading
+    locally {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      val ws = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val q = ws.toDF("ts", "k").withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark("k")
+        .writeStream.format("memory").queryName("bench_warmup")
+        .outputMode("append").start()
+      ws.addData(Seq((new java.sql.Timestamp(0L), 1L)))
+      q.processAllAvailable()
+      q.stop()
+      try spark.catalog.dropTempView("bench_warmup") catch { case _: Exception => () }
+    }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>

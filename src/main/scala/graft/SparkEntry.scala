@@ -67,6 +67,17 @@ object SparkEntry {
     // bucketed point-in-interval range join (the raw BETWEEN predicate
     // would plan as a nested-loop join)
     "q_range_join" -> (RangeJoin.inTransitCounts _),
+    // skew-mitigated equi-join: deterministic fact-side salt fans each hot
+    // key over `salts` tasks; oracle is the plain unsalted join
+    "q_salted_join" -> ((s, d) => SaltedJoin.orderVolumeBySegment(s, d)),
+    // runtime-filter pattern: broadcast bloom bitmap pre-filters the fact
+    // side before the exact semi-join; oracle is the plain semi-join
+    "q_bloom_join" -> (BloomJoin.urgentLineitems _),
+    // merging-window streaming state: sessionization across micro-batches
+    // with watermark eviction, against the SAME oracle as the batch
+    // q_session_windows (incremental-equals-batch for merging windows)
+    "q_session_windows_streaming" -> ((s, d) =>
+      streaming.StreamingSessions.userSessions(s, d)),
     // full-outer reconciliation of two same-key aggregates (zero-fill)
     "q_outer_join" -> (Relational.outerJoinYears _),
     // ordered step funnel: staged conditional min-ts aggregation per step,
@@ -211,6 +222,9 @@ object SparkEntry {
     "q_cube" -> Relational.cubeEventsSql,
     "q_pivot" -> Relational.pivotEventsSql,
     "q_range_join" -> RangeJoin.inTransitCountsSql,
+    "q_salted_join" -> SaltedJoin.orderVolumeBySegmentSql,
+    "q_bloom_join" -> BloomJoin.urgentLineitemsSql,
+    "q_session_windows_streaming" -> Relational.sessionWindowsSql,
     "q_outer_join" -> Relational.outerJoinYearsSql,
     "q_funnel" -> Funnel.funnelSql,
     "text_token_stats" -> TextAnalysisSql.tokenStatsSql,

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
 
 /** Salted equi-join for skewed keys.
   *
@@ -34,4 +36,31 @@ object SaltedJoin {
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
   }
+
+  /** Driver query: orders x customer through the salted join, rolled up per
+    * market segment. The dim side carries a shuffle-hash hint so the salted
+    * SHUFFLE actually executes (at test scale Spark would otherwise broadcast
+    * the replicated dim and the salt would never reach a shuffle key — the
+    * very situation salting exists for is the one where neither side
+    * broadcasts). The oracle is the plain unsalted join: green certifies the
+    * salt fan-out preserved multiplicities exactly.
+    */
+  def orderVolumeBySegment(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val fact = Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      .hint("shuffle_hash")
+    inner(fact, dim, "o_custkey", salts)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_spend"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val orderVolumeBySegmentSql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_spend
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
 }

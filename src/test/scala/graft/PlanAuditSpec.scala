@@ -20,14 +20,16 @@ class PlanAuditSpec extends SparkSpec {
   // broadcast cross joins over a constant-size (KBs) side (2).
   // emb_kmeans_step: the Lloyd assignment is the same argmax-over-codebook
   // scan as ann_ivf's, once (1). text_tfidf: the corpus-cardinality N joins
-  // in as a broadcast SINGLE-ROW aggregate (1).
+  // in as a broadcast SINGLE-ROW aggregate (1). q_bloom_join: the bloom
+  // bitmap joins in as a broadcast SINGLE-ROW 8 KiB map (1).
   private val allowedNestedLoops = Map("ann_brute_force" -> 1, "ann_ivf" -> 2,
-    "emb_kmeans_step" -> 1, "text_tfidf" -> 1)
+    "emb_kmeans_step" -> 1, "text_tfidf" -> 1, "q_bloom_join" -> 1)
   // streaming/iterative queries execute eagerly (they must run a stream or a
   // convergence loop to build their result); their batch post-processing is
   // audited via the batch twins' plans
   private val eager = Set("mqtt_history_streaming", "mqtt_state_streaming",
-    "q_approx_distinct_streaming", "dedup_exact_streaming")
+    "q_approx_distinct_streaming", "dedup_exact_streaming",
+    "q_session_windows_streaming")
 
   test("no driver query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq
