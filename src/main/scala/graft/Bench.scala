@@ -48,20 +48,22 @@ object Bench {
     // whichever streaming query happens to run first (measured as a 7-12 s
     // swing in BENCH_ATTRIBUTION_r9.md §3) — absorb them with a one-row
     // stateful stream so measured windows time operators, not class loading
-    locally {
+    // a failed warmup must not kill the measurement run — swallow and stop
+    try {
       import spark.implicits._
       implicit val ctx = spark.sqlContext
       val ws = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long)]
-      val q = ws.toDF("ts", "k").withWatermark("ts", "1 minute")
+      val q = ws.toDF().toDF("ts", "k").withWatermark("ts", "1 minute")
         .dropDuplicatesWithinWatermark("k")
         .writeStream.format("memory").queryName("bench_warmup")
         .outputMode("append").start()
-      ws.addData(Seq((new java.sql.Timestamp(0L), 1L)))
-      q.processAllAvailable()
-      q.stop()
+      try {
+        ws.addData(Seq((new java.sql.Timestamp(0L), 1L)))
+        q.processAllAvailable()
+      } finally q.stop()
       try spark.catalog.dropTempView("bench_warmup") catch { case _: Exception => () }
-    }
+    } catch { case _: Exception => () }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>

@@ -67,6 +67,10 @@ object StreamingSessions {
       .select(col("ts").cast("timestamp"), col("user_id"))
       .as[EventArrival].collect()
       .sortBy(_.ts.getTime)
+    if (rows.isEmpty)
+      return spark.emptyDataset[SessionOut].toDF()
+        .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
     val horizon = rows.last.ts.getTime + 86400000L
     val name = s"sessions_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val input = MemoryStream[EventArrival]
