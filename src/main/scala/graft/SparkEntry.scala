@@ -84,6 +84,9 @@ object SparkEntry {
     // every stage keyed on user_id
     "q_funnel" -> (Funnel.funnel _),
     // --- text analysis extensions ---
+    // composite corpus clean: lang gate -> quality gate -> exact dedup ->
+    // split, fused so only the dedup agg is wide (one shuffle total)
+    "pipeline_clean_corpus" -> (CleanCorpus.cleanCorpus _),
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(sources.Tables.documents(s, d))
@@ -227,6 +230,7 @@ object SparkEntry {
     "q_session_windows_streaming" -> Relational.sessionWindowsSql,
     "q_outer_join" -> Relational.outerJoinYearsSql,
     "q_funnel" -> Funnel.funnelSql,
+    "pipeline_clean_corpus" -> CleanCorpusSql.cleanSql,
     "text_token_stats" -> TextAnalysisSql.tokenStatsSql,
     "text_langid" -> TextAnalysisSql.langIdSql,
     "text_quality" -> TextAnalysisSql.qualitySql,

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables
+
+/** The composite corpus-cleaning pipeline — the CCNet-shaped chain a
+  * training-data user actually runs, as ONE declarative query:
+  *
+  *   language gate  →  quality gate  →  exact dedup  →  split assignment
+  *
+  * Every stage reuses the standalone operator's exact expression
+  * ([[TextAnalysis.qualityScore]], `TF.langPredict`,
+  * [[TextAnalysis.splitAssign]], the `dedup_exact` content hash), so a green
+  * oracle certifies the COMPOSITION, not re-derived logic — and a user gets
+  * identical per-stage semantics whether they run the stages separately or
+  * fused.
+  *
+  * Scale shape (the reason to fuse): the gates are narrow codegen'd
+  * projections that run INSIDE the scan stage, so at 100 TB the filtered-out
+  * rows (wrong language, low quality) never reach a shuffle. The only wide
+  * operation in the whole pipeline is the single dedup aggregation, keyed by
+  * content hash with map-side `min_by`/`count` combine — one shuffle of only
+  * the surviving rows, each reduced to (hash, kept-row, count) before it
+  * moves. Compare running the stages as separate jobs: each materializes and
+  * re-scans the corpus. The fused plan reads it once.
+  *
+  * Reference anchor: the reference stores every message unconditionally
+  * (`mqtt2sql.py:579-591`); cleaning/filtering is the extension surface the
+  * driver mandates for LLM-pipeline use, not reference parity.
+  */
+object CleanCorpus {
+
+  /** Minimum rounded quality score a document must reach to survive. */
+  val QualityMin = 0.35
+
+  /** Kept documents with provenance columns: one row per surviving content
+    * hash (lowest doc_id wins), with how many in-gate copies it had and its
+    * deterministic train/valid/test split.
+    */
+  def clean(docs: DataFrame): DataFrame = {
+    val gated = docs
+      .withColumn("lang_pred", TF.langPredict(col("text")))
+      .filter(col("lang_pred") === col("lang"))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= QualityMin)
+      .withColumn("n_tokens", TF.nTokens(col("text")).cast("long"))
+      .withColumn("content_hash", md5(trim(col("text")).cast("binary")))
+    gated
+      .groupBy(col("content_hash"))
+      .agg(
+        min_by(
+          struct(col("doc_id"), col("lang"), col("quality"), col("n_tokens")),
+          col("doc_id")).as("keep"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"),
+        col("keep.quality").as("quality"), col("keep.n_tokens").as("n_tokens"),
+        col("n_copies"))
+      .withColumn("split", TextAnalysis.splitAssign(col("doc_id")))
+      .orderBy(col("doc_id"))
+  }
+
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame =
+    clean(Tables.documents(spark, dir))
+}
+
+/** DuckDB oracle for [[CleanCorpus]] — the same chain from the same shared
+  * expression generators ([[TextAnalysisSql]], `TextSql`), composed in SQL.
+  */
+object CleanCorpusSql {
+  import graft.functions.{TextSql => TS}
+
+  val cleanSql: String =
+    s"""WITH gated AS (
+       |  SELECT doc_id, lang, text,
+       |    ${TextAnalysisSql.qualityScoreSql("text")} AS quality,
+       |    CAST(${TS.nTokens("text")} AS BIGINT) AS n_tokens
+       |  FROM documents
+       |  WHERE ${TS.langPredict("text")} = lang
+       |    AND ${TextAnalysisSql.qualityScoreSql("text")} >= ${CleanCorpus.QualityMin}),
+       |dedup AS (
+       |  SELECT doc_id, lang, quality, n_tokens,
+       |    row_number() OVER (PARTITION BY md5(trim(text)) ORDER BY doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY md5(trim(text))) AS n_copies
+       |  FROM gated)
+       |SELECT doc_id, lang, quality, n_tokens, CAST(n_copies AS BIGINT) AS n_copies,
+       |  ${TextAnalysisSql.splitAssignSql("doc_id")} AS split
+       |FROM dedup WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+}

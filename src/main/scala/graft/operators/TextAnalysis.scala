@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, TextSql => TS}
@@ -37,19 +37,34 @@ object TextAnalysis {
         TF.langPredict(col("text")).as("lang_pred") +: scoreCols): _*)
   }
 
+  /** The three quality factors of a text column (length, stopword density,
+    * alpha ratio), unrounded — shared by [[quality]] and the composite
+    * [[CleanCorpus]] pipeline so both gate on the identical expression.
+    */
+  private[operators] def qualityFactors(text: Column): (Column, Column, Column) = {
+    val nTok = TF.nTokens(text).cast("double")
+    val padded = concat(lit(" "), text, lit(" "))
+    val stopHits = Seq(" the ", " a ", " and ", " of ", " to ")
+      .map(m => TF.markerCount(padded, m)).reduce(_ + _).cast("double")
+    val alphaChars = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    val lenFactor = least(nTok / 64.0, lit(1.0))
+    val stopFactor = least(stopHits / greatest(nTok, lit(1.0)) * 10.0, lit(1.0))
+    val alphaFactor = alphaChars / greatest(length(text).cast("double"), lit(1.0))
+    (lenFactor, stopFactor, alphaFactor)
+  }
+
+  /** Weighted quality score in [0,1], rounded to 6 places. */
+  private[operators] def qualityScore(text: Column): Column = {
+    val (lenF, stopF, alphaF) = qualityFactors(text)
+    round(lenF * 0.4 + stopF * 0.3 + alphaF * 0.3, 6)
+  }
+
   /** Quality score in [0,1]: length factor, stopword-density factor, and
     * alpha-ratio factor — the usual cheap heuristics, deterministic and
     * oracle-mirrored. Weights sum to 1.
     */
   def quality(docs: DataFrame): DataFrame = {
-    val nTok = TF.nTokens(col("text")).cast("double")
-    val padded = concat(lit(" "), col("text"), lit(" "))
-    val stopHits = Seq(" the ", " a ", " and ", " of ", " to ")
-      .map(m => TF.markerCount(padded, m)).reduce(_ + _).cast("double")
-    val alphaChars = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
-    val lenFactor = least(nTok / 64.0, lit(1.0))
-    val stopFactor = least(stopHits / greatest(nTok, lit(1.0)) * 10.0, lit(1.0))
-    val alphaFactor = alphaChars / greatest(length(col("text")).cast("double"), lit(1.0))
+    val (lenFactor, stopFactor, alphaFactor) = qualityFactors(col("text"))
     docs.select(
       col("doc_id"),
       round(lenFactor, 6).as("len_factor"),
@@ -65,12 +80,17 @@ object TextAnalysis {
     * never migrates documents between splits. Narrow, shuffle-free,
     * codegen'd.
     */
-  def split(docs: DataFrame): DataFrame = {
-    val bucket = TF.hash60(col("doc_id").cast("string")) % 100
-    docs.select(col("doc_id"), col("lang"),
-      when(bucket < 80, "train").when(bucket < 90, "valid")
-        .otherwise("test").as("split"))
+  /** 80/10/10 split label as a pure function of doc_id — shared with
+    * [[CleanCorpus]] so the pipeline's assignment is the standalone one.
+    */
+  private[operators] def splitAssign(docId: Column): Column = {
+    val bucket = TF.hash60(docId.cast("string")) % 100
+    when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
   }
+
+  def split(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      splitAssign(col("doc_id")).as("split"))
 
   /** Content fingerprints: exact hash + order-insensitive token-set hash. */
   def fingerprints(docs: DataFrame): DataFrame =
@@ -289,11 +309,15 @@ object TextAnalysisSql {
        |WHERE token <> ''
        |GROUP BY token ORDER BY tf DESC, token LIMIT ${TextAnalysis.VocabTopK}""".stripMargin
 
+  /** Mirror of [[TextAnalysis.splitAssign]]. */
+  private[operators] def splitAssignSql(docId: String): String =
+    s"""CASE WHEN ${TS.hash60(s"CAST($docId AS VARCHAR)")} % 100 < 80 THEN 'train'
+       |     WHEN ${TS.hash60(s"CAST($docId AS VARCHAR)")} % 100 < 90 THEN 'valid'
+       |     ELSE 'test' END""".stripMargin
+
   val splitSql: String =
     s"""SELECT doc_id, lang,
-       |  CASE WHEN ${TS.hash60("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
-       |       WHEN ${TS.hash60("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'valid'
-       |       ELSE 'test' END AS split
+       |  ${splitAssignSql("doc_id")} AS split
        |FROM documents ORDER BY doc_id""".stripMargin
 
   val langIdSql: String = {
@@ -305,15 +329,29 @@ object TextAnalysisSql {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  val qualitySql: String = {
-    val nTok = s"CAST(${TS.nTokens("text")} AS DOUBLE)"
+  /** The three factor expressions over a SQL text expr — the mirror of
+    * [[TextAnalysis.qualityFactors]], shared with [[CleanCorpusSql]].
+    */
+  private[operators] def qualityFactorsSql(text: String): (String, String, String) = {
+    val nTok = s"CAST(${TS.nTokens(text)} AS DOUBLE)"
     val stopHits = Seq(" the ", " a ", " and ", " of ", " to ")
-      .map(m => TS.markerCount(s"(' ' || text || ' ')", m))
+      .map(m => TS.markerCount(s"(' ' || $text || ' ')", m))
       .mkString("CAST((", " + ", ") AS DOUBLE)")
-    val alpha = "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
+    val alpha = s"CAST(length(regexp_replace($text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
     val lenF = s"least($nTok / 64.0, 1.0)"
     val stopF = s"least($stopHits / greatest($nTok, 1.0) * 10.0, 1.0)"
-    val alphaF = s"$alpha / greatest(CAST(length(text) AS DOUBLE), 1.0)"
+    val alphaF = s"$alpha / greatest(CAST(length($text) AS DOUBLE), 1.0)"
+    (lenF, stopF, alphaF)
+  }
+
+  /** Mirror of [[TextAnalysis.qualityScore]]. */
+  private[operators] def qualityScoreSql(text: String): String = {
+    val (lenF, stopF, alphaF) = qualityFactorsSql(text)
+    s"round($lenF * 0.4 + $stopF * 0.3 + $alphaF * 0.3, 6)"
+  }
+
+  val qualitySql: String = {
+    val (lenF, stopF, alphaF) = qualityFactorsSql("text")
     s"""SELECT doc_id,
        |  round($lenF, 6) AS len_factor,
        |  round($stopF, 6) AS stop_factor,
