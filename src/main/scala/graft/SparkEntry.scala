@@ -169,6 +169,9 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(sources.Tables.embeddings(s, d))
       .orderBy(col("query_id"), col("rank"))),
+    // product-quantization ADC top-k: M one-byte codes per vector, scoring
+    // touches codes + a broadcast LUT — the memory-bound ANN scale path
+    "ann_pq" -> (ProductQuantization.annPq _),
     // one k-means refinement step (broadcast-argmax assign + exact scaled-
     // integer centroid update, so partial-agg order can't shift the result)
     "emb_kmeans_step" -> ((s, d) => Similarity.kmeansStep(sources.Tables.embeddings(s, d))
@@ -258,6 +261,7 @@ object SparkEntry {
     "ann_brute_force" -> SimilaritySql.bruteForceTopKSql(),
     "ann_lsh" -> SimilaritySql.lshTopKSql(),
     "ann_ivf" -> SimilaritySql.ivfTopKSql(),
+    "ann_pq" -> ProductQuantizationSql.annPqSql(),
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),
     "emb_quantize" -> QuantizeSql.int8Sql,
     "mm_metadata" -> MultimodalSql.metadataSql,

@@ -23,6 +23,10 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Squared L2 distance, left-folded in array order ([[SquaredDistance]]). */
+  def sqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(SquaredDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Cosine similarity; 0.0 for zero vectors (instead of NaN) so ordering
     * stays total.
     */
@@ -41,6 +45,14 @@ object VectorSql {
       s"CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x, y) -> x + y)"
 
   def norm(a: String): String = s"sqrt(${dot(a, a)})"
+
+  /** Mirror of [[VectorFunctions.sqDist]]: per-index squared diffs, then a
+    * sequential left-fold add — same doubles, same order.
+    */
+  def sqDist(a: String, b: String): String =
+    s"list_reduce(list_transform(range(len($a)), i -> " +
+      s"(CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) * " +
+      s"(CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))), (x, y) -> x + y)"
 
   def cosine(a: String, b: String): String =
     s"(CASE WHEN ${norm(a)} * ${norm(b)} = 0 THEN 0.0 " +

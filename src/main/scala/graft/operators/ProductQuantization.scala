@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => VF, VectorSql => VS}
+import graft.sources.Tables
+
+/** Product-quantization ANN — the memory-bound scale path of the similarity
+  * family. IVF prunes WHICH vectors are scored; PQ compresses WHAT is stored
+  * and scored: each vector becomes M one-byte codes (one per subspace), and
+  * query scoring touches only codes plus an M x K lookup table of
+  * query-to-codeword distances (asymmetric distance computation). At 100 TB
+  * of float32 embeddings that is a ~32x storage/bandwidth reduction on the
+  * scoring path; an IVF+PQ composition follows by swapping the scored set.
+  *
+  * Codebook convention mirrors [[Similarity.ivfTopK]]: the first K vectors
+  * ARE the codewords (deterministic, oracle-expressible; a trained codebook
+  * would drop in via [[Similarity.kmeansStep]] per subspace slice).
+  *
+  * Determinism contract: subspace distances are computed with the pinned
+  * left-fold [[graft.functions.SquaredDistance]] (bit-identical to the
+  * DuckDB mirror) and immediately scaled to MICRO-UNIT LONGS
+  * (floor(d * 1e6)) — every downstream sum/argmin is exact integer math, so
+  * code assignment, ADC totals, and ranking cannot drift between engines or
+  * partial-aggregation orders (the kmeansStep rule).
+  *
+  * Scale shape: every join is a broadcast-hash equi-join (the subspace
+  * codebook is M x K rows; the query LUT is nq x M x K rows — KBs each); the
+  * encode aggregation ships ONE (vec, subspace) row per mapper after
+  * map-side min_by combine, and ADC scoring partial-aggregates to one
+  * (query, vec) row map-side before its shuffle. No nested loops, no
+  * cartesian products, nothing driver-side.
+  */
+object ProductQuantization {
+
+  /** M subspaces x SubDim dims (= [[Similarity.Dim]]), K codewords each. */
+  val NumSub = 8
+  val SubDim: Int = Similarity.Dim / NumSub
+  val NumCodes = 16
+
+  /** (m, code, cvec) subspace codebook rows: the first [[NumCodes]] vectors
+    * sliced per subspace.
+    */
+  def subCodebook(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < NumCodes)
+      .select(col("vec_id").cast("int").as("code"),
+        posexplode(array((0 until NumSub).map(m =>
+          slice(col("embedding"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "cvec")))
+
+  /** Long-format PQ codes (vec_id, m, code): per subspace, the codeword with
+    * the minimum micro-scaled distance, ties to the lowest code id.
+    */
+  def encode(emb: DataFrame, cb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(array((0 until NumSub).map(m =>
+          slice(col("embedding"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sv")))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d_micro", floor(VF.sqDist(col("sv"), col("cvec")) * 1e6).cast("long"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("d_micro"), col("code"))).as("code"))
+
+  /** ADC top-k: approximate distance of every vector to every query as the
+    * sum of the query's LUT entries at the vector's codes, ranked ascending
+    * per query (ties on vec_id), self-matches excluded.
+    */
+  def adcTopK(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5): DataFrame = {
+    val cb = subCodebook(emb)
+    val codes = encode(emb, cb)
+    val lut = emb.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"),
+        posexplode(array((0 until NumSub).map(m =>
+          slice(col("embedding"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "qv")))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        floor(VF.sqDist(col("qv"), col("cvec")) * 1e6).cast("long").as("d_micro"))
+    val scored = codes
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d_micro")).as("adist_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_micro"), col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adist_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    adcTopK(Tables.embeddings(spark, dir))
+}
+
+/** DuckDB oracle for [[ProductQuantization]] — same codebook convention,
+  * same micro-scaled integer distances, same ranking contract.
+  */
+object ProductQuantizationSql {
+  import ProductQuantization._
+
+  def annPqSql(queryMaxId: Long = 8, k: Int = 5): String = {
+    def slc(v: String, m: String) =
+      s"list_slice($v, $m * $SubDim + 1, $m * $SubDim + $SubDim)"
+    val dMicro = (a: String, b: String) =>
+      s"CAST(floor(${VS.sqDist(a, b)} * 1e6) AS BIGINT)"
+    s"""WITH ms AS (SELECT unnest(range($NumSub)) AS m),
+       |cb AS (
+       |  SELECT CAST(e.vec_id AS INT) AS code, ms.m,
+       |         ${slc("e.embedding", "ms.m")} AS cvec
+       |  FROM embeddings e, ms WHERE e.vec_id < $NumCodes),
+       |enc AS (
+       |  SELECT e.vec_id, ms.m, ${slc("e.embedding", "ms.m")} AS sv
+       |  FROM embeddings e, ms),
+       |dists AS (
+       |  SELECT enc.vec_id, enc.m, cb.code, ${dMicro("enc.sv", "cb.cvec")} AS d_micro,
+       |    row_number() OVER (PARTITION BY enc.vec_id, enc.m
+       |      ORDER BY ${dMicro("enc.sv", "cb.cvec")}, cb.code) AS rn
+       |  FROM enc JOIN cb ON enc.m = cb.m),
+       |codes AS (SELECT vec_id, m, code FROM dists WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, cb.m, cb.code,
+       |         ${dMicro(slc("q.embedding", "cb.m"), "cb.cvec")} AS d_micro
+       |  FROM embeddings q JOIN cb ON q.vec_id < $queryMaxId),
+       |scored AS (
+       |  SELECT l.query_id, c.vec_id, CAST(sum(l.d_micro) AS BIGINT) AS adist_micro
+       |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY l.query_id, c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adist_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist_micro, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adist_micro
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}
