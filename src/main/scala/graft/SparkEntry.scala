@@ -172,6 +172,8 @@ object SparkEntry {
     // product-quantization ADC top-k: M one-byte codes per vector, scoring
     // touches codes + a broadcast LUT — the memory-bound ANN scale path
     "ann_pq" -> (ProductQuantization.annPq _),
+    // IVF coarse pruning composed with PQ fine scoring (shared codes/LUT)
+    "ann_ivf_pq" -> (ProductQuantization.annIvfPq _),
     // one k-means refinement step (broadcast-argmax assign + exact scaled-
     // integer centroid update, so partial-agg order can't shift the result)
     "emb_kmeans_step" -> ((s, d) => Similarity.kmeansStep(sources.Tables.embeddings(s, d))
@@ -262,6 +264,7 @@ object SparkEntry {
     "ann_lsh" -> SimilaritySql.lshTopKSql(),
     "ann_ivf" -> SimilaritySql.ivfTopKSql(),
     "ann_pq" -> ProductQuantizationSql.annPqSql(),
+    "ann_ivf_pq" -> ProductQuantizationSql.annIvfPqSql(),
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),
     "emb_quantize" -> QuantizeSql.int8Sql,
     "mm_metadata" -> MultimodalSql.metadataSql,

@@ -91,6 +91,57 @@ object ProductQuantization {
 
   def annPq(spark: SparkSession, dir: String): DataFrame =
     adcTopK(Tables.embeddings(spark, dir))
+
+  /** IVF + PQ — the two scale levers composed, as production ANN engines
+    * ship them: the coarse stage prunes WHICH vectors are scored (probe the
+    * query's nProbe nearest coarse centroids, scan only their inverted
+    * lists — [[Similarity.ivfTopK]]'s machinery verbatim), and the fine
+    * stage scores those candidates by ADC over codes ([[adcTopK]]'s
+    * machinery verbatim). At scale the scan touches nProbe/nCentroids of
+    * the corpus AND reads M bytes per touched vector instead of the float
+    * embedding. (Classic IVF-PQ encodes residuals against the coarse
+    * centroid; this composition deliberately shares [[encode]]'s absolute
+    * codes so codes are built once for both ann_pq and ann_ivf_pq —
+    * documented, oracle-mirrored.)
+    */
+  def ivfPqTopK(emb: DataFrame, nCentroids: Int = 16, nProbe: Int = 4,
+      queryMaxId: Long = 8, k: Int = 5): DataFrame = {
+    val withNorm = Similarity.withNormOf(emb)
+    val centroids = Similarity.centroidsOf(withNorm, nCentroids)
+    val assigned = Similarity.nearestCentroids(
+      withNorm, centroids, "vec_id", "embedding", "nrm", 1)
+    val queries = withNorm.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val probes = Similarity.nearestCentroids(
+      queries, centroids, "query_id", "qv", "qn", nProbe)
+    val cands = probes.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val cb = subCodebook(emb)
+    val codes = encode(emb, cb)
+    val lut = emb.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"),
+        posexplode(array((0 until NumSub).map(m =>
+          slice(col("embedding"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "qv")))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        floor(VF.sqDist(col("qv"), col("cvec")) * 1e6).cast("long").as("d_micro"))
+    val scored = cands
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d_micro")).as("adist_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_micro"), col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adist_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(Tables.embeddings(spark, dir))
 }
 
 /** DuckDB oracle for [[ProductQuantization]] — same codebook convention,
@@ -127,6 +178,70 @@ object ProductQuantizationSql {
        |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
        |  WHERE c.vec_id <> l.query_id
        |  GROUP BY l.query_id, c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adist_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist_micro, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adist_micro
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirror of [[ProductQuantization.ivfPqTopK]]: the ivfTopKSql coarse
+    * stage (same codebook, same cosine argmax ties) feeding the annPqSql
+    * fine stage (same codes, same LUT).
+    */
+  def annIvfPqSql(nCentroids: Int = 16, nProbe: Int = 4,
+      queryMaxId: Long = 8, k: Int = 5): String = {
+    def slc(v: String, m: String) =
+      s"list_slice($v, $m * $SubDim + 1, $m * $SubDim + $SubDim)"
+    val dMicro = (a: String, b: String) =>
+      s"CAST(floor(${VS.sqDist(a, b)} * 1e6) AS BIGINT)"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id < $nCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${VS.cosine("e.embedding", "c.cvec")} DESC, c.cid) AS crn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE crn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |      WHERE vec_id < $queryMaxId),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${VS.cosine("q.qv", "c.cvec")} DESC, c.cid) AS crn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE crn <= $nProbe),
+       |ms AS (SELECT unnest(range($NumSub)) AS m),
+       |cb AS (
+       |  SELECT CAST(e.vec_id AS INT) AS code, ms.m,
+       |         ${slc("e.embedding", "ms.m")} AS cvec
+       |  FROM embeddings e, ms WHERE e.vec_id < $NumCodes),
+       |enc AS (
+       |  SELECT e.vec_id, ms.m, ${slc("e.embedding", "ms.m")} AS sv
+       |  FROM embeddings e, ms),
+       |dists AS (
+       |  SELECT enc.vec_id, enc.m, cb.code, ${dMicro("enc.sv", "cb.cvec")} AS d_micro,
+       |    row_number() OVER (PARTITION BY enc.vec_id, enc.m
+       |      ORDER BY ${dMicro("enc.sv", "cb.cvec")}, cb.code) AS rn
+       |  FROM enc JOIN cb ON enc.m = cb.m),
+       |codes AS (SELECT vec_id, m, code FROM dists WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.query_id, cb.m, cb.code,
+       |         ${dMicro(slc("q.qv", "cb.m"), "cb.cvec")} AS d_micro
+       |  FROM q CROSS JOIN cb),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id, CAST(sum(l.d_micro) AS BIGINT) AS adist_micro
+       |  FROM probes p
+       |  JOIN assigned a ON p.cid = a.cid AND a.vec_id <> p.query_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.m = c.m AND l.code = c.code
+       |  GROUP BY p.query_id, a.vec_id),
        |ranked AS (
        |  SELECT query_id, vec_id, adist_micro,
        |    row_number() OVER (PARTITION BY query_id

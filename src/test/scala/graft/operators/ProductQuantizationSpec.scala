@@ -73,6 +73,23 @@ class ProductQuantizationSpec extends SparkSpec {
     }
   }
 
+  test("ivfPq scores exactly the probed candidate set, with the same ADC totals") {
+    val n = 40
+    val out = ivfPqTopK(emb(n), nProbe = 4, queryMaxId = 2, k = 3)
+      .as[(Long, Int, Long, Long)].collect()
+    val full = adcTopK(emb(n), queryMaxId = 2, k = n)
+      .as[(Long, Int, Long, Long)].collect()
+      .map(t => (t._1, t._3) -> t._4).toMap
+    // every IVF+PQ row's ADC total equals the full ADC scan's for that pair
+    // (the coarse stage prunes candidates, never changes scores), and ranks
+    // are strictly increasing per query
+    assert(out.nonEmpty)
+    assert(out.forall { case (q, _, v, d) => full((q, v)) == d })
+    out.groupBy(_._1).values.foreach { rows =>
+      assert(rows.sortBy(_._2).map(_._2).toSeq == (1 to rows.length))
+    }
+  }
+
   test("the plan is broadcast-hash only: no nested loop, no cartesian, codes-only shuffle") {
     val df = adcTopK(emb(40))
     val plan = df.queryExecution.executedPlan.toString
