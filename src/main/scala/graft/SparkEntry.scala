@@ -125,6 +125,14 @@ object SparkEntry {
     // 128-byte state per group), against the SAME oracle as the batch form
     "q_approx_distinct_streaming" -> ((s, d) =>
       streaming.StreamingSketch.approxDistinctUsers(s, d)),
+    // the histogram sketch maintained incrementally (built-in update-mode
+    // streaming agg IS the sketch update; O(groups x bins) state), against
+    // the SAME oracle as the batch q_approx_quantiles
+    "q_approx_quantiles_streaming" -> ((s, d) =>
+      streaming.StreamingQuantiles.quantilesByType(s, d)),
+    // exact heavy-hitter skew profile: one key-partitioned agg over data,
+    // ranking/share on key-cardinality rows (integer ppm — no float ranks)
+    "q_heavy_hitters" -> (HeavyHitters.hotCustomers _),
     // benchmark decontamination: broadcast bench postings, probe-augmented
     // bench suite so the correctness row is structurally non-vacuous
     "text_decontaminate" -> ((s, d) => {
@@ -250,6 +258,8 @@ object SparkEntry {
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,
     "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,
+    "q_approx_quantiles_streaming" -> SketchesSql.approxQuantilesByTypeSql,
+    "q_heavy_hitters" -> HeavyHitters.hotCustomersSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_exact_streaming" -> DedupSql.exactKeySetSql,

@@ -95,11 +95,21 @@ object Sketches {
     * and engine-portable, so the driver oracle verifies the sketch itself.
     */
   def approxQuantiles(df: DataFrame, valueCol: String, groupCols: String*): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
     val binned = df
       .select(g :+ floor(col(valueCol) / QuantileBinWidth).as("__bin"): _*)
       .groupBy(g :+ col("__bin"): _*).agg(count(lit(1)).as("__n"))
+    quantilesFromBins(binned, groupCols: _*)
+  }
+
+  /** The quantile-extraction tail over an already-binned histogram
+    * (groupCols..., __bin, __n) — shared with the streaming twin
+    * ([[graft.streaming.StreamingQuantiles]]), whose state IS this
+    * histogram maintained incrementally. Runs on bins-per-group rows only.
+    */
+  def quantilesFromBins(binned: DataFrame, groupCols: String*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
     val wCum = Window.partitionBy(g: _*).orderBy(col("__bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(g: _*)

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+import graft.sources.Tables
+
+/** One pre-binned observation entering the streaming histogram. */
+final case class BinHit(event_type: String, bin: Long)
+
+/** Streaming twin of [[Sketches.approxQuantiles]]: the fixed-width
+  * histogram maintained incrementally as a plain streaming `groupBy(group,
+  * bin).count()` in update mode — Spark's built-in incremental aggregation
+  * IS the sketch update, no custom state op needed. The quantile extraction
+  * ([[Sketches.quantilesFromBins]]) then runs over the final histogram, so
+  * the result equals the batch form exactly and shares its driver oracle.
+  *
+  * Scale: state is O(groups x bins) counters regardless of how many values
+  * stream through — the same input-size-independence the batch sketch has
+  * at shuffle time, here as state-store size. Update-mode emissions are
+  * per-(group, bin) cumulative counts, monotone nondecreasing, so the final
+  * histogram is the per-key row max, batch-order-independent.
+  */
+object StreamingQuantiles {
+
+  /** Driver query: the same (event_type, n_rows, p50/p90/p99 estimates) as
+    * the batch `q_approx_quantiles`, produced by streaming the events table
+    * through the incremental histogram in `chunks` micro-batches. The
+    * MemoryStream feed is the single-endpoint ingest seam (the Replay
+    * pattern); everything past it is partitioned streaming execution.
+    */
+  def quantilesByType(spark: SparkSession, dir: String,
+      chunks: Int = 3): DataFrame = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") / Sketches.QuantileBinWidth).as("bin"))
+      // a null value bins to a null bin; the Long encoder would throw on it
+      // (the driver events table carries none — this keeps the seam total)
+      .filter(col("bin").isNotNull)
+      .as[BinHit].collect()
+    val name = s"quant_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val input = MemoryStream[BinHit]
+    // size the stateful shuffle to the (group x bin) keyspace, not the
+    // session's 32 (the StreamingHistory sizing rule); restore after
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      input.toDS()
+        .groupBy(col("event_type"), col("bin"))
+        .count()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val hist = try {
+      val per = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(per).foreach { slice =>
+        input.addData(slice.toSeq)
+        q.processAllAvailable()
+      }
+      spark.table(name).as[(String, Long, Long)].collect()
+    } finally {
+      q.stop()
+      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+    }
+    val binned = spark.createDataset(hist.toSeq).toDF("event_type", "__bin", "count")
+      // cumulative counts are monotone: the final histogram is the row max
+      .groupBy(col("event_type"), col("__bin"))
+      .agg(max(col("count")).as("__n"))
+    Sketches.quantilesFromBins(binned, "event_type")
+      .orderBy(col("event_type"))
+  }
+}
