@@ -95,6 +95,9 @@ object SparkEntry {
       .orderBy(col("doc_id"))),
     "text_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
+    // winnowing (MOSS) rolling-hash passage fingerprints: any shared run of
+    // >= w+k-1 words yields a shared fingerprint, at ~2/(w+1) index size
+    "text_winnow" -> (Winnow.winnowDocs _),
     // deterministic content-addressed train/valid/test assignment
     "text_split" -> ((s, d) => TextAnalysis.split(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -182,6 +185,8 @@ object SparkEntry {
     "ann_pq" -> (ProductQuantization.annPq _),
     // IVF coarse pruning composed with PQ fine scoring (shared codes/LUT)
     "ann_ivf_pq" -> (ProductQuantization.annIvfPq _),
+    // the PQ index materialized: persist once, serve ann_pq and ann_ivf_pq
+    "emb_pq_codes" -> (ProductQuantization.pqCodes _),
     // one k-means refinement step (broadcast-argmax assign + exact scaled-
     // integer centroid update, so partial-agg order can't shift the result)
     "emb_kmeans_step" -> ((s, d) => Similarity.kmeansStep(sources.Tables.embeddings(s, d))
@@ -248,6 +253,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysisSql.langIdSql,
     "text_quality" -> TextAnalysisSql.qualitySql,
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,
+    "text_winnow" -> Winnow.winnowDocsSql,
     "text_split" -> TextAnalysisSql.splitSql,
     "text_redact" -> TextAnalysisSql.redactEmailsSql,
     "text_tfidf" -> TextAnalysisSql.tfidfTopTermsSql(),
@@ -275,6 +281,7 @@ object SparkEntry {
     "ann_ivf" -> SimilaritySql.ivfTopKSql(),
     "ann_pq" -> ProductQuantizationSql.annPqSql(),
     "ann_ivf_pq" -> ProductQuantizationSql.annIvfPqSql(),
+    "emb_pq_codes" -> ProductQuantizationSql.pqCodesSql,
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),
     "emb_quantize" -> QuantizeSql.int8Sql,
     "mm_metadata" -> MultimodalSql.metadataSql,

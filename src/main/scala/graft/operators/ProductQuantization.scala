@@ -142,6 +142,18 @@ object ProductQuantization {
 
   def annIvfPq(spark: SparkSession, dir: String): DataFrame =
     ivfPqTopK(Tables.embeddings(spark, dir))
+
+  /** Driver query: the PQ index itself, materialized — (vec_id, m, code)
+    * rows a user persists once and serves both [[annPq]] and [[annIvfPq]]
+    * (at 100 TB the index build is the expensive pass; queries then touch
+    * codes only). Ordered for the oracle; the write-side layout would
+    * bucket by vec_id ([[graft.sources.StorageLayout]] pattern).
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    encode(emb, subCodebook(emb))
+      .orderBy(col("vec_id"), col("m"))
+  }
 }
 
 /** DuckDB oracle for [[ProductQuantization]] — same codebook convention,
@@ -186,6 +198,31 @@ object ProductQuantizationSql {
        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adist_micro
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirror of [[ProductQuantization.pqCodes]]: the codes CTE of
+    * [[annPqSql]], projected and ordered.
+    */
+  val pqCodesSql: String = {
+    def slc(v: String, m: String) =
+      s"list_slice($v, $m * $SubDim + 1, $m * $SubDim + $SubDim)"
+    val dMicro = (a: String, b: String) =>
+      s"CAST(floor(${VS.sqDist(a, b)} * 1e6) AS BIGINT)"
+    s"""WITH ms AS (SELECT unnest(range($NumSub)) AS m),
+       |cb AS (
+       |  SELECT CAST(e.vec_id AS INT) AS code, ms.m,
+       |         ${slc("e.embedding", "ms.m")} AS cvec
+       |  FROM embeddings e, ms WHERE e.vec_id < $NumCodes),
+       |enc AS (
+       |  SELECT e.vec_id, ms.m, ${slc("e.embedding", "ms.m")} AS sv
+       |  FROM embeddings e, ms),
+       |dists AS (
+       |  SELECT enc.vec_id, enc.m, cb.code,
+       |    row_number() OVER (PARTITION BY enc.vec_id, enc.m
+       |      ORDER BY ${dMicro("enc.sv", "cb.cvec")}, cb.code) AS rn
+       |  FROM enc JOIN cb ON enc.m = cb.m)
+       |SELECT vec_id, CAST(m AS INT) AS m, code FROM dists WHERE rn = 1
+       |ORDER BY vec_id, m""".stripMargin
   }
 
   /** Mirror of [[ProductQuantization.ivfPqTopK]]: the ivfTopKSql coarse
