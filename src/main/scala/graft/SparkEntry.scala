@@ -98,6 +98,8 @@ object SparkEntry {
     // winnowing (MOSS) rolling-hash passage fingerprints: any shared run of
     // >= w+k-1 words yields a shared fingerprint, at ~2/(w+1) index size
     "text_winnow" -> (Winnow.winnowDocs _),
+    // unaligned shared-passage dedup over the winnow fingerprint index
+    "dedup_winnow" -> (Winnow.winnowDups _),
     // deterministic content-addressed train/valid/test assignment
     "text_split" -> ((s, d) => TextAnalysis.split(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -254,6 +256,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysisSql.qualitySql,
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,
     "text_winnow" -> Winnow.winnowDocsSql,
+    "dedup_winnow" -> Winnow.winnowDupsSql,
     "text_split" -> TextAnalysisSql.splitSql,
     "text_redact" -> TextAnalysisSql.redactEmailsSql,
     "text_tfidf" -> TextAnalysisSql.tfidfTopTermsSql(),

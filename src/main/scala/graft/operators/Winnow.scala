@@ -36,6 +36,52 @@ object Winnow {
   def winnowDocs(spark: SparkSession, dir: String): DataFrame =
     fingerprints(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  /** Shared-passage detection over the winnow fingerprint index: documents
+    * sharing a fingerprint shared a passage (with the winnowing guarantee,
+    * ANY >= w+k-1-word overlap surfaces — including unaligned ones, which
+    * `dedup_passage`'s fixed chunk grid misses by construction).
+    *
+    * Same scale shape as [[Dedup.passageDups]]: explode is narrow and
+    * pipelined with the scan, the single shuffle keys on the 8-byte
+    * fingerprint with map-side combine, and the >= 2 filter is a HAVING
+    * after aggregation — candidate pairs are never materialized.
+    */
+  def sharedPassages(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(WinnowFingerprints(col("text"), ShingleK, WindowW)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
+  /** Driver query: winnow-fingerprint passage collisions. */
+  def winnowDups(spark: SparkSession, dir: String): DataFrame =
+    sharedPassages(Tables.documents(spark, dir)).orderBy(col("fp"))
+
+  val winnowDupsSql: String = {
+    val k = ShingleK
+    val w = WindowW
+    s"""WITH toks AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_transform(${TS.shingles("text", k)}, s -> ${TS.hash60("s")}) AS hh
+       |  FROM toks),
+       |f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hh) = 0 THEN CAST([] AS BIGINT[])
+       |         WHEN len(hh) < $w THEN [list_min(hh)]
+       |         ELSE list_sort(list_distinct(list_transform(
+       |                range(len(hh) - ${w - 1}), i -> list_min(hh[i+1:i+$w]))))
+       |    END AS fps
+       |  FROM h),
+       |x AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+       |SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS first_doc
+       |FROM x GROUP BY fp
+       |HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY fp""".stripMargin
+  }
+
   val winnowDocsSql: String = {
     val k = ShingleK
     val w = WindowW

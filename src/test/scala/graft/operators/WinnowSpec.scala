@@ -46,6 +46,20 @@ class WinnowSpec extends SparkSpec {
     assert(fps == fps.distinct.sorted)
   }
 
+  test("sharedPassages surfaces an UNALIGNED shared passage that the chunk grid misses") {
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    // doc 2 shifts the passage by one word — aligned fixed-width chunks
+    // (dedup_passage) see different chunk hashes; winnowing still collides
+    val in = Seq(
+      (1L, s"$passage tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8"),
+      (2L, s"pre $passage tailA tailB tailC tailD tailE tailF tailG")).toDF("doc_id", "text")
+    val shared = Winnow.sharedPassages(in).as[(Long, Long, Long)].collect()
+    assert(shared.nonEmpty)
+    assert(shared.forall { case (_, nDocs, firstDoc) => nDocs == 2 && firstDoc == 1L })
+    val aligned = Dedup.passageDups(in).collect()
+    assert(aligned.isEmpty) // the fixed grid misses the 1-word shift
+  }
+
   test("degenerate docs: under k tokens -> no fingerprints; under w grams -> the global min") {
     val m = fpsOf(1L -> "one two", 2L -> "one two three four")
     assert(m(1L).isEmpty)
