@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MqttTopicMatches, RepetitionStats, ShingleHash60}
+import graft.functions.{DotProduct, MqttTopicMatches, RepetitionStats, ShingleHash60, SquaredDistance, WinnowFingerprints}
 
 /** SQL surface for graft's native Catalyst expressions
   * (`spark.sql.extensions=graft.GraftExtensions`, or
@@ -17,7 +17,12 @@ import graft.functions.{DotProduct, MqttTopicMatches, RepetitionStats, ShingleHa
   *  - `shingle_hash60(text, n)` — per-document distinct word-n-gram 60-bit
   *    hash set (the dedup shingling primitive); `n` must be a literal;
   *  - `repetition_stats(text)` — one-pass (n_tokens, n_distinct_tokens,
-  *    max_bigram_count) struct (the text-quality repetition signals).
+  *    max_bigram_count) struct (the text-quality repetition signals);
+  *  - `squared_distance(a, b)` — codegen'd squared L2 over float/double
+  *    arrays (the PQ/ADC hot loop);
+  *  - `winnow_fingerprints(text, k, w)` — winnowing/MOSS passage
+  *    fingerprints (sorted distinct w-window minima over the ordered
+  *    k-gram hash sequence); `k` and `w` must be literals.
   *
   * With these registered, a SQL-only user can run the engine's custom
   * operators without touching the Scala API — e.g.
@@ -60,6 +65,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "repetition_stats(text)")
         RepetitionStats(children(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("squared_distance"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "squared_distance"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "squared_distance(a, b)")
+        SquaredDistance(children(0), children(1))
+      }))
+    def intLit(e: Expression, what: String): Int = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval(null) match {
+        case num: Number => num.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$what must be a non-null integer literal, got $other")
+      }
+    }
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "winnow_fingerprints(text, k, w)")
+        WinnowFingerprints(children(0),
+          intLit(children(1), "winnow_fingerprints k"),
+          intLit(children(2), "winnow_fingerprints w"))
       }))
   }
 }

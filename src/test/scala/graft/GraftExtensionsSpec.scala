@@ -69,4 +69,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()(0)
     assert(row == ((3L, 1L, 2L))) // 3 tokens, 1 distinct, "spam spam" twice
   }
+
+  test("squared_distance from SQL equals the fold definition") {
+    val row = spark.sql(
+      """SELECT squared_distance(array(1.0F, 2.0F), array(4.0F, 6.0F)) AS d,
+        |       aggregate(zip_with(array(1.0F, 2.0F), array(4.0F, 6.0F),
+        |         (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
+        |         0.0D, (acc, v) -> acc + v) AS ref
+        |""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 25.0 && row.getDouble(0) == row.getDouble(1))
+  }
+
+  test("winnow_fingerprints from SQL equals the Column form") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("docs_win")
+    val viaSql = spark.sql("SELECT winnow_fingerprints(text, 3, 4) AS fps FROM docs_win")
+      .as[Seq[Long]].collect()(0)
+    val viaCol = df.select(graft.functions.WinnowFingerprints(
+      org.apache.spark.sql.functions.col("text"), 3, 4).as("fps"))
+      .as[Seq[Long]].collect()(0)
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
 }
