@@ -138,6 +138,10 @@ object SparkEntry {
     // exact heavy-hitter skew profile: one key-partitioned agg over data,
     // ranking/share on key-cardinality rows (integer ppm — no float ranks)
     "q_heavy_hitters" -> (HeavyHitters.hotCustomers _),
+    // the per-key counters maintained incrementally (update-mode agg),
+    // ranked by the SAME tail against the SAME oracle as the batch form
+    "q_heavy_hitters_streaming" -> ((s, d) =>
+      streaming.StreamingHeavyHitters.hotCustomers(s, d)),
     // benchmark decontamination: broadcast bench postings, probe-augmented
     // bench suite so the correctness row is structurally non-vacuous
     "text_decontaminate" -> ((s, d) => {
@@ -269,6 +273,7 @@ object SparkEntry {
     "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles_streaming" -> SketchesSql.approxQuantilesByTypeSql,
     "q_heavy_hitters" -> HeavyHitters.hotCustomersSql,
+    "q_heavy_hitters_streaming" -> HeavyHitters.hotCustomersSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_exact_streaming" -> DedupSql.exactKeySetSql,

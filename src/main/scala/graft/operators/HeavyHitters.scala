@@ -25,8 +25,15 @@ import graft.sources.Tables
   */
 object HeavyHitters {
 
-  def topKeys(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+  def topKeys(df: DataFrame, keyCol: String, topN: Int): DataFrame =
+    rankCounts(df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows")), keyCol, topN)
+
+  /** The ranking/share tail over already-aggregated (key, n_rows) counts —
+    * shared with the streaming twin ([[graft.streaming.StreamingHeavyHitters]]),
+    * whose state IS these counters maintained incrementally. Runs on
+    * key-cardinality rows only.
+    */
+  def rankCounts(counts: DataFrame, keyCol: String, topN: Int): DataFrame = {
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wRank = Window.orderBy(col("n_rows").desc, col(keyCol))
     counts

@@ -32,7 +32,8 @@ class PlanAuditSpec extends SparkSpec {
   // audited via the batch twins' plans
   private val eager = Set("mqtt_history_streaming", "mqtt_state_streaming",
     "q_approx_distinct_streaming", "dedup_exact_streaming",
-    "q_session_windows_streaming", "q_approx_quantiles_streaming")
+    "q_session_windows_streaming", "q_approx_quantiles_streaming",
+    "q_heavy_hitters_streaming")
 
   test("no driver query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq
