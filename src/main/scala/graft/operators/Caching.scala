@@ -34,7 +34,7 @@ object Caching {
     * queries do).
     */
   def cachedWithHandle(df: DataFrame)
-      : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
     val rdd = InternalBridge.toInternalRdd(df)
       .map(_.copy())
       .persist(StorageLevel.MEMORY_AND_DISK)

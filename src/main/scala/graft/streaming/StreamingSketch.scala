@@ -96,7 +96,7 @@ object StreamingSketch {
       q.stop()
       try spark.catalog.dropTempView(name) catch { case _: Exception => () }
     }
-    spark.createDataset(finalCounts).toDF()
+    spark.createDataset(finalCounts.toIndexedSeq).toDF()
       // cumulative occupancy is monotone: the final sketch is the row max
       .groupBy(col("event_type"))
       .agg(max(col("n_buckets_hit")).as("n_buckets_hit"))
