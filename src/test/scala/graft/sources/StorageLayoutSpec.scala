@@ -68,4 +68,53 @@ class StorageLayoutSpec extends SparkSpec {
       assert(files.get < allFiles.get, s"read ${files.get} of ${allFiles.get} files")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
   }
+
+  test("zValue interleaves bits (driver-model agreement) and orders locally") {
+    def model(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L), (12345L, 54321L))
+    val got = rows.toDF("a", "b")
+      .select(StorageLayout.zValue($"a", $"b").as("z")).as[Long].collect().toSeq
+    assert(got == rows.map { case (a, b) => model(a, b, 16) })
+  }
+
+  test("z-order clustering: a 2-dim box predicate overlaps far fewer file envelopes than a linear sort") {
+    val work = Files.createTempDirectory("zorder").toFile
+    try {
+      // 64 x 64 grid, one row per cell — both dims uniform
+      val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+        .toDF("x", "y")
+      val zPath = s"${work.getAbsolutePath}/z"
+      val linPath = s"${work.getAbsolutePath}/lin"
+      StorageLayout.writeZOrdered(grid, zPath, "x", "y", files = 64, bits = 6)
+      // linear baseline: same file count, sorted by x only
+      grid.repartitionByRange(64, $"x").sortWithinPartitions($"x")
+        .write.mode("overwrite").parquet(linPath)
+
+      // per-file (min,max) envelopes on both dims — what file/row-group
+      // min-max skipping consumes
+      def overlapping(path: String, box: (Long, Long, Long, Long)): (Long, Long) = {
+        val (x0, x1, y0, y1) = box
+        val stats = spark.read.parquet(path)
+          .select(input_file_name().as("f"), $"x", $"y")
+          .groupBy($"f")
+          .agg(min($"x").as("xmin"), max($"x").as("xmax"),
+            min($"y").as("ymin"), max($"y").as("ymax"))
+        val total = stats.count()
+        val hit = stats.filter($"xmax" >= x0 && $"xmin" <= x1 &&
+          $"ymax" >= y0 && $"ymin" <= y1).count()
+        (hit, total)
+      }
+      // a 16x16 box = 1/16 of the grid
+      val box = (8L, 23L, 8L, 23L)
+      val (zHit, zTotal) = overlapping(zPath, box)
+      val (linHit, linTotal) = overlapping(linPath, box)
+      assert(zTotal == 64 && linTotal == 64)
+      // linear-by-x: every file spans all of y, so pruning is x-only (the
+      // box's 1/4 x-range = ~16 of 64 slab files); z-order files cover
+      // 8x8 hyper-rectangles, so the 16x16 box touches ~2x2 of them
+      assert(zHit < linHit, s"z=$zHit lin=$linHit")
+      assert(zHit <= linHit / 2, s"z=$zHit not even 2x better than lin=$linHit")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
+  }
 }
