@@ -25,4 +25,42 @@ class AnnRecallSpec extends SparkSpec {
     assert(lshRecall >= 0.3, f"LSH recall degenerated: $lshRecall%.3f")
     assert(ivfRecall >= 0.5, f"IVF recall degenerated: $ivfRecall%.3f")
   }
+
+  test("PQ/ADC recovers a meaningful fraction of the exact L2 top-k") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    // exact L2 ground truth — PQ approximates L2 distance, not cosine, so
+    // the baseline must rank by the same metric
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"d", $"vec_id")
+    def exactTop(n: Int): Set[(Long, Long)] = pairs(emb.as("c")
+      .join(broadcast(queries), $"query_id" =!= $"c.vec_id")
+      .select($"query_id", $"c.vec_id".as("vec_id"),
+        graft.functions.VectorFunctions.sqDist($"qv", $"c.embedding").as("d"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= n))
+    val exact5 = exactTop(5)
+    val exact20 = exactTop(20)
+    assert(exact5.nonEmpty)
+    val pq = pairs(ProductQuantization.adcTopK(emb))
+    val ivfPq = pairs(ProductQuantization.ivfPqTopK(emb))
+    // recall@5 is data-limited here (500 near-equidistant 64-d points:
+    // distance concentration makes the exact rank order noise-sensitive, so
+    // quantization reshuffles the boundary regardless of codebook
+    // resolution — measured identical at 8x8-dim and 16x4-dim); the
+    // standard PQ figure is the larger-horizon recall: the returned top-5
+    // must be GOOD neighbors (within the exact top-20)
+    val r5pq = (pq & exact5).size.toDouble / exact5.size
+    val r5ivf = (ivfPq & exact5).size.toDouble / exact5.size
+    val r20pq = (pq & exact20).size.toDouble / pq.size
+    val r20ivf = (ivfPq & exact20).size.toDouble / ivfPq.size
+    info(f"pq recall@5 = $r5pq%.3f (top-5-in-top-20 = $r20pq%.3f), " +
+      f"ivf+pq recall@5 = $r5ivf%.3f (top-5-in-top-20 = $r20ivf%.3f)")
+    assert(r5pq >= 0.15, f"PQ recall@5 degenerated: $r5pq%.3f")
+    assert(r5ivf >= 0.15, f"IVF+PQ recall@5 degenerated: $r5ivf%.3f")
+    assert(r20pq >= 0.5, f"PQ top-5 are not good neighbors: $r20pq%.3f")
+    assert(r20ivf >= 0.5, f"IVF+PQ top-5 are not good neighbors: $r20ivf%.3f")
+  }
 }
