@@ -191,6 +191,9 @@ object SparkEntry {
     "ann_pq" -> (ProductQuantization.annPq _),
     // IVF coarse pruning composed with PQ fine scoring (shared codes/LUT)
     "ann_ivf_pq" -> (ProductQuantization.annIvfPq _),
+    // classic residual IVF-PQ: codes quantize the residual against the
+    // coarse centroid; one query LUT per probed list
+    "ann_ivf_pq_res" -> (ProductQuantization.annIvfPqRes _),
     // the PQ index materialized: persist once, serve ann_pq and ann_ivf_pq
     "emb_pq_codes" -> (ProductQuantization.pqCodes _),
     // one k-means refinement step (broadcast-argmax assign + exact scaled-
@@ -289,6 +292,7 @@ object SparkEntry {
     "ann_ivf" -> SimilaritySql.ivfTopKSql(),
     "ann_pq" -> ProductQuantizationSql.annPqSql(),
     "ann_ivf_pq" -> ProductQuantizationSql.annIvfPqSql(),
+    "ann_ivf_pq_res" -> ProductQuantizationSql.annIvfPqResSql(),
     "emb_pq_codes" -> ProductQuantizationSql.pqCodesSql,
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),
     "emb_quantize" -> QuantizeSql.int8Sql,

@@ -36,13 +36,16 @@ import graft.sources.Tables
 object ProductQuantization {
 
   /** M subspaces x SubDim dims (= [[Similarity.Dim]]), K codewords each.
-    * 8 x 8-dim measured equal in recall to 16 x 4-dim on the driver
-    * embeddings (recall@5 is data-limited by distance concentration — 500
-    * near-equidistant 64-d points — not by codebook resolution; see
-    * AnnRecallSpec), so keep the cheaper encode: candidate rows scale with
-    * M x K per vector.
+    * Measured on the driver embeddings (AnnRecallSpec): recall@5 is
+    * data-limited by distance concentration (500 near-equidistant 64-d
+    * points) and does NOT move with subspace resolution, but neighbor
+    * QUALITY does — top-5-within-exact-top-20 improves 0.525 -> 0.600
+    * (pq) and 0.650 -> 0.775 (ivf+pq) going from 8 x 8-dim to 16 x 4-dim,
+    * at 2x the encode candidate rows (M x K per vector). Keep the finer
+    * codebook: at query time codes cost the same, and the encode is the
+    * amortized pass.
     */
-  val NumSub = 8
+  val NumSub = 16
   val SubDim: Int = Similarity.Dim / NumSub
   val NumCodes = 16
 
@@ -149,6 +152,90 @@ object ProductQuantization {
   def annIvfPq(spark: SparkSession, dir: String): DataFrame =
     ivfPqTopK(Tables.embeddings(spark, dir))
 
+  /** Classic residual IVF-PQ — what production ANN engines actually ship:
+    * each vector is PQ-encoded on its RESIDUAL against its coarse centroid
+    * (residuals are smaller and better-conditioned than absolute vectors,
+    * so the same code budget quantizes finer), and the query builds one
+    * LUT PER PROBED LIST (its residual differs per centroid). Everything
+    * else matches [[ivfPqTopK]]: broadcast-hash equi-joins only, exact
+    * micro-scaled integer distances, the probed-list scan shape.
+    *
+    * Residual codebook convention: the residuals of the first K vectors
+    * (each against ITS OWN coarse centroid) are the codewords — the same
+    * "first K are the codebook" determinism as everywhere else.
+    *
+    * Measured caveat (AnnRecallSpec): with these DETERMINISTIC untrained
+    * codebooks, residual codes recall WORSE than [[ivfPqTopK]]'s absolute
+    * codes (0.150 vs 0.325 recall@5 on the driver embeddings) — absolute
+    * codewords are actual data points covering the manifold, while
+    * arbitrary "first-K residuals" do not cover the residual distribution.
+    * Residual encoding earns its advantage only with k-means-TRAINED
+    * per-subspace codebooks ([[Similarity.kmeansStep]] is the training
+    * step); this operator certifies the classic algorithm's mechanics, and
+    * the spec pins the measured trade so nobody ships it untrained.
+    */
+  def ivfPqResidualTopK(emb: DataFrame, nCentroids: Int = 16, nProbe: Int = 4,
+      queryMaxId: Long = 8, k: Int = 5): DataFrame = {
+    val withNorm = Similarity.withNormOf(emb)
+    val centroids = Similarity.centroidsOf(withNorm, nCentroids)
+    val assigned = Similarity.nearestCentroids(
+      withNorm, centroids, "vec_id", "embedding", "nrm", 1)
+    // residual of every vector against its assigned centroid (exact doubles)
+    val residuals = emb.join(assigned, Seq("vec_id"))
+      .join(broadcast(centroids.select(col("cid"), col("cvec"))), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("embedding"), col("cvec"),
+          (x, c) => x.cast("double") - c.cast("double")).as("rv"))
+    // residual sub-codebook: first K vectors' residual slices. Materialized
+    // (M x K rows) so the coarse-assignment subtree under it is computed
+    // once instead of re-expanding under every consumer — the plan-tree
+    // duplication would otherwise re-run the codebook scan per reference.
+    val cb = Caching.cached(residuals.filter(col("vec_id") < NumCodes)
+      .select(col("vec_id").cast("int").as("code"),
+        posexplode(array((0 until NumSub).map(m =>
+          slice(col("rv"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "cvec"))))
+    // encode every vector's residual
+    val codes = residuals
+      .select(col("vec_id"), col("cid"),
+        posexplode(array((0 until NumSub).map(m =>
+          slice(col("rv"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sv")))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d_micro", floor(VF.sqDist(col("sv"), col("cvec")) * 1e6).cast("long"))
+      .groupBy(col("vec_id"), col("cid"), col("m"))
+      .agg(min_by(col("code"), struct(col("d_micro"), col("code"))).as("code"))
+    val queries = withNorm.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val probes = Similarity.nearestCentroids(
+      queries, centroids, "query_id", "qv", "qn", nProbe)
+    // one LUT per (query, probed list): the query's residual vs THAT centroid
+    val lut = probes
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .join(broadcast(centroids.select(col("cid"), col("cvec").as("ccent"))), Seq("cid"))
+      .select(col("query_id"), col("cid"),
+        posexplode(array((0 until NumSub).map(m =>
+          slice(zip_with(col("qv"), col("ccent"),
+            (x, c) => x.cast("double") - c.cast("double")), m * SubDim + 1, SubDim)): _*))
+          .as(Seq("m", "qrv")))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("cid"), col("m"), col("code"),
+        floor(VF.sqDist(col("qrv"), col("cvec")) * 1e6).cast("long").as("d_micro"))
+    val scored = codes
+      .join(broadcast(lut), Seq("cid", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d_micro")).as("adist_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_micro"), col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adist_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annIvfPqRes(spark: SparkSession, dir: String): DataFrame =
+    ivfPqResidualTopK(Tables.embeddings(spark, dir))
+
   /** Driver query: the PQ index itself, materialized — (vec_id, m, code)
     * rows a user persists once and serves both [[annPq]] and [[annIvfPq]]
     * (at 100 TB the index build is the expensive pass; queries then touch
@@ -229,6 +316,80 @@ object ProductQuantizationSql {
        |  FROM enc JOIN cb ON enc.m = cb.m)
        |SELECT vec_id, CAST(m AS INT) AS m, code FROM dists WHERE rn = 1
        |ORDER BY vec_id, m""".stripMargin
+  }
+
+  /** Mirror of [[ProductQuantization.ivfPqResidualTopK]]: residuals via
+    * exact element-wise double subtraction, residual codebook from the
+    * first K vectors' residuals, per-probed-list query LUTs.
+    */
+  def annIvfPqResSql(nCentroids: Int = 16, nProbe: Int = 4,
+      queryMaxId: Long = 8, k: Int = 5): String = {
+    def slc(v: String, m: String) =
+      s"list_slice($v, $m * $SubDim + 1, $m * $SubDim + $SubDim)"
+    val dMicro = (a: String, b: String) =>
+      s"CAST(floor(${VS.sqDist(a, b)} * 1e6) AS BIGINT)"
+    def residual(v: String, c: String) =
+      s"list_transform(range(len($v)), i -> CAST($v[i+1] AS DOUBLE) - CAST($c[i+1] AS DOUBLE))"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id < $nCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${VS.cosine("e.embedding", "c.cvec")} DESC, c.cid) AS crn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE crn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |      WHERE vec_id < $queryMaxId),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${VS.cosine("q.qv", "c.cvec")} DESC, c.cid) AS crn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE crn <= $nProbe),
+       |res AS (
+       |  SELECT e.vec_id, a.cid, ${residual("e.embedding", "c.cvec")} AS rv
+       |  FROM embeddings e
+       |  JOIN assigned a ON e.vec_id = a.vec_id
+       |  JOIN cents c ON a.cid = c.cid),
+       |ms AS (SELECT unnest(range($NumSub)) AS m),
+       |cb AS (
+       |  SELECT CAST(r.vec_id AS INT) AS code, ms.m, ${slc("r.rv", "ms.m")} AS cvec
+       |  FROM res r, ms WHERE r.vec_id < $NumCodes),
+       |enc AS (
+       |  SELECT r.vec_id, r.cid, ms.m, ${slc("r.rv", "ms.m")} AS sv
+       |  FROM res r, ms),
+       |dists AS (
+       |  SELECT enc.vec_id, enc.cid, enc.m, cb.code,
+       |    row_number() OVER (PARTITION BY enc.vec_id, enc.m
+       |      ORDER BY ${dMicro("enc.sv", "cb.cvec")}, cb.code) AS rn
+       |  FROM enc JOIN cb ON enc.m = cb.m),
+       |codes AS (SELECT vec_id, cid, m, code FROM dists WHERE rn = 1),
+       |qres AS (
+       |  SELECT p.query_id, p.cid, ${residual("q.qv", "c.cvec")} AS qrv
+       |  FROM probes p
+       |  JOIN q ON p.query_id = q.query_id
+       |  JOIN cents c ON p.cid = c.cid),
+       |lut AS (
+       |  SELECT qr.query_id, qr.cid, cb.m, cb.code,
+       |         ${dMicro(slc("qr.qrv", "cb.m"), "cb.cvec")} AS d_micro
+       |  FROM qres qr CROSS JOIN cb),
+       |scored AS (
+       |  SELECT l.query_id, c2.vec_id, CAST(sum(l.d_micro) AS BIGINT) AS adist_micro
+       |  FROM codes c2
+       |  JOIN lut l ON c2.cid = l.cid AND c2.m = l.m AND c2.code = l.code
+       |  WHERE c2.vec_id <> l.query_id
+       |  GROUP BY l.query_id, c2.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adist_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist_micro, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adist_micro
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** Mirror of [[ProductQuantization.ivfPqTopK]]: the ivfTopKSql coarse

@@ -46,6 +46,7 @@ class AnnRecallSpec extends SparkSpec {
     assert(exact5.nonEmpty)
     val pq = pairs(ProductQuantization.adcTopK(emb))
     val ivfPq = pairs(ProductQuantization.ivfPqTopK(emb))
+    val ivfPqRes = pairs(ProductQuantization.ivfPqResidualTopK(emb))
     // recall@5 is data-limited here (500 near-equidistant 64-d points:
     // distance concentration makes the exact rank order noise-sensitive, so
     // quantization reshuffles the boundary regardless of codebook
@@ -56,11 +57,22 @@ class AnnRecallSpec extends SparkSpec {
     val r5ivf = (ivfPq & exact5).size.toDouble / exact5.size
     val r20pq = (pq & exact20).size.toDouble / pq.size
     val r20ivf = (ivfPq & exact20).size.toDouble / ivfPq.size
+    val r5res = (ivfPqRes & exact5).size.toDouble / exact5.size
+    val r20res = (ivfPqRes & exact20).size.toDouble / ivfPqRes.size
     info(f"pq recall@5 = $r5pq%.3f (top-5-in-top-20 = $r20pq%.3f), " +
-      f"ivf+pq recall@5 = $r5ivf%.3f (top-5-in-top-20 = $r20ivf%.3f)")
+      f"ivf+pq recall@5 = $r5ivf%.3f (top-5-in-top-20 = $r20ivf%.3f), " +
+      f"ivf+pq+res recall@5 = $r5res%.3f (top-5-in-top-20 = $r20res%.3f)")
     assert(r5pq >= 0.15, f"PQ recall@5 degenerated: $r5pq%.3f")
     assert(r5ivf >= 0.15, f"IVF+PQ recall@5 degenerated: $r5ivf%.3f")
     assert(r20pq >= 0.5, f"PQ top-5 are not good neighbors: $r20pq%.3f")
     assert(r20ivf >= 0.5, f"IVF+PQ top-5 are not good neighbors: $r20ivf%.3f")
+    // measured finding, pinned: with DETERMINISTIC (untrained) codebooks,
+    // residual codes LOSE to absolute codes (0.150/0.550 vs 0.325/0.775) —
+    // absolute codewords are actual data points covering the manifold;
+    // "first-K residuals" do not cover the residual distribution. Classic
+    // residual IVF-PQ earns its keep only with k-means-trained codebooks
+    // (the kmeansStep path). Floors keep the operator honest, not heroic.
+    assert(r5res >= 0.10, f"residual recall@5 collapsed: $r5res%.3f")
+    assert(r20res >= 0.4, f"residual top-5 are not good neighbors: $r20res%.3f")
   }
 }
