@@ -214,7 +214,15 @@ object SparkEntry {
     "mm_decode_stub" -> ((s, d) => Multimodal.decodeStub(
       Multimodal.asMedia(sources.Tables.documents(s, d)))
       .orderBy(col("doc_id"))
-      .drop("features"))
+      .drop("features")),
+    // resize plumbing, same batched contract as decode but ALL-integer fit
+    // arithmetic — the entire output is oracle-checked, plumbing included
+    "mm_resize_stub" -> ((s, d) => Multimodal.resizeStub(
+      Multimodal.asMedia(sources.Tables.documents(s, d)))
+      .orderBy(col("doc_id"))),
+    // fake per-chunk feature extraction with a FULL oracle (long form)
+    "mm_embed_stub" -> ((s, d) => Multimodal.embedStub(sources.Tables.documents(s, d))
+      .orderBy(col("doc_id"), col("dim")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -298,6 +306,8 @@ object SparkEntry {
     "emb_quantize" -> QuantizeSql.int8Sql,
     "mm_metadata" -> MultimodalSql.metadataSql,
     "mm_frame_sample" -> MultimodalSql.frameSampleSql,
-    "mm_decode_stub" -> MultimodalSql.decodeStubSql
+    "mm_decode_stub" -> MultimodalSql.decodeStubSql,
+    "mm_resize_stub" -> MultimodalSql.resizeStubSql(),
+    "mm_embed_stub" -> MultimodalSql.embedStubSql()
   )
 }

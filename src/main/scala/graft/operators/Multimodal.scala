@@ -80,6 +80,60 @@ object Multimodal {
     spark.createDataFrame(out, decodedSchema)
   }
 
+  /** Output schema of the resize stage. */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("out_width", IntegerType, nullable = false),
+    StructField("out_height", IntegerType, nullable = false)))
+
+  /** Batched per-partition resize — same plumbing contract as [[decodeStub]]
+    * (a real implementation swaps `resizeBatch` for an image library), but
+    * the stub's aspect-preserving fit-into-(maxW x maxH) arithmetic is ALL
+    * integer (micro-scaled), so unlike the decode features the ENTIRE
+    * output is oracle-checkable: the driver certifies the batching plumbing
+    * end-to-end, not just its shape.
+    */
+  def resizeStub(media: DataFrame, maxW: Int = 224, maxH: Int = 224,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("doc_id"), col("media")).rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch => resizeBatch(batch, maxW, maxH) }
+    }
+    spark.createDataFrame(out, resizedSchema)
+  }
+
+  private def resizeBatch(batch: Seq[Row], maxW: Int, maxH: Int): Seq[Row] =
+    batch.map { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val w = bytes.length % 640 + 16
+      val h = bytes.length % 480 + 16
+      // aspect-preserving fit, micro-scaled integer math (never upscale)
+      val scale = math.min(1000000L,
+        math.min(maxW.toLong * 1000000L / w, maxH.toLong * 1000000L / h))
+      Row(id, w, h, (w * scale / 1000000L).toInt, (h * scale / 1000000L).toInt)
+    }
+
+  /** Fake feature extraction with a FULL oracle: an 8-dim embedding where
+    * dim i hashes the i-th character chunk of the text (boundaries by exact
+    * integer division) — the deterministic stand-in for a per-chunk model
+    * embedding, emitted in long form (doc, dim, feat) so the oracle compares
+    * rows, not arrays. Narrow: explode + codegen'd hash, no shuffle.
+    */
+  def embedStub(docs: DataFrame, dims: Int = 8): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(dims - 1))).as("dim"))
+      .withColumn("__lo", expr(s"(dim * length(text)) div $dims"))
+      .withColumn("__len", expr(s"((dim + 1) * length(text)) div $dims - __lo"))
+      .select(col("doc_id"), col("dim").cast("int").as("dim"),
+        pmod(TF.hash32(expr("substring(text, CAST(__lo + 1 AS INT), CAST(__len AS INT))")),
+          lit(256L)).as("feat"))
+  }
+
   /** The stubbed batch decode: one call per batch, like a vectorized UDF. */
   private def decodeBatch(batch: Seq[Row]): Seq[Row] =
     batch.map { r =>
@@ -129,4 +183,32 @@ object MultimodalSql {
       |  octet_length(encode(text)) % 640 + 16 AS width,
       |  octet_length(encode(text)) % 480 + 16 AS height
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Full oracle for [[Multimodal.resizeStub]] — the same micro-scaled
+    * integer fit arithmetic.
+    */
+  def resizeStubSql(maxW: Int = 224, maxH: Int = 224): String =
+    s"""WITH d AS (SELECT doc_id,
+       |  CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+       |  CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height
+       |FROM documents)
+       |SELECT doc_id, width, height,
+       |  CAST(width * least(1000000, ($maxW * 1000000) // width,
+       |       ($maxH * 1000000) // height) // 1000000 AS INT) AS out_width,
+       |  CAST(height * least(1000000, ($maxW * 1000000) // width,
+       |       ($maxH * 1000000) // height) // 1000000 AS INT) AS out_height
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  /** Full oracle for [[Multimodal.embedStub]] — same chunk boundaries
+    * (exact integer division), same hash32 % 256 per chunk.
+    */
+  def embedStubSql(dims: Int = 8): String = {
+    import graft.functions.{TextSql => TS}
+    val chunk = s"substring(text, CAST((dim * length(text)) // $dims + 1 AS INT), " +
+      s"CAST(((dim + 1) * length(text)) // $dims - (dim * length(text)) // $dims AS INT))"
+    s"""SELECT doc_id, CAST(dim AS INT) AS dim,
+       |  ${TS.hash32(chunk)} % 256 AS feat
+       |FROM documents, (SELECT unnest(range($dims)) AS dim)
+       |ORDER BY doc_id, dim""".stripMargin
+  }
 }

@@ -33,4 +33,33 @@ class MultimodalSpec extends SparkSpec {
     val plan = Multimodal.decodeStub(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("resize fits into the box aspect-preserving, never upscales, batch-invariant") {
+    val out = Multimodal.resizeStub(media, maxW = 224, maxH = 224, batchSize = 9)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, w, h, ow, oh) =>
+      assert(ow <= 224 && oh <= 224, s"doc $id resized to $ow x $oh")
+      assert(ow <= w && oh <= h, s"doc $id upscaled")
+      // aspect preserved to integer-rounding: ow/oh within 1 step of w/h ratio
+      assert(math.abs(ow.toLong * h - oh.toLong * w) <= w + h, s"doc $id aspect broken")
+    }
+    val b = Multimodal.resizeStub(media, maxW = 224, maxH = 224, batchSize = 64)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(out.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+  }
+
+  test("embed stub: dims cover the text exactly (chunk boundaries partition the string)") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val out = Multimodal.embedStub(docs).as[(Long, Int, Long)].collect()
+    assert(out.length == 3 * 8)
+    assert(out.forall { case (_, _, f) => f >= 0 && f < 256 })
+    // boundary model: chunk i of "abcdefghij" (len 10) is [i*10/8, (i+1)*10/8)
+    val chunks = (0 until 8).map { i =>
+      val lo = i * 10 / 8; val hi = (i + 1) * 10 / 8
+      "abcdefghij".substring(lo, hi)
+    }
+    assert(chunks.mkString == "abcdefghij") // exact partition, no gaps/overlap
+  }
 }
