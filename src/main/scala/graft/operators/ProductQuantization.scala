@@ -58,17 +58,34 @@ object ProductQuantization {
         posexplode(array((0 until NumSub).map(m =>
           slice(col("embedding"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "cvec")))
 
-  /** Long-format PQ codes (vec_id, m, code): per subspace, the codeword with
-    * the minimum micro-scaled distance, ties to the lowest code id.
+  /** PQ codes packed ONE ROW PER VECTOR (vec_id, code_0..code_{M-1}): the
+    * M per-subspace argmins as filtered aggregates over a single
+    * vec_id-keyed aggregation. The shuffle ships one partially-aggregated
+    * row per vector per mapper instead of M — at index-build scale that is
+    * the difference between shuffling the corpus row count and M x it —
+    * and downstream joins on vec_id reuse the aggregation's partitioning
+    * (no re-exchange).
     */
-  def encode(emb: DataFrame, cb: DataFrame): DataFrame =
+  def encodePacked(emb: DataFrame, cb: DataFrame): DataFrame = {
+    val aggs = (0 until NumSub).map(m =>
+      expr(s"min_by(code, struct(d_micro, code)) FILTER (WHERE m = $m)").as(s"code_$m"))
     emb.select(col("vec_id"),
         posexplode(array((0 until NumSub).map(m =>
           slice(col("embedding"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sv")))
       .join(broadcast(cb), Seq("m"))
       .withColumn("d_micro", floor(VF.sqDist(col("sv"), col("cvec")) * 1e6).cast("long"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("code"), struct(col("d_micro"), col("code"))).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Long-format PQ codes (vec_id, m, code): per subspace, the codeword with
+    * the minimum micro-scaled distance, ties to the lowest code id — the
+    * packed form exploded (narrow; vec_id partitioning preserved).
+    */
+  def encode(emb: DataFrame, cb: DataFrame): DataFrame =
+    encodePacked(emb, cb).select(col("vec_id"),
+      posexplode(array((0 until NumSub).map(m => col(s"code_$m")): _*))
+        .as(Seq("m", "code")))
 
   /** ADC top-k: approximate distance of every vector to every query as the
     * sum of the query's LUT entries at the vector's codes, ranked ascending
@@ -194,15 +211,21 @@ object ProductQuantization {
       .select(col("vec_id").cast("int").as("code"),
         posexplode(array((0 until NumSub).map(m =>
           slice(col("rv"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "cvec"))))
-    // encode every vector's residual
+    // encode every vector's residual — packed (one shuffled row per vector,
+    // the encodePacked rule), then exploded narrow
+    val codeAggs = (0 until NumSub).map(m =>
+      expr(s"min_by(code, struct(d_micro, code)) FILTER (WHERE m = $m)").as(s"code_$m"))
     val codes = residuals
       .select(col("vec_id"), col("cid"),
         posexplode(array((0 until NumSub).map(m =>
           slice(col("rv"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sv")))
       .join(broadcast(cb), Seq("m"))
       .withColumn("d_micro", floor(VF.sqDist(col("sv"), col("cvec")) * 1e6).cast("long"))
-      .groupBy(col("vec_id"), col("cid"), col("m"))
-      .agg(min_by(col("code"), struct(col("d_micro"), col("code"))).as("code"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(codeAggs.head, codeAggs.tail: _*)
+      .select(col("vec_id"), col("cid"),
+        posexplode(array((0 until NumSub).map(m => col(s"code_$m")): _*))
+          .as(Seq("m", "code")))
     val queries = withNorm.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
     val probes = Similarity.nearestCentroids(
