@@ -55,6 +55,8 @@ object SparkEntry {
     "q_anti_join" -> (Relational.antiJoin _),
     "q_window_top3" -> (Relational.windowTop3 _),
     "q_running_spend" -> (Relational.runningUserSpend _),
+    // event-time RANGE frame: trailing-hour activity, peers included
+    "q_trailing_window" -> (Relational.trailingHourActivity _),
     "q_rollup" -> (Relational.statusRollup _),
     "q_set_ops" -> (Relational.setOps _),
     "q_distinct_users" -> (Relational.distinctUsers _),
@@ -250,6 +252,7 @@ object SparkEntry {
     "q_anti_join" -> Relational.antiJoinSql,
     "q_window_top3" -> Relational.windowTop3Sql,
     "q_running_spend" -> Relational.runningUserSpendSql,
+    "q_trailing_window" -> Relational.trailingHourActivitySql,
     "q_rollup" -> Relational.statusRollupSql,
     "q_set_ops" -> Relational.setOpsSql,
     "q_distinct_users" -> Relational.distinctUsersSql,

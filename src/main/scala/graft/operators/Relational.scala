@@ -171,6 +171,35 @@ object Relational {
       |ORDER BY o_custkey, rn""".stripMargin
 
   /** Cumulative window: running spend per user over event time. */
+  /** Event-time RANGE-frame window — the frame class [[runningUserSpend]]'s
+    * ROWS frame cannot express: each event's trailing-hour activity (count
+    * and spend of the SAME user's events within the preceding 3600 s,
+    * peers-at-the-same-second included, as RANGE semantics require). Epoch
+    * seconds are floor-truncated identically on both engines so frame
+    * membership is exact. One shuffle on user_id; the frame scan is
+    * partition-local and order-bounded.
+    */
+  def trailingHourActivity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 20)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .select(col("user_id"), col("event_id"), col("epoch_s"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        round(sum(col("value")).over(w), 2).as("spend_trailing_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val trailingHourActivitySql: String =
+    """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+      |  round(sum(value) OVER w, 2) AS spend_trailing_1h
+      |FROM events WHERE user_id < 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   def runningUserSpend(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
