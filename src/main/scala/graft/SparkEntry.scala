@@ -89,6 +89,11 @@ object SparkEntry {
     // composite corpus clean: lang gate -> quality gate -> exact dedup ->
     // split, fused so only the dedup agg is wide (one shuffle total)
     "pipeline_clean_corpus" -> (CleanCorpus.cleanCorpus _),
+    // the composite's streaming twin: stateless gates inside the micro-batch
+    // projection, dedup as an update-mode keyed agg; certified surface is
+    // the (content_hash, keep_id, n_copies) ledger
+    "pipeline_clean_corpus_streaming" -> ((s, d) =>
+      streaming.StreamingCleanCorpus.cleanLedger(s, d)),
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(sources.Tables.documents(s, d))
@@ -269,6 +274,7 @@ object SparkEntry {
     "q_outer_join" -> Relational.outerJoinYearsSql,
     "q_funnel" -> Funnel.funnelSql,
     "pipeline_clean_corpus" -> CleanCorpusSql.cleanSql,
+    "pipeline_clean_corpus_streaming" -> CleanCorpusSql.cleanLedgerSql,
     "text_token_stats" -> TextAnalysisSql.tokenStatsSql,
     "text_langid" -> TextAnalysisSql.langIdSql,
     "text_quality" -> TextAnalysisSql.qualitySql,

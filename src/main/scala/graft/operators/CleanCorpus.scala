@@ -40,14 +40,22 @@ object CleanCorpus {
     * hash (lowest doc_id wins), with how many in-gate copies it had and its
     * deterministic train/valid/test split.
     */
-  def clean(docs: DataFrame): DataFrame = {
-    val gated = docs
+  /** The stateless gate stage (language gate, quality gate, per-doc
+    * columns) — shared with the streaming twin
+    * ([[graft.streaming.StreamingCleanCorpus]]), where it runs unchanged
+    * inside the micro-batch projection.
+    */
+  def gatedDocs(docs: DataFrame): DataFrame =
+    docs
       .withColumn("lang_pred", TF.langPredict(col("text")))
       .filter(col("lang_pred") === col("lang"))
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= QualityMin)
       .withColumn("n_tokens", TF.nTokens(col("text")).cast("long"))
       .withColumn("content_hash", md5(trim(col("text")).cast("binary")))
+
+  def clean(docs: DataFrame): DataFrame = {
+    val gated = gatedDocs(docs)
     gated
       .groupBy(col("content_hash"))
       .agg(
@@ -71,6 +79,20 @@ object CleanCorpus {
   */
 object CleanCorpusSql {
   import graft.functions.{TextSql => TS}
+
+  /** Oracle for the streaming twin's certified surface: the dedup ledger of
+    * the gated corpus (same gates, grouped by content hash).
+    */
+  val cleanLedgerSql: String =
+    s"""WITH gated AS (
+       |  SELECT doc_id, md5(trim(text)) AS content_hash
+       |  FROM documents
+       |  WHERE ${TS.langPredict("text")} = lang
+       |    AND ${TextAnalysisSql.qualityScoreSql("text")} >= ${CleanCorpus.QualityMin})
+       |SELECT content_hash, min(doc_id) AS keep_id,
+       |  CAST(count(*) AS BIGINT) AS n_copies
+       |FROM gated GROUP BY content_hash
+       |ORDER BY content_hash""".stripMargin
 
   val cleanSql: String =
     s"""WITH gated AS (

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.CleanCorpus
+import graft.sources.Tables
+
+/** One gated document entering the streaming dedup state. */
+final case class GatedDoc(doc_id: Long, content_hash: String)
+
+/** Streaming twin of the fused corpus-clean pipeline
+  * ([[graft.operators.CleanCorpus]]): the language and quality gates are
+  * STATELESS per-row expressions (they run identically inside a streaming
+  * micro-batch projection), so the only stateful stage is the dedup — here
+  * an update-mode `groupBy(content_hash).agg(min(doc_id), count)` — the
+  * built-in incremental aggregation, like [[StreamingQuantiles]].
+  *
+  * Certified surface: the (content_hash, keep_id, n_copies) dedup ledger,
+  * against a DuckDB oracle composing the same gates. min(doc_id) and count
+  * are monotone under accumulation, so the final ledger is the per-key
+  * (min, max) over update-mode emissions, batch-order-independent. State
+  * is O(distinct surviving content hashes) — the gates run BEFORE state,
+  * so filtered-out documents never touch the state store (the same
+  * rows-never-reach-the-shuffle property the batch plan has).
+  */
+object StreamingCleanCorpus {
+
+  /** The stateless gate projection — shared verbatim with the batch
+    * pipeline via CleanCorpus/TextAnalysis expressions.
+    */
+  def gated(docs: DataFrame): DataFrame =
+    CleanCorpus.gatedDocs(docs).select(col("doc_id"), col("content_hash"))
+
+  /** Driver query: the dedup ledger of the streamed clean pipeline in
+    * `chunks` micro-batches (the Replay seam), equal to the batch
+    * pipeline's grouping. Ordered by content_hash for the oracle.
+    */
+  def cleanLedger(spark: SparkSession, dir: String, chunks: Int = 3): DataFrame = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = gated(Tables.documents(spark, dir)).as[GatedDoc].collect()
+    val name = s"clean_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val input = MemoryStream[GatedDoc]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      input.toDS()
+        .groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val ledger = try {
+      val per = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(per).foreach { slice =>
+        input.addData(slice.toSeq)
+        q.processAllAvailable()
+      }
+      spark.table(name).as[(String, Long, Long)].collect()
+    } finally {
+      q.stop()
+      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+    }
+    spark.createDataset(ledger.toIndexedSeq).toDF("content_hash", "keep_id", "n_copies")
+      // min is monotone nonincreasing, count nondecreasing: final = (min, max)
+      .groupBy(col("content_hash"))
+      .agg(min(col("keep_id")).as("keep_id"), max(col("n_copies")).as("n_copies"))
+      .orderBy(col("content_hash"))
+  }
+}
