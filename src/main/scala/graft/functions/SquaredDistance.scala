@@ -17,6 +17,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 case class SquaredDistance(left: Expression, right: Expression) extends BinaryExpression {
 
+  // SQL-surface safety (GraftExtensions): reject non-float/double arrays at
+  // analysis time — getDouble over an int array would silently reinterpret
+  // bit patterns instead of failing
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "squared_distance"
 

@@ -95,13 +95,15 @@ object CleanCorpusSql {
        |ORDER BY content_hash""".stripMargin
 
   val cleanSql: String =
-    s"""WITH gated AS (
+    s"""WITH scored AS (
        |  SELECT doc_id, lang, text,
+       |    ${TS.langPredict("text")} AS lang_pred,
        |    ${TextAnalysisSql.qualityScoreSql("text")} AS quality,
        |    CAST(${TS.nTokens("text")} AS BIGINT) AS n_tokens
-       |  FROM documents
-       |  WHERE ${TS.langPredict("text")} = lang
-       |    AND ${TextAnalysisSql.qualityScoreSql("text")} >= ${CleanCorpus.QualityMin}),
+       |  FROM documents),
+       |gated AS (
+       |  SELECT doc_id, lang, text, quality, n_tokens FROM scored
+       |  WHERE lang_pred = lang AND quality >= ${CleanCorpus.QualityMin}),
        |dedup AS (
        |  SELECT doc_id, lang, quality, n_tokens,
        |    row_number() OVER (PARTITION BY md5(trim(text)) ORDER BY doc_id) AS rn,

@@ -87,6 +87,20 @@ object ProductQuantization {
       posexplode(array((0 until NumSub).map(m => col(s"code_$m")): _*))
         .as(Seq("m", "code")))
 
+  /** The query ADC lookup table: per (query, m, code), the micro-scaled
+    * distance of the query's m-th subvector to that codeword — ONE
+    * definition shared by [[adcTopK]] and [[ivfPqTopK]] so the LUT
+    * convention (scaling, slice origin) cannot drift between them.
+    */
+  private def lutOf(emb: DataFrame, cb: DataFrame, queryMaxId: Long): DataFrame =
+    emb.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"),
+        posexplode(array((0 until NumSub).map(m =>
+          slice(col("embedding"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "qv")))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        floor(VF.sqDist(col("qv"), col("cvec")) * 1e6).cast("long").as("d_micro"))
+
   /** ADC top-k: approximate distance of every vector to every query as the
     * sum of the query's LUT entries at the vector's codes, ranked ascending
     * per query (ties on vec_id), self-matches excluded.
@@ -94,13 +108,7 @@ object ProductQuantization {
   def adcTopK(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5): DataFrame = {
     val cb = subCodebook(emb)
     val codes = encode(emb, cb)
-    val lut = emb.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"),
-        posexplode(array((0 until NumSub).map(m =>
-          slice(col("embedding"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "qv")))
-      .join(broadcast(cb), Seq("m"))
-      .select(col("query_id"), col("m"), col("code"),
-        floor(VF.sqDist(col("qv"), col("cvec")) * 1e6).cast("long").as("d_micro"))
+    val lut = lutOf(emb, cb, queryMaxId)
     val scored = codes
       .join(broadcast(lut), Seq("m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -145,13 +153,7 @@ object ProductQuantization {
       .select(col("query_id"), col("vec_id"))
     val cb = subCodebook(emb)
     val codes = encode(emb, cb)
-    val lut = emb.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"),
-        posexplode(array((0 until NumSub).map(m =>
-          slice(col("embedding"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "qv")))
-      .join(broadcast(cb), Seq("m"))
-      .select(col("query_id"), col("m"), col("code"),
-        floor(VF.sqDist(col("qv"), col("cvec")) * 1e6).cast("long").as("d_micro"))
+    val lut = lutOf(emb, cb, queryMaxId)
     val scored = cands
       .join(codes, Seq("vec_id"))
       .join(broadcast(lut), Seq("query_id", "m", "code"))

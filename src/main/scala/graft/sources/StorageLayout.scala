@@ -43,12 +43,17 @@ object StorageLayout {
   /** Morton (Z-order) interleave of the low `bits` bits of two non-negative
     * integer dimensions — bit i of `a` lands at position 2i, bit i of `b`
     * at 2i+1. Pure codegen'd bit arithmetic (2 x bits shift/mask terms).
+    * Inputs are widened to long BEFORE shifting: for IntegerType columns,
+    * bit 15 of `b` would otherwise land on the int sign bit (position 31)
+    * and every such z-value would go negative, destroying the clustering.
     */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).map { i =>
-      (shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i) +
-        shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1)).cast("long")
+      shiftleft(shiftright(al, i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftright(bl, i).bitwiseAND(1L), 2 * i + 1)
     }.reduce(_ + _)
+  }
 
   /** Write `df` Z-order-clustered on two integer dimensions: range-partition
     * and sort by the interleaved z-value, so each output file covers a

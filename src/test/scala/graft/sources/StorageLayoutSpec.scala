@@ -78,6 +78,18 @@ class StorageLayoutSpec extends SparkSpec {
     assert(got == rows.map { case (a, b) => model(a, b, 16) })
   }
 
+  test("zValue is non-negative for IntegerType inputs with bit 15 set (no int sign-bit leak)") {
+    // bit 15 of b maps to position 31 — in int arithmetic that is the sign
+    // bit; the long widening must happen BEFORE the shift
+    val got = Seq((40000, 40000), (0, 32768), (65535, 65535))
+      .toDF("a", "b")
+      .select(StorageLayout.zValue($"a", $"b").as("z")).as[Long].collect().toSeq
+    assert(got.forall(_ >= 0L), got.toString)
+    def model(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    assert(got == Seq(model(40000, 40000), model(0, 32768), model(65535, 65535)))
+  }
+
   test("z-order clustering: a 2-dim box predicate overlaps far fewer file envelopes than a linear sort") {
     val work = Files.createTempDirectory("zorder").toFile
     try {
