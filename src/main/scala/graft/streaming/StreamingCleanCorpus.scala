@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.CleanCorpus
@@ -39,32 +38,13 @@ object StreamingCleanCorpus {
     */
   def cleanLedger(spark: SparkSession, dir: String, chunks: Int = 3): DataFrame = {
     import spark.implicits._
-    implicit val ctx = spark.sqlContext
     val rows = gated(Tables.documents(spark, dir)).as[GatedDoc].collect()
-    val name = s"clean_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val input = MemoryStream[GatedDoc]
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      input.toDS()
-        .groupBy(col("content_hash"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("update").start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val ledger = try {
-      val per = math.max(1, (rows.length + chunks - 1) / chunks)
-      rows.grouped(per).foreach { slice =>
-        input.addData(slice.toSeq)
-        q.processAllAvailable()
-      }
-      spark.table(name).as[(String, Long, Long)].collect()
-    } finally {
-      q.stop()
-      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
-    }
-    spark.createDataset(ledger.toIndexedSeq).toDF("content_hash", "keep_id", "n_copies")
-      // min is monotone nonincreasing, count nondecreasing: final = (min, max)
+    val emissions = ReplayHarness.updateModeEmissions(
+      spark, rows.toIndexedSeq, chunks, statePartitions = 8, prefix = "clean_stream")(
+      _.groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")))
+    // min is monotone nonincreasing, count nondecreasing: final = (min, max)
+    emissions
       .groupBy(col("content_hash"))
       .agg(min(col("keep_id")).as("keep_id"), max(col("n_copies")).as("n_copies"))
       .orderBy(col("content_hash"))

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.HeavyHitters
@@ -34,34 +33,14 @@ object StreamingHeavyHitters {
     */
   def hotCustomers(spark: SparkSession, dir: String, chunks: Int = 3): DataFrame = {
     import spark.implicits._
-    implicit val ctx = spark.sqlContext
     val rows = Tables.orders(spark, dir)
       .select(col("o_custkey").as("k")).as[KeyHit].collect()
-    val name = s"hh_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val input = MemoryStream[KeyHit]
-    // size the stateful shuffle to the keyspace (the StreamingHistory rule)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      input.toDS()
-        .groupBy(col("k")).count()
-        .writeStream.format("memory").queryName(name)
-        .outputMode("update").start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val counters = try {
-      val per = math.max(1, (rows.length + chunks - 1) / chunks)
-      rows.grouped(per).foreach { slice =>
-        input.addData(slice.toSeq)
-        q.processAllAvailable()
-      }
-      spark.table(name).as[(Long, Long)].collect()
-    } finally {
-      q.stop()
-      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
-    }
-    val counts = spark.createDataset(counters.toSeq).toDF("o_custkey", "count")
-      // cumulative counts are monotone: the final counter is the row max
-      .groupBy(col("o_custkey"))
+    val emissions = ReplayHarness.updateModeEmissions(
+      spark, rows.toIndexedSeq, chunks, statePartitions = 8, prefix = "hh_stream")(
+      _.groupBy(col("k")).count())
+    // cumulative counts are monotone: the final counter is the row max
+    val counts = emissions
+      .groupBy(col("k").as("o_custkey"))
       .agg(max(col("count")).as("n_rows"))
     HeavyHitters.rankCounts(counts, "o_custkey", 10)
   }

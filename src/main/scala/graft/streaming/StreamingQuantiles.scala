@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.Sketches
@@ -34,7 +33,6 @@ object StreamingQuantiles {
   def quantilesByType(spark: SparkSession, dir: String,
       chunks: Int = 3): DataFrame = {
     import spark.implicits._
-    implicit val ctx = spark.sqlContext
     val rows = Tables.events(spark, dir)
       .select(col("event_type"),
         floor(col("value") / Sketches.QuantileBinWidth).as("bin"))
@@ -42,34 +40,14 @@ object StreamingQuantiles {
       // (the driver events table carries none — this keeps the seam total)
       .filter(col("bin").isNotNull)
       .as[BinHit].collect()
-    val name = s"quant_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val input = MemoryStream[BinHit]
-    // size the stateful shuffle to the (group x bin) keyspace, not the
-    // session's 32 (the StreamingHistory sizing rule); restore after
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      input.toDS()
-        .groupBy(col("event_type"), col("bin"))
-        .count()
-        .writeStream.format("memory").queryName(name)
-        .outputMode("update").start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val hist = try {
-      val per = math.max(1, (rows.length + chunks - 1) / chunks)
-      rows.grouped(per).foreach { slice =>
-        input.addData(slice.toSeq)
-        q.processAllAvailable()
-      }
-      spark.table(name).as[(String, Long, Long)].collect()
-    } finally {
-      q.stop()
-      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
-    }
-    val binned = spark.createDataset(hist.toSeq).toDF("event_type", "__bin", "count")
-      // cumulative counts are monotone: the final histogram is the row max
-      .groupBy(col("event_type"), col("__bin"))
+    val emissions = ReplayHarness.updateModeEmissions(
+      spark, rows.toIndexedSeq, chunks, statePartitions = 8, prefix = "quant_stream")(
+      _.groupBy(col("event_type"), col("bin")).count())
+    // cumulative counts are monotone: the final histogram is the row max
+    val binned = emissions
+      .groupBy(col("event_type"), col("bin"))
       .agg(max(col("count")).as("__n"))
+      .withColumnRenamed("bin", "__bin")
     Sketches.quantilesFromBins(binned, "event_type")
       .orderBy(col("event_type"))
   }

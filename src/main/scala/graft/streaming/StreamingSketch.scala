@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
@@ -63,7 +62,6 @@ object StreamingSketch {
   def approxDistinctUsers(spark: SparkSession, dir: String,
       chunks: Int = 3): DataFrame = {
     import spark.implicits._
-    implicit val ctx = spark.sqlContext
     val rows = Tables.events(spark, dir)
       .select(col("event_type"),
         Sketches.bucketOf(col("user_id")).cast("int").as("bucket"))
@@ -72,32 +70,12 @@ object StreamingSketch {
       // Int encoder would otherwise throw and the twins would diverge)
       .filter(col("bucket").isNotNull)
       .as[BucketHit].collect()
-    val name = s"sketch_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val input = MemoryStream[BucketHit]
-    // state-store partition count freezes from spark.sql.shuffle.partitions
-    // at first run; the group space is event-type-sized (a handful), so 32
-    // near-empty state partitions would multiply per-batch checkpoint
-    // commits (the StreamingHistory sizing rule) — size to the keyspace.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      counts(input.toDS())
-        .writeStream.format("memory").queryName(name)
-        .outputMode("update").start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val finalCounts = try {
-      val per = math.max(1, (rows.length + chunks - 1) / chunks)
-      rows.grouped(per).foreach { slice =>
-        input.addData(slice.toSeq)
-        q.processAllAvailable()
-      }
-      spark.table(name).as[SketchCount].collect()
-    } finally {
-      q.stop()
-      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
-    }
-    spark.createDataset(finalCounts.toIndexedSeq).toDF()
-      // cumulative occupancy is monotone: the final sketch is the row max
+    // the group space is event-type-sized (a handful): 4 state partitions
+    val emissions = ReplayHarness.updateModeEmissions(
+      spark, rows.toIndexedSeq, chunks, statePartitions = 4, prefix = "sketch_stream")(
+      counts(_).toDF())
+    // cumulative occupancy is monotone: the final sketch is the row max
+    emissions
       .groupBy(col("event_type"))
       .agg(max(col("n_buckets_hit")).as("n_buckets_hit"))
       .withColumn("est_distinct", Sketches.estimate(col("n_buckets_hit")))
