@@ -80,6 +80,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(0) == 25.0 && row.getDouble(0) == row.getDouble(1))
   }
 
+  test("squared_distance/dot_product reject non-float arrays at analysis time") {
+    // int arrays would otherwise be reinterpreted via getDouble — the check
+    // must fail the QUERY, not return garbage
+    Seq("squared_distance", "dot_product").foreach { fn =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $fn(array(1, 2), array(3, 4))").collect()
+      }
+      assert(e.getMessage.contains("array<float>") || e.getMessage.contains("requires"),
+        s"$fn: ${e.getMessage}")
+    }
+  }
+
   test("winnow_fingerprints from SQL equals the Column form") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")

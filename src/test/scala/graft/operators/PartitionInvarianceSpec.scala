@@ -57,4 +57,21 @@ class PartitionInvarianceSpec extends SparkSpec {
         .orderBy(org.apache.spark.sql.functions.col("fp"))
     }
   }
+
+  test("q_trailing_window is partition-invariant (RANGE frame over shuffled input)") {
+    invariant("q_trailing_window") { parts =>
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        Relational.trailingHourActivity(spark, sf0001)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
+  test("ann_ivf_pq_res is partition-invariant (residual codes, per-list LUTs)") {
+    invariant("ann_ivf_pq_res") { parts =>
+      ProductQuantization.ivfPqResidualTopK(
+        graft.sources.Tables.embeddings(spark, sf0001).repartition(math.max(parts, 2)))
+    }
+  }
 }
