@@ -65,6 +65,8 @@ object SparkEntry {
     "q_session_windows" -> (Relational.sessionWindows _),
     "q_percentiles" -> (Relational.percentiles _),
     "q_cube" -> (Relational.cubeEvents _),
+    // explicit GROUPING SETS: |sets| expansion keys per row, not 2^dims
+    "q_grouping_sets" -> (Relational.groupingSetsReport _),
     "q_pivot" -> (Relational.pivotEvents _),
     // bucketed point-in-interval range join (the raw BETWEEN predicate
     // would plan as a nested-loop join)
@@ -266,6 +268,7 @@ object SparkEntry {
     "q_session_windows" -> Relational.sessionWindowsSql,
     "q_percentiles" -> Relational.percentilesSql,
     "q_cube" -> Relational.cubeEventsSql,
+    "q_grouping_sets" -> Relational.groupingSetsReportSql,
     "q_pivot" -> Relational.pivotEventsSql,
     "q_range_join" -> RangeJoin.inTransitCountsSql,
     "q_salted_join" -> SaltedJoin.orderVolumeBySegmentSql,

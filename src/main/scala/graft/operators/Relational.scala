@@ -245,6 +245,38 @@ object Relational {
     * (rows x sets map-side, still one shuffle), the shape that matters when
     * the cube feeds a 100 TB rollup dashboard.
     */
+  /** Explicit GROUPING SETS — the general multi-granularity form that
+    * [[cubeEvents]]/[[statusRollup]] specialize: three report granularities
+    * (per event type, per cohort, grand total) in ONE pass over the data,
+    * skipping the (type x cohort) cross products a CUBE would also compute.
+    * At scale that is the point of grouping sets: each input row expands to
+    * exactly |sets| aggregation keys (here 3) instead of 2^dims, and the
+    * single shuffle carries the partially-aggregated expansion. Expressed
+    * through the SQL surface (`spark.sql` over a registered view — the
+    * Dataset API deliberately exposes only the cube/rollup shorthands).
+    */
+  def groupingSetsReport(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("cohort", (col("user_id") % 10).cast("int"))
+      .createOrReplaceTempView("events_gsets")
+    spark.sql(
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(CAST(cohort AS STRING), 'ALL') AS cohort,
+        |       count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events_gsets
+        |GROUP BY GROUPING SETS ((event_type), (cohort), ())
+        |ORDER BY event_type, cohort""".stripMargin)
+  }
+
+  val groupingSetsReportSql: String =
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+      |       coalesce(CAST(cohort AS VARCHAR), 'ALL') AS cohort,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(value), 2) AS total_value
+      |FROM (SELECT event_type, CAST(user_id % 10 AS INT) AS cohort, value FROM events)
+      |GROUP BY GROUPING SETS ((event_type), (cohort), ())
+      |ORDER BY event_type, cohort""".stripMargin
+
   def cubeEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("cohort", (col("user_id") % 10).cast("int"))
