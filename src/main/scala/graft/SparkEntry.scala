@@ -109,6 +109,10 @@ object SparkEntry {
     "text_winnow" -> (Winnow.winnowDocs _),
     // unaligned shared-passage dedup over the winnow fingerprint index
     "dedup_winnow" -> (Winnow.winnowDups _),
+    // streaming passage-novelty filter: first-seen winnow fingerprints,
+    // state keyed by the 8-byte fp (O(distinct passages/horizon))
+    "dedup_winnow_streaming" -> ((s, d) =>
+      streaming.StreamingWinnow.firstSeenPassages(s, d)),
     // deterministic content-addressed train/valid/test assignment
     "text_split" -> ((s, d) => TextAnalysis.split(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -284,6 +288,7 @@ object SparkEntry {
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,
     "text_winnow" -> Winnow.winnowDocsSql,
     "dedup_winnow" -> Winnow.winnowDupsSql,
+    "dedup_winnow_streaming" -> Winnow.distinctFpsSql,
     "text_split" -> TextAnalysisSql.splitSql,
     "text_redact" -> TextAnalysisSql.redactEmailsSql,
     "text_tfidf" -> TextAnalysisSql.tfidfTopTermsSql(),

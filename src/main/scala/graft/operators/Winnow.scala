@@ -82,6 +82,28 @@ object Winnow {
        |ORDER BY fp""".stripMargin
   }
 
+  /** Oracle for the streaming twin's certified surface: the corpus's
+    * DISTINCT winnow fingerprint set.
+    */
+  val distinctFpsSql: String = {
+    val k = ShingleK
+    val w = WindowW
+    s"""WITH toks AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_transform(${TS.shingles("text", k)}, s -> ${TS.hash60("s")}) AS hh
+       |  FROM toks),
+       |f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hh) = 0 THEN CAST([] AS BIGINT[])
+       |         WHEN len(hh) < $w THEN [list_min(hh)]
+       |         ELSE list_sort(list_distinct(list_transform(
+       |                range(len(hh) - ${w - 1}), i -> list_min(hh[i+1:i+$w]))))
+       |    END AS fps
+       |  FROM h)
+       |SELECT DISTINCT unnest(fps) AS fp FROM f ORDER BY fp""".stripMargin
+  }
+
   val winnowDocsSql: String = {
     val k = ShingleK
     val w = WindowW

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.functions.WinnowFingerprints
+import graft.operators.Winnow
+import graft.sources.Tables
+
+/** Streaming passage-novelty filter — the incremental twin of
+  * [[graft.operators.Winnow.sharedPassages]]'s index: each arriving
+  * document explodes into its winnowing fingerprints INSIDE the streaming
+  * query (narrow, stateless), and `dropDuplicatesWithinWatermark` keyed on
+  * the 8-byte fingerprint keeps only first-seen passages. An arriving
+  * document whose fingerprints ALL collide with state is entirely
+  * known content — the ingest-time near-dup signal, at O(distinct
+  * fingerprints per horizon) state (never document bodies; the winnowing
+  * compression means ~2/(w+1) of the shingle count).
+  *
+  * Certified surface: the surviving fingerprint KEY SET (the same
+  * key-set-only contract as [[StreamingDedup]], for the same reason —
+  * which document first carries a fingerprint inside one micro-batch
+  * depends on partition processing order).
+  */
+object StreamingWinnow {
+
+  /** First-seen passage fingerprints of a document stream with event-time
+    * column `ts` and text column `text`.
+    */
+  def novelPassages(docs: DataFrame, horizon: String): DataFrame =
+    docs
+      .select(col("ts"),
+        explode(WinnowFingerprints(col("text"), Winnow.ShingleK, Winnow.WindowW)).as("fp"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Driver query: the documents table replayed through [[novelPassages]]
+    * in ~`chunks` micro-batches; synthetic deterministic arrival times and
+    * a full-span horizon (the [[StreamingDedup.exactWithinHorizon]]
+    * configuration), so the survivor set equals the batch DISTINCT
+    * fingerprint set and certifies against that oracle.
+    */
+  def firstSeenPassages(spark: SparkSession, dir: String, chunks: Int = 3,
+      horizon: String = "30 days"): DataFrame = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        DocArrival(new java.sql.Timestamp(base + id * 1000L), id, text) }
+    val name = s"winnow_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val input = MemoryStream[DocArrival]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      novelPassages(input.toDF(), horizon)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val fps = try {
+      val per = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(per).foreach { slice =>
+        input.addData(slice.toSeq)
+        q.processAllAvailable()
+      }
+      spark.table(name).select(col("fp")).as[Long].collect().toSeq
+    } finally {
+      q.stop()
+      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+    }
+    fps.toDF("fp").orderBy(col("fp"))
+  }
+}

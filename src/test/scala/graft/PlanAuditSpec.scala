@@ -33,7 +33,8 @@ class PlanAuditSpec extends SparkSpec {
   private val eager = Set("mqtt_history_streaming", "mqtt_state_streaming",
     "q_approx_distinct_streaming", "dedup_exact_streaming",
     "q_session_windows_streaming", "q_approx_quantiles_streaming",
-    "q_heavy_hitters_streaming", "pipeline_clean_corpus_streaming")
+    "q_heavy_hitters_streaming", "pipeline_clean_corpus_streaming",
+    "dedup_winnow_streaming")
 
   test("no driver query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq
