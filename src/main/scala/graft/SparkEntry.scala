@@ -204,6 +204,9 @@ object SparkEntry {
     "ann_pq" -> (ProductQuantization.annPq _),
     // IVF coarse pruning composed with PQ fine scoring (shared codes/LUT)
     "ann_ivf_pq" -> (ProductQuantization.annIvfPq _),
+    // PQ over a one-Lloyd-step TRAINED codebook (exact integer means) —
+    // certifies the training path the residual scaladoc routes users to
+    "ann_pq_trained" -> (ProductQuantization.annPqTrained _),
     // classic residual IVF-PQ: codes quantize the residual against the
     // coarse centroid; one query LUT per probed list
     "ann_ivf_pq_res" -> (ProductQuantization.annIvfPqRes _),
@@ -317,6 +320,7 @@ object SparkEntry {
     "ann_ivf" -> SimilaritySql.ivfTopKSql(),
     "ann_pq" -> ProductQuantizationSql.annPqSql(),
     "ann_ivf_pq" -> ProductQuantizationSql.annIvfPqSql(),
+    "ann_pq_trained" -> ProductQuantizationSql.annPqTrainedSql(),
     "ann_ivf_pq_res" -> ProductQuantizationSql.annIvfPqResSql(),
     "emb_pq_codes" -> ProductQuantizationSql.pqCodesSql,
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),

@@ -261,6 +261,66 @@ object ProductQuantization {
   def annIvfPqRes(spark: SparkSession, dir: String): DataFrame =
     ivfPqResidualTopK(Tables.embeddings(spark, dir))
 
+  /** One Lloyd refinement step per subspace over the init codebook — the
+    * PQ analog of [[Similarity.kmeansStep]], same exact-arithmetic rules:
+    * assign every subvector to its nearest init codeword (the [[encode]]
+    * argmin), then replace each codeword with the per-dimension mean of its
+    * members as 1e-6-unit INTEGERS (floor(v * 1e6) longs, long sums,
+    * floored integer mean — partial-aggregation-order-proof and
+    * engine-exact); codewords with no members keep their init slice.
+    * Output cvec elements are the micro means divided back to double
+    * (exact: both engines divide the identical long by 1e6).
+    */
+  def trainedSubCodebook(emb: DataFrame): DataFrame = {
+    val init = subCodebook(emb)
+    val members = emb.select(col("vec_id"),
+        posexplode(array((0 until NumSub).map(m =>
+          slice(col("embedding"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sv")))
+      .join(encode(emb, init), Seq("vec_id", "m"))
+    val means = members
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .withColumn("mv", floor(col("v").cast("double") * 1e6).cast("long"))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("mv")).as("s"))
+      // FLOOR division, not truncation: sums go negative and the kmeansStep
+      // convention (and DuckDB's floor-dividing //) round toward -inf
+      .withColumn("c_micro",
+        floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c_micro")))),
+        x => x.getField("c_micro").cast("double") / 1e6).as("cvec_trained"))
+    init.join(means, Seq("m", "code"), "left")
+      .select(col("code"), col("m"),
+        coalesce(col("cvec_trained"),
+          transform(col("cvec"), _.cast("double"))).as("cvec"))
+  }
+
+  /** PQ/ADC over the TRAINED codebook — identical scoring machinery to
+    * [[adcTopK]], different (better-fitting) codewords. Exists to certify
+    * the training path the residual operator's scaladoc routes users to;
+    * AnnRecallSpec measures the trained-vs-init recall on the driver data.
+    */
+  def adcTopKTrained(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5): DataFrame = {
+    val cb = Caching.cached(trainedSubCodebook(emb))
+    val codes = encode(emb, cb)
+    val lut = lutOf(emb, cb, queryMaxId)
+    val scored = codes
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d_micro")).as("adist_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_micro"), col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adist_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annPqTrained(spark: SparkSession, dir: String): DataFrame =
+    adcTopKTrained(Tables.embeddings(spark, dir))
+
   /** Driver query: the PQ index itself, materialized — (vec_id, m, code)
     * rows a user persists once and serves both [[annPq]] and [[annIvfPq]]
     * (at 100 TB the index build is the expensive pass; queries then touch
@@ -341,6 +401,70 @@ object ProductQuantizationSql {
        |  FROM enc JOIN cb ON enc.m = cb.m)
        |SELECT vec_id, CAST(m AS INT) AS m, code FROM dists WHERE rn = 1
        |ORDER BY vec_id, m""".stripMargin
+  }
+
+  /** Mirror of [[ProductQuantization.adcTopKTrained]]: the same one-step
+    * Lloyd refinement (exact micro-integer means, floor division, empty
+    * clusters keep init), then the standard codes/LUT/ADC chain over the
+    * trained codebook.
+    */
+  def annPqTrainedSql(queryMaxId: Long = 8, k: Int = 5): String = {
+    def slc(v: String, m: String) =
+      s"list_slice($v, $m * $SubDim + 1, $m * $SubDim + $SubDim)"
+    val dMicro = (a: String, b: String) =>
+      s"CAST(floor(${VS.sqDist(a, b)} * 1e6) AS BIGINT)"
+    s"""WITH ms AS (SELECT unnest(range($NumSub)) AS m),
+       |cb0 AS (
+       |  SELECT CAST(e.vec_id AS INT) AS code, ms.m,
+       |         ${slc("e.embedding", "ms.m")} AS cvec
+       |  FROM embeddings e, ms WHERE e.vec_id < $NumCodes),
+       |enc AS (
+       |  SELECT e.vec_id, ms.m, ${slc("e.embedding", "ms.m")} AS sv
+       |  FROM embeddings e, ms),
+       |d0 AS (
+       |  SELECT enc.vec_id, enc.m, enc.sv, cb0.code,
+       |    row_number() OVER (PARTITION BY enc.vec_id, enc.m
+       |      ORDER BY ${dMicro("enc.sv", "cb0.cvec")}, cb0.code) AS rn
+       |  FROM enc JOIN cb0 ON enc.m = cb0.m),
+       |assigned0 AS (SELECT vec_id, m, sv, code FROM d0 WHERE rn = 1),
+       |dims AS (
+       |  SELECT a.m, a.code, i.pos,
+       |    CAST(floor(CAST(sum(CAST(floor(CAST(a.sv[i.pos + 1] AS DOUBLE) * 1e6)
+       |      AS BIGINT)) AS DOUBLE) / count(*)) AS BIGINT) AS c_micro
+       |  FROM assigned0 a, (SELECT unnest(range($SubDim)) AS pos) i
+       |  GROUP BY a.m, a.code, i.pos),
+       |trained AS (
+       |  SELECT m, code,
+       |    list(CAST(c_micro AS DOUBLE) / 1e6 ORDER BY pos) AS cvec_trained
+       |  FROM dims GROUP BY m, code),
+       |cb AS (
+       |  SELECT cb0.code, cb0.m,
+       |    COALESCE(t.cvec_trained,
+       |      list_transform(cb0.cvec, x -> CAST(x AS DOUBLE))) AS cvec
+       |  FROM cb0 LEFT JOIN trained t ON cb0.m = t.m AND cb0.code = t.code),
+       |dists AS (
+       |  SELECT enc.vec_id, enc.m, cb.code,
+       |    row_number() OVER (PARTITION BY enc.vec_id, enc.m
+       |      ORDER BY ${dMicro("enc.sv", "cb.cvec")}, cb.code) AS rn
+       |  FROM enc JOIN cb ON enc.m = cb.m),
+       |codes AS (SELECT vec_id, m, code FROM dists WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, cb.m, cb.code,
+       |         ${dMicro(slc("q.embedding", "cb.m"), "cb.cvec")} AS d_micro
+       |  FROM embeddings q JOIN cb ON q.vec_id < $queryMaxId),
+       |scored AS (
+       |  SELECT l.query_id, c.vec_id, CAST(sum(l.d_micro) AS BIGINT) AS adist_micro
+       |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY l.query_id, c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adist_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist_micro, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adist_micro
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** Mirror of [[ProductQuantization.ivfPqResidualTopK]]: residuals via

@@ -45,6 +45,7 @@ class AnnRecallSpec extends SparkSpec {
     val exact20 = exactTop(20)
     assert(exact5.nonEmpty)
     val pq = pairs(ProductQuantization.adcTopK(emb))
+    val pqTrained = pairs(ProductQuantization.adcTopKTrained(emb))
     val ivfPq = pairs(ProductQuantization.ivfPqTopK(emb))
     val ivfPqRes = pairs(ProductQuantization.ivfPqResidualTopK(emb))
     // recall@5 is data-limited here (500 near-equidistant 64-d points:
@@ -59,9 +60,15 @@ class AnnRecallSpec extends SparkSpec {
     val r20ivf = (ivfPq & exact20).size.toDouble / ivfPq.size
     val r5res = (ivfPqRes & exact5).size.toDouble / exact5.size
     val r20res = (ivfPqRes & exact20).size.toDouble / ivfPqRes.size
+    val r5tr = (pqTrained & exact5).size.toDouble / exact5.size
+    val r20tr = (pqTrained & exact20).size.toDouble / pqTrained.size
     info(f"pq recall@5 = $r5pq%.3f (top-5-in-top-20 = $r20pq%.3f), " +
+      f"pq-trained recall@5 = $r5tr%.3f (top-5-in-top-20 = $r20tr%.3f), " +
       f"ivf+pq recall@5 = $r5ivf%.3f (top-5-in-top-20 = $r20ivf%.3f), " +
       f"ivf+pq+res recall@5 = $r5res%.3f (top-5-in-top-20 = $r20res%.3f)")
+    // one Lloyd step must not make the codebook worse than init
+    assert(r5tr >= r5pq - 0.05, f"training regressed recall: $r5tr%.3f < $r5pq%.3f")
+    assert(r20tr >= 0.5, f"trained top-5 are not good neighbors: $r20tr%.3f")
     assert(r5pq >= 0.15, f"PQ recall@5 degenerated: $r5pq%.3f")
     assert(r5ivf >= 0.15, f"IVF+PQ recall@5 degenerated: $r5ivf%.3f")
     assert(r20pq >= 0.5, f"PQ top-5 are not good neighbors: $r20pq%.3f")
