@@ -84,7 +84,16 @@ object Bench {
     val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val gcTotal = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"gc_total":$gcTotal,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"gc_total":$gcTotal,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // the stdout line is also written to a file: the driver keeps only a log
+    // TAIL, and round 10's headline total was lost to that truncation
+    // ("parsed": null) — the committed file makes the number artifact-durable
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"bench_out write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

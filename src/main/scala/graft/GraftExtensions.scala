@@ -86,9 +86,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
       (children: Seq[Expression]) => {
         require(children.length == 3, "winnow_fingerprints(text, k, w)")
-        WinnowFingerprints(children(0),
-          intLit(children(1), "winnow_fingerprints k"),
-          intLit(children(2), "winnow_fingerprints w"))
+        val k = intLit(children(1), "winnow_fingerprints k")
+        val w = intLit(children(2), "winnow_fingerprints w")
+        // fail at analysis time: w < 1 would walk the executor-side window
+        // loop out of the hash-array bounds, k < 1 is not a shingle size
+        require(k >= 1 && w >= 1,
+          s"winnow_fingerprints(text, k, w): k and w must be >= 1, got k=$k w=$w")
+        WinnowFingerprints(children(0), k, w)
       }))
   }
 }

@@ -185,16 +185,24 @@ object Relational {
     Tables.events(spark, dir)
       .filter(col("user_id") < 20)
       .withColumn("epoch_s", unix_timestamp(col("ts")))
+      // the frame sum folds CENTS (floor(value*100) longs), not doubles: a
+      // RANGE frame ordered by epoch_s leaves the accumulation order among
+      // same-second peers unpinned on both engines, and a float fold's
+      // result depends on that order — integer sums cannot (the
+      // runningUserSpend / kmeansStep exactness rule); display divides the
+      // identical long back on both sides
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
       .select(col("user_id"), col("event_id"), col("epoch_s"),
         count(lit(1)).over(w).as("n_trailing_1h"),
-        round(sum(col("value")).over(w), 2).as("spend_trailing_1h"))
+        (sum(col("cents")).over(w).cast("double") / 100.0).as("spend_trailing_1h"))
       .orderBy(col("user_id"), col("event_id"))
   }
 
   val trailingHourActivitySql: String =
     """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
       |  CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
-      |  round(sum(value) OVER w, 2) AS spend_trailing_1h
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+      |    AS spend_trailing_1h
       |FROM events WHERE user_id < 20
       |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
       |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)

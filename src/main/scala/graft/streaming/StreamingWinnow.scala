@@ -40,9 +40,15 @@ object StreamingWinnow {
     * a full-span horizon (the [[StreamingDedup.exactWithinHorizon]]
     * configuration), so the survivor set equals the batch DISTINCT
     * fingerprint set and certifies against that oracle.
+    *
+    * The horizon is DERIVED from the replay's own time span (arrival times
+    * are doc_id seconds after base, so max doc_id + slack covers every
+    * arrival): a fixed horizon would silently start evicting state — and
+    * re-admitting duplicate fingerprints — once a corpus grew past it,
+    * diverging from the batch oracle (the StreamingSessions rule: the
+    * certification harness sizes its watermark to the data, not a constant).
     */
-  def firstSeenPassages(spark: SparkSession, dir: String, chunks: Int = 3,
-      horizon: String = "30 days"): DataFrame = {
+  def firstSeenPassages(spark: SparkSession, dir: String, chunks: Int = 3): DataFrame = {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
@@ -52,6 +58,7 @@ object StreamingWinnow {
       .sortBy(_._1)
       .map { case (id, text) =>
         DocArrival(new java.sql.Timestamp(base + id * 1000L), id, text) }
+    val horizon = s"${(if (rows.nonEmpty) rows.last.doc_id else 0L) + 3600L} seconds"
     val name = s"winnow_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val input = MemoryStream[DocArrival]
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")

@@ -11,6 +11,13 @@ class SaltedJoinSpec extends SparkSpec {
   private def fact = (1 to 20000).map { i =>
     (if (i % 10 == 0) s"k${i % 50}" else "hot", i.toLong)
   }.toDF("k", "v")
+  // the worst case the operator's scaladoc names: every hot row is
+  // BYTE-IDENTICAL (same key, same payload), plus a unique ordinal column
+  // a real source would carry (msg_id / o_orderkey)
+  private def factIdentical = (1 to 20000).map { i =>
+    (if (i % 10 == 0) s"k${i % 50}" else "hot",
+      if (i % 10 == 0) i.toLong else 0L, i.toLong)
+  }.toDF("k", "v", "ordinal")
   private def dim = (("hot" +: (0 until 50).map(i => s"k$i")))
     .map(k => (k, s"attr_$k")).toDF("k", "attr")
 
@@ -38,5 +45,36 @@ class SaltedJoinSpec extends SparkSpec {
       assert(plainParts == 1L) // the problem: one task owns the hot key
       assert(saltedParts > 1L) // the fix: fan-out over salts
     } finally spark.conf.set(coalesceKey, prev)
+  }
+
+  test("byte-identical hot rows fan out under a saltOn ordinal, and provably do NOT under the content-hash fallback") {
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      def hotParts(f: org.apache.spark.sql.DataFrame,
+          saltOn: Seq[org.apache.spark.sql.Column]): Long =
+        SaltedJoin.inner(f, dim.hint("merge"), "k", salts = 8, saltOn)
+          .filter($"k" === "hot").select(spark_partition_id()).distinct().count()
+      // without a disambiguator, every BYTE-IDENTICAL hot row (ordinal
+      // projected away — the source that doesn't carry one) content-hashes
+      // to ONE salt — the documented limitation: still a single straggler
+      assert(hotParts(factIdentical.drop("ordinal"), Nil) == 1L,
+        "content-hash fallback unexpectedly spread identical rows")
+      // with the source ordinal mixed in, the same rows fan out
+      assert(hotParts(factIdentical, Seq($"ordinal")) > 1L,
+        "saltOn ordinal failed to fan out identical hot rows")
+    } finally spark.conf.set(coalesceKey, prev)
+  }
+
+  test("saltOn salting preserves multiplicities of identical rows exactly") {
+    val plain = factIdentical.join(dim, Seq("k"), "inner")
+      .groupBy($"k", $"v").agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = SaltedJoin.inner(factIdentical, dim, "k", salts = 8,
+        saltOn = Seq($"ordinal"))
+      .groupBy($"k", $"v").agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.length == plain.length && salted.sameElements(plain))
   }
 }
