@@ -40,36 +40,53 @@ object StorageLayout {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
-  /** Morton (Z-order) interleave of the low `bits` bits of two non-negative
-    * integer dimensions — bit i of `a` lands at position 2i, bit i of `b`
-    * at 2i+1. Pure codegen'd bit arithmetic (2 x bits shift/mask terms).
-    * Inputs are widened to long BEFORE shifting: for IntegerType columns,
-    * bit 15 of `b` would otherwise land on the int sign bit (position 31)
+  /** Morton (Z-order) interleave of the low `bits` bits of n non-negative
+    * integer dimensions, round-robin: bit i of dimension j lands at
+    * position i*n + j. Pure codegen'd bit arithmetic (n x bits shift/mask
+    * terms). Inputs are widened to long BEFORE shifting: for IntegerType
+    * columns a high source bit would otherwise land on the int sign bit
     * and every such z-value would go negative, destroying the clustering.
+    * n*bits must fit the 63 value bits of a long — at 3+ dims shrink
+    * `bits` accordingly (real layout keys — tenant, day, bucketed id —
+    * rarely need more than ~20 bits each).
     */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
-    val (al, bl) = (a.cast("long"), b.cast("long"))
-    (0 until bits).map { i =>
-      shiftleft(shiftright(al, i).bitwiseAND(1L), 2 * i) +
-        shiftleft(shiftright(bl, i).bitwiseAND(1L), 2 * i + 1)
-    }.reduce(_ + _)
+  def zValue(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.length
+    require(n >= 2, s"zValue needs >= 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"zValue: $n dims x $bits bits = ${n * bits} interleaved bits; must be in [n, 63]")
+    val longs = dims.map(_.cast("long"))
+    (for { i <- 0 until bits; j <- 0 until n } yield
+      shiftleft(shiftright(longs(j), i).bitwiseAND(1L), i * n + j)
+    ).reduce(_ + _)
   }
 
-  /** Write `df` Z-order-clustered on two integer dimensions: range-partition
-    * and sort by the interleaved z-value, so each output file covers a
-    * small HYPER-RECTANGLE of (a, b) space instead of a slab of one
-    * dimension. A box predicate on BOTH dims then overlaps few files'
-    * min/max envelopes — the property linear sorting cannot give: sorting
-    * by `a` alone leaves every file spanning the full `b` range, so a
-    * `b` predicate prunes nothing. This is what parquet row-group/file
-    * skipping consumes at 100 TB; [[graft.StorageLayoutSpec]] measures the
-    * envelope-overlap counts of both layouts on a box predicate.
+  /** Two-dimension form (bit i of `a` at position 2i, of `b` at 2i+1 —
+    * the round-robin layout at n=2).
     */
-  def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
-      files: Int, bits: Int = 16): Unit =
-    df.withColumn("__z", zValue(col(a), col(b), bits))
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    zValue(Seq(a, b), bits)
+
+  /** Write `df` Z-order-clustered on n integer dimensions: range-partition
+    * and sort by the interleaved z-value, so each output file covers a
+    * small HYPER-RECTANGLE of dimension space instead of a slab of one
+    * dimension. A box predicate on the dims then overlaps few files'
+    * min/max envelopes — the property linear sorting cannot give: sorting
+    * by `a` alone leaves every file spanning the full range of the other
+    * dims, so their predicates prune nothing. This is what parquet
+    * row-group/file skipping consumes at 100 TB; [[graft.StorageLayoutSpec]]
+    * measures the envelope-overlap counts of 2- and 3-dim layouts against
+    * linear baselines on box predicates.
+    */
+  def writeZOrdered(df: DataFrame, path: String, dims: Seq[String],
+      files: Int, bits: Int): Unit =
+    df.withColumn("__z", zValue(dims.map(col), bits))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
+      files: Int, bits: Int = 16): Unit =
+    writeZOrdered(df, path, Seq(a, b), files, bits)
 }

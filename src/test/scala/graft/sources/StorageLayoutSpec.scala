@@ -90,6 +90,63 @@ class StorageLayoutSpec extends SparkSpec {
     assert(got == Seq(model(40000, 40000), model(0, 32768), model(65535, 65535)))
   }
 
+  test("n-dim zValue round-robin interleave matches the driver model and bounds its width") {
+    def model(vals: Seq[Long], bits: Int): Long =
+      (for { i <- 0 until bits; j <- vals.indices } yield
+        ((vals(j) >> i) & 1L) << (i * vals.length + j)).sum
+    val rows = Seq((0L, 0L, 0L), (1L, 2L, 4L), (7L, 7L, 7L), (15L, 0L, 9L), (1048575L, 524288L, 262144L))
+    val got = rows.toDF("a", "b", "c")
+      .select(StorageLayout.zValue(Seq($"a", $"b", $"c"), 20).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == rows.map { case (a, b, c) => model(Seq(a, b, c), 20) })
+    assert(got.forall(_ >= 0L))
+    // the 2-arg form is the n=2 instance of the same layout
+    val two = Seq((3L, 5L)).toDF("a", "b")
+      .select(StorageLayout.zValue(Seq($"a", $"b"), 16).as("z")).as[Long].head()
+    assert(two == model(Seq(3L, 5L), 16))
+    // widths that overflow a long's 63 value bits are rejected at plan time
+    intercept[IllegalArgumentException] {
+      StorageLayout.zValue(Seq($"a", $"b", $"c"), 22)
+    }
+    intercept[IllegalArgumentException] { StorageLayout.zValue(Seq($"a"), 16) }
+  }
+
+  test("3-dim z-order: a 3-dim box predicate overlaps fewer file envelopes than a linear sort") {
+    val work = Files.createTempDirectory("zorder3").toFile
+    try {
+      // 16 x 16 x 16 grid, one row per cell
+      val grid = (for (x <- 0L until 16L; y <- 0L until 16L; z <- 0L until 16L)
+        yield (x, y, z)).toDF("x", "y", "z")
+      val zPath = s"${work.getAbsolutePath}/z3"
+      val linPath = s"${work.getAbsolutePath}/lin3"
+      StorageLayout.writeZOrdered(grid, zPath, Seq("x", "y", "z"), files = 64, bits = 4)
+      // linear baseline: lexicographic (x, y, z) — only 16 distinct x values,
+      // so ranging on x alone could fill at most 16 files
+      grid.repartitionByRange(64, $"x", $"y", $"z")
+        .sortWithinPartitions($"x", $"y", $"z")
+        .write.mode("overwrite").parquet(linPath)
+      def overlapping(path: String): (Long, Long) = {
+        val stats = spark.read.parquet(path)
+          .select(input_file_name().as("f"), $"x", $"y", $"z")
+          .groupBy($"f")
+          .agg(min($"x").as("xmin"), max($"x").as("xmax"),
+            min($"y").as("ymin"), max($"y").as("ymax"),
+            min($"z").as("zmin"), max($"z").as("zmax"))
+        val total = stats.count()
+        // an 8x8x8 box = 1/8 of the grid
+        val hit = stats.filter($"xmax" >= 4 && $"xmin" <= 11 &&
+          $"ymax" >= 4 && $"ymin" <= 11 && $"zmax" >= 4 && $"zmin" <= 11).count()
+        (hit, total)
+      }
+      val (zHit, zTotal) = overlapping(zPath)
+      val (linHit, linTotal) = overlapping(linPath)
+      assert(zTotal == 64 && linTotal == 64)
+      // linear-by-x files each span all of (y, z): pruning is x-only. The
+      // z-ordered files cover 3-dim sub-boxes, so the box touches fewer.
+      assert(zHit < linHit, s"z=$zHit lin=$linHit")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
+  }
+
   test("z-order clustering: a 2-dim box predicate overlaps far fewer file envelopes than a linear sort") {
     val work = Files.createTempDirectory("zorder").toFile
     try {
