@@ -155,6 +155,11 @@ object SparkEntry {
     // ranked by the SAME tail against the SAME oracle as the batch form
     "q_heavy_hitters_streaming" -> ((s, d) =>
       streaming.StreamingHeavyHitters.hotCustomers(s, d)),
+    // the BOUNDED-state form: per-partition Misra-Gries summaries (capacity
+    // counters max, regardless of input size) merged by key-sum; certified
+    // in the provably-exact regime (capacity > distinct keys) against the
+    // SAME oracle as the exact profile
+    "q_heavy_hitters_bounded" -> (HeavyHitters.hotCustomersBounded _),
     // benchmark decontamination: broadcast bench postings, probe-augmented
     // bench suite so the correctness row is structurally non-vacuous
     "text_decontaminate" -> ((s, d) => {
@@ -210,6 +215,10 @@ object SparkEntry {
     // classic residual IVF-PQ: codes quantize the residual against the
     // coarse centroid; one query LUT per probed list
     "ann_ivf_pq_res" -> (ProductQuantization.annIvfPqRes _),
+    // residual IVF-PQ with the TRAINED residual codebook (one exact-integer
+    // Lloyd step over residuals) — the composition the untrained variant's
+    // scaladoc routes users to, now certified
+    "ann_ivf_pq_res_trained" -> (ProductQuantization.annIvfPqResTrained _),
     // the PQ index materialized: persist once, serve ann_pq and ann_ivf_pq
     "emb_pq_codes" -> (ProductQuantization.pqCodes _),
     // one k-means refinement step (broadcast-argmax assign + exact scaled-
@@ -305,6 +314,7 @@ object SparkEntry {
     "q_approx_quantiles_streaming" -> SketchesSql.approxQuantilesByTypeSql,
     "q_heavy_hitters" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_streaming" -> HeavyHitters.hotCustomersSql,
+    "q_heavy_hitters_bounded" -> HeavyHitters.hotCustomersSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_exact_streaming" -> DedupSql.exactKeySetSql,
@@ -322,6 +332,7 @@ object SparkEntry {
     "ann_ivf_pq" -> ProductQuantizationSql.annIvfPqSql(),
     "ann_pq_trained" -> ProductQuantizationSql.annPqTrainedSql(),
     "ann_ivf_pq_res" -> ProductQuantizationSql.annIvfPqResSql(),
+    "ann_ivf_pq_res_trained" -> ProductQuantizationSql.annIvfPqResSql(trained = true),
     "emb_pq_codes" -> ProductQuantizationSql.pqCodesSql,
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),
     "emb_quantize" -> QuantizeSql.int8Sql,

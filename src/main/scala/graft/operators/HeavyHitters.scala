@@ -1,10 +1,19 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+
+/** One summary row of a per-partition Misra-Gries pass: a surviving
+  * (key, lower-bound count) counter, or — with `k = None` — the partition's
+  * exact row count (the sentinel the share denominator needs: summed
+  * counter values undercount once decrements start).
+  */
+final case class MgEntry(k: Option[Long], cnt: Long)
 
 /** Exact heavy-hitter profile of a key column — the diagnostic that decides
   * the skew playbook ([[SaltedJoin]]'s scaladoc): which keys are hot, and
@@ -18,12 +27,82 @@ import graft.sources.Tables
   * integer parts-per-million (count * 1e6 div total), so no float boundary
   * can flip a rank or a reported share.
   *
-  * (A Misra-Gries / count-min pass can replace the exact aggregate when
-  * even key cardinality overwhelms memory; at that point the [[Sketches]]
-  * family's bounded-state designs apply. The exact form is the oracle-
-  * verifiable contract.)
+  * When even key CARDINALITY overwhelms memory (the exact aggregate's
+  * shuffle is itself the skew pathology being diagnosed), [[boundedTopKeys]]
+  * replaces the exact aggregate with a Misra-Gries pass: state is capped at
+  * `capacity` counters per partition REGARDLESS of input size, every key
+  * with true count > n/(capacity+1) provably survives, and with capacity >=
+  * per-partition distinct keys the summary degrades to the exact counts —
+  * the regime the driver oracle certifies (capacity 65536 vs ~1.5k distinct
+  * custkeys at the certification scale, so the sketch output IS the exact
+  * answer, hash-checked).
   */
 object HeavyHitters {
+
+  /** Per-partition Misra-Gries summaries of a long key column: at most
+    * `capacity` surviving counters per partition plus one `k = None`
+    * sentinel carrying the partition's exact row count. Counter values are
+    * LOWER bounds (true count minus at most n_partition/(capacity+1));
+    * every key whose true count exceeds that bound survives. Decrement-all
+    * events amortize: each removes capacity+1 from the summed mass, so the
+    * total work is O(n).
+    *
+    * Deterministic: counters depend only on the partition's row sequence
+    * (stable parquet file splits), and the exact-regime output (no
+    * decrements) is order-independent outright.
+    */
+  def mgSummaries(keys: Dataset[Long], capacity: Int): Dataset[MgEntry] = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    implicit val enc = Encoders.product[MgEntry]
+    keys.mapPartitions { it =>
+      val counters = mutable.LongMap.empty[Long]
+      var total = 0L
+      while (it.hasNext) {
+        val k = it.next()
+        total += 1L
+        if (counters.contains(k)) counters(k) += 1L
+        else if (counters.size < capacity) counters(k) = 1L
+        else {
+          // the Misra-Gries step: a miss at capacity decrements EVERY
+          // counter (the arriving key's implicit counter hits 0 and is
+          // discarded with the rest)
+          val dead = counters.iterator.collect { case (key, c) if c == 1L => key }.toArray
+          counters.mapValuesInPlace((_, c) => c - 1L)
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.iterator.map { case (k, c) => MgEntry(Some(k), c) } ++
+        Iterator.single(MgEntry(None, total))
+    }
+  }
+
+  /** Heavy hitters under BOUNDED state: per-partition Misra-Gries summaries
+    * merged by key-sum (lower bounds add; merge order cannot matter for a
+    * sum), ranked by the shared integer-ppm tail. The share denominator is
+    * the sentinels' exact row total, not the (possibly undercounting)
+    * counter sum. State: partitions x (capacity+1) rows end to end —
+    * input-size-independent, the [[Sketches]] contract.
+    */
+  def boundedTopKeys(df: DataFrame, keyCol: String, topN: Int,
+      capacity: Int): DataFrame = {
+    implicit val longEnc = Encoders.scalaLong
+    val summaries = mgSummaries(
+      df.select(col(keyCol).cast("long")).as[Long], capacity).toDF()
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.orderBy(col("n_rows").desc, col(keyCol))
+    summaries
+      // exact total from the sentinels, visible to every summary row; the
+      // window runs over partitions x (capacity+1) bounded rows, not data
+      .withColumn("__total", sum(when(col("k").isNull, col("cnt"))).over(wAll))
+      .filter(col("k").isNotNull)
+      .groupBy(col("k").as(keyCol))
+      .agg(sum(col("cnt")).as("n_rows"), max(col("__total")).as("__t"))
+      .withColumn("share_ppm", expr("(n_rows * 1000000L) div __t"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col(keyCol), col("n_rows"), col("share_ppm"))
+      .orderBy(col("rank"))
+  }
 
   def topKeys(df: DataFrame, keyCol: String, topN: Int): DataFrame =
     rankCounts(df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows")), keyCol, topN)
@@ -51,6 +130,18 @@ object HeavyHitters {
     */
   def hotCustomers(spark: SparkSession, dir: String): DataFrame =
     topKeys(Tables.orders(spark, dir).select(col("o_custkey")), "o_custkey", 10)
+
+  /** Driver query: the same profile through the BOUNDED-state sketch.
+    * Capacity 65536 exceeds the distinct-custkey count at every test scale
+    * (~15k at sf0.1), so the sketch is in its provably-exact regime and
+    * certifies against the SAME oracle as [[hotCustomers]] — rows, ranks,
+    * counts, and shares hash-identical to the exact aggregate.
+    * (HeavyHittersSpec separately exercises the decremented regime, where
+    * the oracle-free guarantees — survival and lower bounds — apply.)
+    */
+  def hotCustomersBounded(spark: SparkSession, dir: String): DataFrame =
+    boundedTopKeys(Tables.orders(spark, dir).select(col("o_custkey")),
+      "o_custkey", 10, capacity = 1 << 16)
 
   val hotCustomersSql: String =
     """WITH counts AS (

@@ -189,12 +189,15 @@ object ProductQuantization {
     * codewords are actual data points covering the manifold, while
     * arbitrary "first-K residuals" do not cover the residual distribution.
     * Residual encoding earns its advantage only with k-means-TRAINED
-    * per-subspace codebooks ([[Similarity.kmeansStep]] is the training
-    * step); this operator certifies the classic algorithm's mechanics, and
-    * the spec pins the measured trade so nobody ships it untrained.
+    * per-subspace codebooks; `trained = true` runs exactly that (one
+    * exact-integer Lloyd step over the residuals,
+    * [[trainedResidualCodebook]]) and is certified as its own driver query
+    * (ann_ivf_pq_res_trained). Measured: training lifts residual recall@5
+    * 0.150 -> 0.325, drawing level with absolute codes — the trade and the
+    * recovery are BOTH pinned in AnnRecallSpec so nobody ships it untrained.
     */
   def ivfPqResidualTopK(emb: DataFrame, nCentroids: Int = 16, nProbe: Int = 4,
-      queryMaxId: Long = 8, k: Int = 5): DataFrame = {
+      queryMaxId: Long = 8, k: Int = 5, trained: Boolean = false): DataFrame = {
     val withNorm = Similarity.withNormOf(emb)
     val centroids = Similarity.centroidsOf(withNorm, nCentroids)
     val assigned = Similarity.nearestCentroids(
@@ -205,14 +208,20 @@ object ProductQuantization {
       .select(col("vec_id"), col("cid"),
         zip_with(col("embedding"), col("cvec"),
           (x, c) => x.cast("double") - c.cast("double")).as("rv"))
-    // residual sub-codebook: first K vectors' residual slices. Materialized
-    // (M x K rows) so the coarse-assignment subtree under it is computed
-    // once instead of re-expanding under every consumer — the plan-tree
-    // duplication would otherwise re-run the codebook scan per reference.
-    val cb = Caching.cached(residuals.filter(col("vec_id") < NumCodes)
+    // residual sub-codebook: first K vectors' residual slices (with
+    // `trained`, one Lloyd refinement over the residual distribution on
+    // top — the configuration production residual-PQ engines actually
+    // ship, and the one this operator's own untrained-recall caveat routes
+    // users to). Materialized (M x K rows) so the coarse-assignment
+    // subtree under it is computed once instead of re-expanding under
+    // every consumer — the plan-tree duplication would otherwise re-run
+    // the codebook scan per reference.
+    val cb0 = residuals.filter(col("vec_id") < NumCodes)
       .select(col("vec_id").cast("int").as("code"),
         posexplode(array((0 until NumSub).map(m =>
-          slice(col("rv"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "cvec"))))
+          slice(col("rv"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "cvec")))
+    val cb = Caching.cached(
+      if (trained) trainedResidualCodebook(residuals, cb0) else cb0)
     // encode every vector's residual — packed (one shuffled row per vector,
     // the encodePacked rule), then exploded narrow
     val codeAggs = (0 until NumSub).map(m =>
@@ -260,6 +269,54 @@ object ProductQuantization {
 
   def annIvfPqRes(spark: SparkSession, dir: String): DataFrame =
     ivfPqResidualTopK(Tables.embeddings(spark, dir))
+
+  /** One Lloyd refinement step of the RESIDUAL sub-codebook — the exact
+    * composition the untrained-residual caveat above routes users to:
+    * assign every residual subvector to its nearest init codeword (packed
+    * argmin — one shuffled row per vector, the [[encodePacked]] rule), then
+    * replace each codeword with the per-dimension mean of its members in
+    * 1e-6-unit integer arithmetic ([[trainedSubCodebook]]'s exact-math
+    * convention verbatim: floored long means, floor division, empty
+    * clusters keep their init slice).
+    */
+  private def trainedResidualCodebook(residuals: DataFrame, init: DataFrame): DataFrame = {
+    val sub = residuals.select(col("vec_id"),
+      posexplode(array((0 until NumSub).map(m =>
+        slice(col("rv"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sv")))
+    val codeAggs = (0 until NumSub).map(m =>
+      expr(s"min_by(code, struct(d_micro, code)) FILTER (WHERE m = $m)").as(s"code_$m"))
+    val codes0 = sub.join(broadcast(init), Seq("m"))
+      .withColumn("d_micro", floor(VF.sqDist(col("sv"), col("cvec")) * 1e6).cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(codeAggs.head, codeAggs.tail: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until NumSub).map(m => col(s"code_$m")): _*))
+          .as(Seq("m", "code")))
+    val means = sub.join(codes0, Seq("vec_id", "m"))
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .withColumn("mv", floor(col("v").cast("double") * 1e6).cast("long"))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("mv")).as("s"))
+      .withColumn("c_micro",
+        floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c_micro")))),
+        x => x.getField("c_micro").cast("double") / 1e6).as("cvec_trained"))
+    init.join(means, Seq("m", "code"), "left")
+      .select(col("code"), col("m"),
+        coalesce(col("cvec_trained"),
+          transform(col("cvec"), _.cast("double"))).as("cvec"))
+  }
+
+  /** Driver query: classic residual IVF-PQ with the TRAINED residual
+    * codebook — [[ivfPqResidualTopK]]'s machinery over
+    * [[trainedResidualCodebook]]'s codewords. Certifies the composition the
+    * untrained operator's scaladoc promises; AnnRecallSpec pins the
+    * measured trained-vs-untrained residual recall so the claim stays a
+    * measurement, not an assertion.
+    */
+  def annIvfPqResTrained(spark: SparkSession, dir: String): DataFrame =
+    ivfPqResidualTopK(Tables.embeddings(spark, dir), trained = true)
 
   /** One Lloyd refinement step per subspace over the init codebook — the
     * PQ analog of [[Similarity.kmeansStep]], same exact-arithmetic rules:
@@ -469,16 +526,53 @@ object ProductQuantizationSql {
 
   /** Mirror of [[ProductQuantization.ivfPqResidualTopK]]: residuals via
     * exact element-wise double subtraction, residual codebook from the
-    * first K vectors' residuals, per-probed-list query LUTs.
+    * first K vectors' residuals, per-probed-list query LUTs. With
+    * `trained`, the same one-step Lloyd refinement as [[annPqTrainedSql]]
+    * (exact micro-integer means, floor division, empty clusters keep init)
+    * runs over the RESIDUAL subvectors before encoding.
     */
   def annIvfPqResSql(nCentroids: Int = 16, nProbe: Int = 4,
-      queryMaxId: Long = 8, k: Int = 5): String = {
+      queryMaxId: Long = 8, k: Int = 5, trained: Boolean = false): String = {
     def slc(v: String, m: String) =
       s"list_slice($v, $m * $SubDim + 1, $m * $SubDim + $SubDim)"
     val dMicro = (a: String, b: String) =>
       s"CAST(floor(${VS.sqDist(a, b)} * 1e6) AS BIGINT)"
     def residual(v: String, c: String) =
       s"list_transform(range(len($v)), i -> CAST($v[i+1] AS DOUBLE) - CAST($c[i+1] AS DOUBLE))"
+    // untrained: the init codebook IS the codebook. trained: one Lloyd step
+    // over the residual subvectors (same CTE chain as annPqTrainedSql).
+    val cbChain = if (!trained)
+      s"""cb AS (
+         |  SELECT CAST(r.vec_id AS INT) AS code, ms.m, ${slc("r.rv", "ms.m")} AS cvec
+         |  FROM res r, ms WHERE r.vec_id < $NumCodes),""".stripMargin
+    else
+      s"""cb0 AS (
+         |  SELECT CAST(r.vec_id AS INT) AS code, ms.m, ${slc("r.rv", "ms.m")} AS cvec
+         |  FROM res r, ms WHERE r.vec_id < $NumCodes),
+         |enc0 AS (
+         |  SELECT r.vec_id, ms.m, ${slc("r.rv", "ms.m")} AS sv
+         |  FROM res r, ms),
+         |d0 AS (
+         |  SELECT enc0.vec_id, enc0.m, enc0.sv, cb0.code,
+         |    row_number() OVER (PARTITION BY enc0.vec_id, enc0.m
+         |      ORDER BY ${dMicro("enc0.sv", "cb0.cvec")}, cb0.code) AS rn
+         |  FROM enc0 JOIN cb0 ON enc0.m = cb0.m),
+         |assigned0 AS (SELECT vec_id, m, sv, code FROM d0 WHERE rn = 1),
+         |dims AS (
+         |  SELECT a.m, a.code, i.pos,
+         |    CAST(floor(CAST(sum(CAST(floor(CAST(a.sv[i.pos + 1] AS DOUBLE) * 1e6)
+         |      AS BIGINT)) AS DOUBLE) / count(*)) AS BIGINT) AS c_micro
+         |  FROM assigned0 a, (SELECT unnest(range($SubDim)) AS pos) i
+         |  GROUP BY a.m, a.code, i.pos),
+         |trainedc AS (
+         |  SELECT m, code,
+         |    list(CAST(c_micro AS DOUBLE) / 1e6 ORDER BY pos) AS cvec_trained
+         |  FROM dims GROUP BY m, code),
+         |cb AS (
+         |  SELECT cb0.code, cb0.m,
+         |    COALESCE(t.cvec_trained,
+         |      list_transform(cb0.cvec, x -> CAST(x AS DOUBLE))) AS cvec
+         |  FROM cb0 LEFT JOIN trainedc t ON cb0.m = t.m AND cb0.code = t.code),""".stripMargin
     s"""WITH cents AS (
        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
        |  WHERE vec_id < $nCentroids),
@@ -504,9 +598,7 @@ object ProductQuantizationSql {
        |  JOIN assigned a ON e.vec_id = a.vec_id
        |  JOIN cents c ON a.cid = c.cid),
        |ms AS (SELECT unnest(range($NumSub)) AS m),
-       |cb AS (
-       |  SELECT CAST(r.vec_id AS INT) AS code, ms.m, ${slc("r.rv", "ms.m")} AS cvec
-       |  FROM res r, ms WHERE r.vec_id < $NumCodes),
+       |$cbChain
        |enc AS (
        |  SELECT r.vec_id, r.cid, ms.m, ${slc("r.rv", "ms.m")} AS sv
        |  FROM res r, ms),

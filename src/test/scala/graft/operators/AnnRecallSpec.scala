@@ -48,6 +48,7 @@ class AnnRecallSpec extends SparkSpec {
     val pqTrained = pairs(ProductQuantization.adcTopKTrained(emb))
     val ivfPq = pairs(ProductQuantization.ivfPqTopK(emb))
     val ivfPqRes = pairs(ProductQuantization.ivfPqResidualTopK(emb))
+    val ivfPqResTr = pairs(ProductQuantization.ivfPqResidualTopK(emb, trained = true))
     // recall@5 is data-limited here (500 near-equidistant 64-d points:
     // distance concentration makes the exact rank order noise-sensitive, so
     // quantization reshuffles the boundary regardless of codebook
@@ -60,12 +61,15 @@ class AnnRecallSpec extends SparkSpec {
     val r20ivf = (ivfPq & exact20).size.toDouble / ivfPq.size
     val r5res = (ivfPqRes & exact5).size.toDouble / exact5.size
     val r20res = (ivfPqRes & exact20).size.toDouble / ivfPqRes.size
+    val r5resTr = (ivfPqResTr & exact5).size.toDouble / exact5.size
+    val r20resTr = (ivfPqResTr & exact20).size.toDouble / ivfPqResTr.size
     val r5tr = (pqTrained & exact5).size.toDouble / exact5.size
     val r20tr = (pqTrained & exact20).size.toDouble / pqTrained.size
     info(f"pq recall@5 = $r5pq%.3f (top-5-in-top-20 = $r20pq%.3f), " +
       f"pq-trained recall@5 = $r5tr%.3f (top-5-in-top-20 = $r20tr%.3f), " +
       f"ivf+pq recall@5 = $r5ivf%.3f (top-5-in-top-20 = $r20ivf%.3f), " +
-      f"ivf+pq+res recall@5 = $r5res%.3f (top-5-in-top-20 = $r20res%.3f)")
+      f"ivf+pq+res recall@5 = $r5res%.3f (top-5-in-top-20 = $r20res%.3f), " +
+      f"ivf+pq+res-trained recall@5 = $r5resTr%.3f (top-5-in-top-20 = $r20resTr%.3f)")
     // one Lloyd step must not make the codebook worse than init
     assert(r5tr >= r5pq - 0.05, f"training regressed recall: $r5tr%.3f < $r5pq%.3f")
     assert(r20tr >= 0.5, f"trained top-5 are not good neighbors: $r20tr%.3f")
@@ -81,5 +85,15 @@ class AnnRecallSpec extends SparkSpec {
     // (the kmeansStep path). Floors keep the operator honest, not heroic.
     assert(r5res >= 0.10, f"residual recall@5 collapsed: $r5res%.3f")
     assert(r20res >= 0.4, f"residual top-5 are not good neighbors: $r20res%.3f")
+    // the claim the untrained caveat makes, now MEASURED: one Lloyd step
+    // over the residual distribution lifts recall@5 0.150 -> 0.325 (and
+    // top-5-in-top-20 0.550 -> 0.700) — the trained-residual configuration
+    // matches the absolute-code path's 0.325, i.e. residual coding stops
+    // losing exactly when the codebook is trained. Floors sit below the
+    // measured values with margin; the >= untrained pin keeps the
+    // qualitative claim (training helps) from ever silently inverting.
+    assert(r5resTr >= r5res, f"training made residual recall WORSE: $r5resTr%.3f < $r5res%.3f")
+    assert(r5resTr >= 0.25, f"trained residual recall@5 degenerated: $r5resTr%.3f")
+    assert(r20resTr >= 0.6, f"trained residual top-5 are not good neighbors: $r20resTr%.3f")
   }
 }
