@@ -39,6 +39,13 @@ object SparkEntry {
     // flatMapGroupsWithState), checked against the SAME oracle as the batch
     // mqtt_history — the incremental-equals-batch property, driver-verified
     "mqtt_history_streaming" -> ((s, d) => streaming.StreamingHistory.history(s, d)),
+    // the same streaming CDC certified through the built-in FILE stream
+    // source (range-ordered parquet chunks, maxFilesPerTrigger=1): no
+    // driver-side input materialization anywhere on the ingest path, so
+    // the incremental-equals-batch certificate is not capped at driver
+    // memory the way the broker-replay harness is
+    "mqtt_history_streaming_file" -> ((s, d) =>
+      streaming.FileReplayHistory.history(s, d)),
     // the keyed upsert sink end-to-end (source -> micro-batches -> foreachBatch
     // merge), against the SAME oracle as the batch state table
     "mqtt_state_streaming" -> ((s, d) => streaming.StreamingState.state(s, d)),
@@ -264,6 +271,7 @@ object SparkEntry {
     "mqtt_localtime" -> MqttQueries.localtimeSql,
     "mqtt_payload_json" -> MqttQueries.payloadJsonSql,
     "mqtt_history_streaming" -> MqttQueries.historySql,
+    "mqtt_history_streaming_file" -> MqttQueries.historySql,
     "mqtt_state_streaming" -> MqttQueries.stateSql,
     "mqtt_asof_change" -> MqttQueries.asofChangeSql,
     "mqtt_windowed_counts" -> MqttQueries.windowedCountsSql,

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.MqttQueries
+
+/** The streaming CDC certification WITHOUT driver-side input
+  * materialization: [[StreamingHistory]] proves incremental-equals-batch
+  * through the DSv2 MQTT source, but its ingest seam ([[Replay.publish]])
+  * `.collect()`s the whole replay frame to the driver — the operators scale,
+  * the harness caps the certificate at driver memory. This path removes
+  * that cap: the replay frame is written DISTRIBUTED as `chunks` parquet
+  * files in (ts, msg_id) range order, then consumed by the built-in file
+  * stream source under `maxFilesPerTrigger = 1`, so each file becomes a
+  * REAL micro-batch and no input row ever visits the driver.
+  *
+  * Ordering contract: the CDC diff and the id assignment depend on the
+  * (ts, msg_id) total order, so micro-batch boundaries must respect it —
+  * `repartitionByRange(ts, msg_id)` makes chunk i's rows all precede chunk
+  * i+1's (executor-side range sort, not a driver sort), and the part files'
+  * modification times are stamped ascending in partition order because the
+  * file source schedules oldest-timestamp-first (the one piece of file
+  * METADATA the driver touches; never data).
+  *
+  * Oracle: [[MqttQueries.historySql]] — the SAME SQL as the batch and
+  * broker-replay forms, so a green row certifies incremental-equals-batch
+  * at any scale the cluster (not the driver) can hold.
+  */
+object FileReplayHistory {
+
+  def history(spark: SparkSession, dir: String, chunks: Int = 3): DataFrame = {
+    import spark.implicits._
+    val m = MqttQueries.replayMessages(spark, dir)
+    val work = java.nio.file.Files.createTempDirectory("graft_file_replay").toFile
+    try {
+      val inDir = new java.io.File(work, "in").getAbsolutePath
+      val staged = m.select(col("msg_id"), col("ts").cast("timestamp").as("ts"),
+        col("topic"), col("value"), col("qos"), col("retain"))
+      staged
+        .repartitionByRange(chunks, col("ts"), col("msg_id"))
+        .sortWithinPartitions(col("ts"), col("msg_id"))
+        .write.mode("overwrite").parquet(inDir)
+      // pin pickup order across triggers: ascending mtimes in range order
+      val parts = new java.io.File(inDir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1_000_000_000_000L + i * 60_000L) }
+      val name = s"mqtt_cdc_file_${java.util.UUID.randomUUID().toString.take(8)}"
+      val events = try {
+        // state-store partition count freezes from the session conf at the
+        // query's first run — size it to the topic keyspace, restore after
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          val stream = spark.readStream
+            .schema(staged.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inDir)
+          StatefulCdc.changes(stream.as[MqttMsg])
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        try q.awaitTermination() finally q.stop()
+        // memory-sink readback: the OUTPUT surface (CDC events), not input
+        spark.table(name).as[CdcEvent].collect().toSeq
+      } finally {
+        try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+      }
+      val kept = spark.createDataset(events).toDF()
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .select(col("ts"), col("topic"), col("value"), col("msg_id"))
+      // the SAME post-processing as the batch and broker-replay forms
+      MqttQueries.finishHistory(kept, m)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
+  }
+}

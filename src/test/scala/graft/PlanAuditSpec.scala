@@ -32,7 +32,8 @@ class PlanAuditSpec extends SparkSpec {
   // streaming/iterative queries execute eagerly (they must run a stream or a
   // convergence loop to build their result); their batch post-processing is
   // audited via the batch twins' plans
-  private val eager = Set("mqtt_history_streaming", "mqtt_state_streaming",
+  private val eager = Set("mqtt_history_streaming", "mqtt_history_streaming_file",
+    "mqtt_state_streaming",
     "q_approx_distinct_streaming", "dedup_exact_streaming",
     "q_session_windows_streaming", "q_approx_quantiles_streaming",
     "q_heavy_hitters_streaming", "pipeline_clean_corpus_streaming",
