@@ -5,10 +5,13 @@ package graft.sources.mqtt
   * This is the paho-client-shaped boundary: [[MqttClient]] drives the
   * reference's connect / CONNACK-wait / subscribe / loop state machine
   * (/root/reference/mqtt2sql.py:843-897, :899-924) against this trait, and
-  * tests substitute a scripted fake. A production build would back it with a
-  * real MQTT codec over a socket; everything above this line — timeout
-  * polling, retry policy, subscribe-on-CONNACK, reconnect-on-conn-lost,
-  * exclude-topic drop — is the reference-parity logic under test.
+  * tests substitute a scripted fake. [[SocketMqttTransport]] backs it with
+  * the real MQTT 3.1.1 codec ([[MqttCodec]]) over real TCP/TLS sockets,
+  * certified end-to-end against the in-process [[MiniMqttServer]] broker on
+  * loopback (SocketTransportSpec / LiveIngestSpec); everything above this
+  * line — timeout polling, retry policy, subscribe-on-CONNACK,
+  * reconnect-on-conn-lost, exclude-topic drop — is the reference-parity
+  * logic under test, identical for both backends.
   */
 trait MqttTransport {
 
