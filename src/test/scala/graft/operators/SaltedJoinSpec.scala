@@ -67,6 +67,34 @@ class SaltedJoinSpec extends SparkSpec {
     } finally spark.conf.set(coalesceKey, prev)
   }
 
+  test("AQE splits the skewed partition at runtime — the first-line remedy the scaladoc defers to") {
+    // the scaladoc's remedy order is broadcast > AQE skew-join > explicit
+    // salt; this pins that the middle option actually engages on our skew
+    // shape, so the explicit salt stays reserved for the cases AQE can't
+    // reach (hash-join-required pipelines, known-extreme keys)
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // pad the payload so the hot partition clears the (lowered) byte bar
+      val padded = fact.withColumn("pad", concat_ws("", typedLit(Seq.fill(8)("x"))))
+      val joined = padded.join(dim.hint("merge"), Seq("k"), "inner")
+      // execute through THIS Dataset's QueryExecution (collect does; count/
+      // foreach/write spawn their own): AQE only finalizes — and marks
+      // skew — on the executed instance, not on a fresh plan
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not mark the skew join:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltOn salting preserves multiplicities of identical rows exactly") {
     val plain = factIdentical.join(dim, Seq("k"), "inner")
       .groupBy($"k", $"v").agg(count(lit(1)).as("n"))
