@@ -167,6 +167,12 @@ object SparkEntry {
     // in the provably-exact regime (capacity > distinct keys) against the
     // SAME oracle as the exact profile
     "q_heavy_hitters_bounded" -> (HeavyHitters.hotCustomersBounded _),
+    // the bounded sketch maintained incrementally: groups x capacity
+    // Misra-Gries counters in flatMapGroupsWithState — state independent of
+    // the key universe (the exact streaming twin holds one counter per
+    // distinct key); same exact-regime certification, same oracle
+    "q_heavy_hitters_bounded_streaming" -> ((s, d) =>
+      streaming.StreamingBoundedHeavyHitters.hotCustomers(s, d)),
     // benchmark decontamination: broadcast bench postings, probe-augmented
     // bench suite so the correctness row is structurally non-vacuous
     "text_decontaminate" -> ((s, d) => {
@@ -323,6 +329,7 @@ object SparkEntry {
     "q_heavy_hitters" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_streaming" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_bounded" -> HeavyHitters.hotCustomersSql,
+    "q_heavy_hitters_bounded_streaming" -> HeavyHitters.hotCustomersSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_exact_streaming" -> DedupSql.exactKeySetSql,

@@ -51,26 +51,38 @@ object HeavyHitters {
     * (stable parquet file splits), and the exact-regime output (no
     * decrements) is order-independent outright.
     */
+  /** Fold a key sequence into bounded counters IN PLACE — the Misra-Gries
+    * step, shared verbatim by the batch pass and the streaming state update
+    * ([[graft.streaming.StreamingBoundedHeavyHitters]]). Returns the number
+    * of keys consumed (the exact-total bookkeeping the share denominator
+    * needs).
+    */
+  private[graft] def mgFold(counters: mutable.LongMap[Long], capacity: Int,
+      keys: Iterator[Long]): Long = {
+    var n = 0L
+    while (keys.hasNext) {
+      val k = keys.next()
+      n += 1L
+      if (counters.contains(k)) counters(k) += 1L
+      else if (counters.size < capacity) counters(k) = 1L
+      else {
+        // the Misra-Gries step: a miss at capacity decrements EVERY
+        // counter (the arriving key's implicit counter hits 0 and is
+        // discarded with the rest)
+        val dead = counters.iterator.collect { case (key, c) if c == 1L => key }.toArray
+        counters.mapValuesInPlace((_, c) => c - 1L)
+        dead.foreach(counters.remove)
+      }
+    }
+    n
+  }
+
   def mgSummaries(keys: Dataset[Long], capacity: Int): Dataset[MgEntry] = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     implicit val enc = Encoders.product[MgEntry]
     keys.mapPartitions { it =>
       val counters = mutable.LongMap.empty[Long]
-      var total = 0L
-      while (it.hasNext) {
-        val k = it.next()
-        total += 1L
-        if (counters.contains(k)) counters(k) += 1L
-        else if (counters.size < capacity) counters(k) = 1L
-        else {
-          // the Misra-Gries step: a miss at capacity decrements EVERY
-          // counter (the arriving key's implicit counter hits 0 and is
-          // discarded with the rest)
-          val dead = counters.iterator.collect { case (key, c) if c == 1L => key }.toArray
-          counters.mapValuesInPlace((_, c) => c - 1L)
-          dead.foreach(counters.remove)
-        }
-      }
+      val total = mgFold(counters, capacity, it)
       counters.iterator.map { case (k, c) => MgEntry(Some(k), c) } ++
         Iterator.single(MgEntry(None, total))
     }
@@ -86,13 +98,24 @@ object HeavyHitters {
   def boundedTopKeys(df: DataFrame, keyCol: String, topN: Int,
       capacity: Int): DataFrame = {
     implicit val longEnc = Encoders.scalaLong
-    val summaries = mgSummaries(
-      df.select(col(keyCol).cast("long")).as[Long], capacity).toDF()
+    rankSummaries(mgSummaries(
+      df.select(col(keyCol).cast("long")).as[Long], capacity).toDF(), keyCol, topN)
+  }
+
+  /** The ranking/share tail over Misra-Gries summary rows (`k` nullable
+    * long, `cnt`): merge by key-sum (lower bounds add), take the exact
+    * total from the `k IS NULL` sentinels, rank by the integer-ppm
+    * contract. Shared by the batch form and the streaming twin
+    * ([[graft.streaming.StreamingBoundedHeavyHitters]]) — runs over
+    * bounded summary rows (partitions-or-groups x (capacity+1)), never
+    * data rows.
+    */
+  def rankSummaries(summaries: DataFrame, keyCol: String, topN: Int): DataFrame = {
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wRank = Window.orderBy(col("n_rows").desc, col(keyCol))
     summaries
       // exact total from the sentinels, visible to every summary row; the
-      // window runs over partitions x (capacity+1) bounded rows, not data
+      // window runs over the bounded summary rows, not data
       .withColumn("__total", sum(when(col("k").isNull, col("cnt"))).over(wAll))
       .filter(col("k").isNotNull)
       .groupBy(col("k").as(keyCol))

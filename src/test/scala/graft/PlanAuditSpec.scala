@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkSpec {
     "mqtt_state_streaming",
     "q_approx_distinct_streaming", "dedup_exact_streaming",
     "q_session_windows_streaming", "q_approx_quantiles_streaming",
-    "q_heavy_hitters_streaming", "pipeline_clean_corpus_streaming",
+    "q_heavy_hitters_streaming", "q_heavy_hitters_bounded_streaming",
+    "pipeline_clean_corpus_streaming",
     "dedup_winnow_streaming")
 
   test("no driver query plans a cartesian or nested-loop join") {
