@@ -131,10 +131,15 @@ final class MiniMqttServer(credentials: Option[(String, String)] = None) {
 
   /** Hard-drop every client socket with no DISCONNECT — the broker-side
     * failure the client's loop must surface as CONN_LOST and reconnect from.
+    * Dropped connections leave the routing/observation sets IMMEDIATELY
+    * (their handler threads remove them again, idempotently): observers
+    * polling [[subscriptionCount]] for the reconnect must never count a
+    * corpse whose handler hasn't noticed the close yet.
     */
   def dropAllClients(): Unit =
     clients.iterator().asScala.foreach { c =>
       try c.socket.close() catch { case NonFatal(_) => () }
+      clients.remove(c)
     }
 
   def close(): Unit = {

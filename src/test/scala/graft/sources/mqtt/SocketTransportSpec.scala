@@ -116,8 +116,12 @@ class SocketTransportSpec extends AnyFunSuite {
       // and resubscribe from its onConnack (clean session loses the subs)
       server.dropAllClients()
       assert(eventually()(server.subscriptionCount == 1), "did not resubscribe after reconnect")
-      server.publish("tele/a", bytes("after"))
-      assert(eventually()(received.contains("after")), "no delivery after reconnect")
+      // probe-publish until delivery: QoS-0 at-most-once means a publish
+      // racing the SUBSCRIBE is legitimately lost, so one-shot sends can
+      // fail under scheduler load even after the reconnect succeeds
+      assert(eventually() {
+        server.publish("tele/a", bytes("after")); received.contains("after")
+      }, "no delivery after reconnect")
       stop.set(true)
       done.await()
       assert(exit == MqttClient.ExitOk)
