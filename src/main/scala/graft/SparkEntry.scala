@@ -49,6 +49,15 @@ object SparkEntry {
     // the keyed upsert sink end-to-end (source -> micro-batches -> foreachBatch
     // merge), against the SAME oracle as the batch state table
     "mqtt_state_streaming" -> ((s, d) => streaming.StreamingState.state(s, d)),
+    // the same keyed upsert certified through the built-in FILE stream
+    // source: distributed range-ordered staging, one real micro-batch per
+    // file, the SAME UpsertSink.merge body — no driver-side input
+    // materialization on the second sink path either
+    "mqtt_state_streaming_file" -> ((s, d) =>
+      streaming.FileReplayState.state(s, d)),
+    // SCD-2 intervalization of the CDC log: [valid_from, valid_to) per
+    // change with a null-open current interval, via per-key lead()
+    "mqtt_history_scd2" -> (MqttQueries.historyScd2 _),
     // as-of join (single-shuffle union-merge) vs DuckDB's native ASOF JOIN
     "mqtt_asof_change" -> (MqttQueries.asofChange _),
     // event-time tumbling windows (batch form; streaming twin is watermarked)
@@ -75,6 +84,9 @@ object SparkEntry {
     // explicit GROUPING SETS: |sets| expansion keys per row, not 2^dims
     "q_grouping_sets" -> (Relational.groupingSetsReport _),
     "q_pivot" -> (Relational.pivotEvents _),
+    // cohort retention matrix: one user-keyed shuffle builds cohort month +
+    // distinct active months (calendar-bounded set), exact integer ages
+    "q_retention_cohort" -> (Relational.retentionCohort _),
     // bucketed point-in-interval range join (the raw BETWEEN predicate
     // would plan as a nested-loop join)
     "q_range_join" -> (RangeJoin.inTransitCounts _),
@@ -138,6 +150,14 @@ object SparkEntry {
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
     // corpus vocabulary head: top-k tokens by term frequency (+doc freq)
     "text_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(sources.Tables.documents(s, d))),
+    // canonical normalization (ASCII case-fold, scrub, collapse): the
+    // dedup/matching preprocessor, narrow and codegen'd
+    "text_normalize" -> ((s, d) => TextAnalysis.normalize(sources.Tables.documents(s, d))
+      .orderBy(col("doc_id"))),
+    // corpus-bigram novelty (boilerplate detector): inverted-index df pass,
+    // all-integer ppm scoring
+    "text_bigram_novelty" -> ((s, d) => TextAnalysis.bigramNovelty(
+      sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
     // concat-and-chunk sequence packing (sharded running sum, integer math)
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -279,6 +299,8 @@ object SparkEntry {
     "mqtt_history_streaming" -> MqttQueries.historySql,
     "mqtt_history_streaming_file" -> MqttQueries.historySql,
     "mqtt_state_streaming" -> MqttQueries.stateSql,
+    "mqtt_state_streaming_file" -> MqttQueries.stateSql,
+    "mqtt_history_scd2" -> MqttQueries.historyScd2Sql,
     "mqtt_asof_change" -> MqttQueries.asofChangeSql,
     "mqtt_windowed_counts" -> MqttQueries.windowedCountsSql,
     "q1_pricing_summary" -> Relational.pricingSummarySql,
@@ -300,6 +322,7 @@ object SparkEntry {
     "q_cube" -> Relational.cubeEventsSql,
     "q_grouping_sets" -> Relational.groupingSetsReportSql,
     "q_pivot" -> Relational.pivotEventsSql,
+    "q_retention_cohort" -> Relational.retentionCohortSql,
     "q_range_join" -> RangeJoin.inTransitCountsSql,
     "q_salted_join" -> SaltedJoin.orderVolumeBySegmentSql,
     "q_bloom_join" -> BloomJoin.urgentLineitemsSql,
@@ -322,6 +345,8 @@ object SparkEntry {
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,
     "text_pack_sequences" -> TextAnalysisSql.packSequencesSql,
     "text_vocab_topk" -> TextAnalysisSql.vocabTopKSql,
+    "text_normalize" -> TextAnalysisSql.normalizeSql,
+    "text_bigram_novelty" -> TextAnalysisSql.bigramNoveltySql(),
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,
     "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,

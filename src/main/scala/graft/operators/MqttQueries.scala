@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.MqttTopicMatches
@@ -228,6 +229,45 @@ object MqttQueries {
        |FROM msgs m ASOF LEFT JOIN rights r
        |  ON m.topic = r.topic AND m.ts >= r.change_ts
        |ORDER BY m.msg_id""".stripMargin
+
+  // ---- SCD-2 intervalization of the CDC log (extension) --------------------
+
+  /** The history log reshaped as slowly-changing-dimension type-2 intervals:
+    * each change row becomes `[valid_from, valid_to)` with `valid_to` = the
+    * topic's NEXT change (null while current) — the standard "as-of readable"
+    * derivation warehouses build over exactly this current-table + history-
+    * table CDC shape (the reference's `mqtt`/`mqtt_history` pair,
+    * mysql.sql:42-64). One window shuffle partitioned by topicid; at scale
+    * the lead() is per-key and never global — the only global order is the
+    * final display sort.
+    */
+  def historyScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("topicid")).orderBy(col("ts"), col("id"))
+    history(spark, dir)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("id"), col("topicid"), col("ts").as("valid_from"),
+        col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current"),
+        col("value_hex"))
+      .orderBy(col("id"))
+  }
+
+  val historyScd2Sql: String =
+    s"""WITH $msgsCte,
+       |$stateCte,
+       |$historyCte,
+       |hist AS (
+       |  SELECT k.id, k.ts, s.id AS topicid, hex(k.value) AS value_hex
+       |  FROM kept k JOIN state s ON k.topic = s.topic),
+       |scd AS (
+       |  SELECT id, topicid, ts AS valid_from,
+       |         lead(ts) OVER (PARTITION BY topicid ORDER BY ts, id) AS valid_to,
+       |         value_hex
+       |  FROM hist)
+       |SELECT id, topicid, valid_from, valid_to,
+       |       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current,
+       |       value_hex
+       |FROM scd ORDER BY id""".stripMargin
 
   // ---- tumbling-window aggregation (extension: ST2 event-time windows) -----
 

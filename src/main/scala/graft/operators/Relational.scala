@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -385,6 +385,44 @@ object Relational {
     """SELECT date_trunc('month', ts) AS month, event_type,
       |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin
+
+  /** Cohort retention matrix: users grouped by their first-activity month,
+    * counted per months-since-cohort age — the classic product-analytics
+    * read over an event stream. ONE user-keyed shuffle builds both the
+    * cohort month and the distinct active-month set (`collect_set` is
+    * bounded by the calendar horizon, not by data volume — a user active
+    * every month for 10 years holds 120 entries); the explode fans back out
+    * to (cohort, age) pairs for a final aggregation whose key space is
+    * months², so the second shuffle is trivially small at any data scale.
+    * Ages use exact integer year*12+month arithmetic on both engines — no
+    * interval/float month math to diverge.
+    */
+  def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    def monthNum(c: Column): Column = year(c) * lit(12) + month(c)
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("month", col("ts")).cast("timestamp_ntz").as("m"))
+    e.groupBy(col("user_id"))
+      .agg(min(col("m")).as("cohort_month"), collect_set(col("m")).as("months"))
+      .select(col("cohort_month"), explode(col("months")).as("m"))
+      .groupBy(col("cohort_month"),
+        (monthNum(col("m")) - monthNum(col("cohort_month"))).as("age_months"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_month"), col("age_months"))
+  }
+
+  val retentionCohortSql: String =
+    """WITH pm AS (
+      |  SELECT DISTINCT user_id, date_trunc('month', ts) AS m FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(m) AS cohort_month FROM pm GROUP BY 1)
+      |SELECT c.cohort_month,
+      |  CAST((year(p.m) * 12 + month(p.m))
+      |     - (year(c.cohort_month) * 12 + month(c.cohort_month)) AS INT)
+      |    AS age_months,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM pm p JOIN cohort c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_month, age_months""".stripMargin
 
   /** Exact interpolated percentiles per group (`percentile` — the sort-based
     * exact form; `approx_percentile`'s sketch would not be oracle-matchable).

@@ -287,6 +287,66 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
+
+  private val AsciiLower = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Canonical text normalization — the dedup/matching preprocessor every
+    * corpus pipeline runs before hashing: ASCII case-fold (explicit
+    * `translate` A-Z→a-z, NOT locale/Unicode lowercasing, so both engines
+    * fold the identical 26 letters), non-[a-z0-9 ] codepoints to spaces,
+    * whitespace collapsed, trimmed. Emits the canonical form's hash plus
+    * its length/token count (post-scrub the text is pure ASCII, so
+    * UTF-16-code-unit vs codepoint length cannot diverge). Narrow,
+    * shuffle-free, codegen'd — pipelines with the scan at any scale.
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    val lowered = translate(col("text"), AsciiLower.toUpperCase, AsciiLower)
+    val collapsed =
+      trim(regexp_replace(regexp_replace(lowered, "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(col("doc_id"),
+      md5(collapsed.cast("binary")).as("norm_hash"),
+      length(collapsed).as("n_chars_norm"),
+      TF.nTokens(collapsed).as("n_tokens_norm"))
+  }
+
+  /** A word bigram is "common" when it appears in at least this many
+    * documents; [[bigramNovelty]]'s boilerplate signal counts, per document,
+    * the ppm share of its distinct bigrams that are corpus-common.
+    */
+  val BigramCommonDf = 3
+
+  /** Corpus-bigram novelty — the cheap LM-free boilerplate detector: a
+    * document whose bigrams are mostly corpus-common is template/boilerplate
+    * text; one whose bigrams are mostly unique is novel prose. All-integer
+    * scoring (ppm via integral division) so both engines agree exactly.
+    *
+    * Scale shape: the inverted-index pattern (like [[tfidfTopTerms]]),
+    * never all-pairs — per-doc DISTINCT bigrams explode once into 8-byte
+    * hash keys; document frequency is ONE map-side-combined aggregation of
+    * that posting list; the df table joins back to the postings on the same
+    * bigram-hash key (AQE broadcasts it when the vocabulary head is small
+    * enough, a runtime size call); the per-doc rollup re-keys by doc_id.
+    * State never exceeds vocabulary + postings — the same asymptotics as
+    * any distributed TF-IDF/vocab build.
+    */
+  def bigramNovelty(docs: DataFrame, minDf: Int = BigramCommonDf): DataFrame = {
+    val bg = docs
+      .filter(TF.nTokens(col("text")) >= 2)
+      .select(col("doc_id"),
+        explode(array_distinct(TF.shingles(col("text"), 2))).as("bigram"))
+      .select(col("doc_id"), TF.hash32(col("bigram")).as("bh"))
+    val dfc = bg.groupBy(col("bh")).agg(count(lit(1)).as("df"))
+    val scored = bg.join(dfc, Seq("bh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(expr("n_common * 1000000L div n_bigrams"), lit(0L))
+          .as("common_ppm"))
+  }
 }
 
 /** DuckDB oracle SQL for [[TextAnalysis] ]— same formulas. */
@@ -462,4 +522,43 @@ object TextAnalysisSql {
        |SELECT doc_id, rank, term, tf, df, score
        |FROM ranked WHERE rank <= $k
        |ORDER BY doc_id, rank""".stripMargin
+
+  /** Mirror of [[TextAnalysis.normalize]] — same explicit A-Z translate
+    * (DuckDB regexp_replace needs the 'g' flag Spark implies).
+    */
+  val normalizeSql: String = {
+    val collapsed = "trim(regexp_replace(regexp_replace(" +
+      "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')," +
+      " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    s"""SELECT doc_id,
+       |  md5($collapsed) AS norm_hash,
+       |  CAST(length($collapsed) AS INT) AS n_chars_norm,
+       |  CAST(${TS.nTokens(collapsed)} AS INT) AS n_tokens_norm
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirror of [[TextAnalysis.bigramNovelty]] — same hash, same df
+    * threshold, same integral ppm.
+    */
+  def bigramNoveltySql(minDf: Int = TextAnalysis.BigramCommonDf): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TS.tokens("text")} AS __t FROM documents
+       |  WHERE ${TS.nTokens("text")} >= 2),
+       |bg AS (
+       |  SELECT doc_id, ${TS.hash32("bigram")} AS bh FROM (
+       |    SELECT doc_id, unnest(list_distinct(${TS.shingles("text", 2)})) AS bigram
+       |    FROM toks)),
+       |dfc AS (SELECT bh, count(*) AS df FROM bg GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(CASE WHEN df >= $minDf THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_common
+       |  FROM bg JOIN dfc USING (bh) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(s.n_common, 0) AS n_common,
+       |  CAST(coalesce(s.n_common * 1000000 // s.n_bigrams, 0) AS BIGINT)
+       |    AS common_ppm
+       |FROM documents d LEFT JOIN scored s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

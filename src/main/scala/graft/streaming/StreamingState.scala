@@ -50,31 +50,46 @@ object StreamingState {
         .option("checkpointLocation", s"${work.getAbsolutePath}/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       try q.awaitTermination() finally q.stop()
-      // detach: the state is topic-dimension-sized — pull it off the temp
-      // parquet so the working dir can be deleted before returning
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("topic",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.TimestampNTZType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.BinaryType),
-        org.apache.spark.sql.types.StructField("qos",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("retain",
-          org.apache.spark.sql.types.IntegerType)))
-      val rows = spark.read.parquet(statePath)
-        .withColumn("ts", col("ts").cast("timestamp_ntz"))
-        .select(col("topic"), col("ts"), col("value"), col("qos"), col("retain"))
-        .collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      detachState(spark, statePath)
     } finally {
       MqttBroker.clear(broker)
       org.apache.commons.io.FileUtils.deleteQuietly(work)
     }
-    // surrogate ids in first-publish order (the reference's insert-order
-    // autoincrement) — an arrival-order dimension of the input, same as the
-    // batch stateTable derives
+    finishState(merged, m)
+  }
+
+  /** Detach the merged state from its temp parquet: the state is
+    * topic-dimension-sized, so pulling it into a driver-local frame (the
+    * certified-OUTPUT seam, same class as the memory-sink readbacks) lets
+    * the working dir be deleted before returning a lazy result.
+    */
+  private[streaming] def detachState(spark: SparkSession,
+      statePath: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("topic",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampNTZType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("qos",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("retain",
+        org.apache.spark.sql.types.IntegerType)))
+    val rows = spark.read.parquet(statePath)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .select(col("topic"), col("ts"), col("value"), col("qos"), col("retain"))
+      .collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Surrogate ids in first-publish order (the reference's insert-order
+    * autoincrement — an arrival-order dimension of the input, same as the
+    * batch stateTable derives) + the display projection. Shared by the
+    * broker-replay and file-source forms so the two certificates differ
+    * ONLY in how the merged state was produced.
+    */
+  private[streaming] def finishState(merged: DataFrame, m: DataFrame): DataFrame = {
     val firstArrival = m.groupBy(col("topic"))
       .agg(min(col("msg_id")).as("first_arrival"))
     val withArrival = merged.join(firstArrival, Seq("topic"))
