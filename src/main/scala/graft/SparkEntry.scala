@@ -87,6 +87,9 @@ object SparkEntry {
     // cohort retention matrix: one user-keyed shuffle builds cohort month +
     // distinct active months (calendar-bounded set), exact integer ages
     "q_retention_cohort" -> (Relational.retentionCohort _),
+    // robust outlier screen: exact median/MAD in scaled-integer math, so
+    // the 3xMAD fence count can never flip on a ulp
+    "q_anomaly_mad" -> (Relational.anomalyMad _),
     // bucketed point-in-interval range join (the raw BETWEEN predicate
     // would plan as a nested-loop join)
     "q_range_join" -> (RangeJoin.inTransitCounts _),
@@ -203,6 +206,11 @@ object SparkEntry {
     // --- dedup extensions ---
     "dedup_exact" -> ((s, d) => Dedup.exact(sources.Tables.documents(s, d))
       .orderBy(col("content_hash"))),
+    // canonical-form dedup (case/punct/whitespace variants), probe-augmented
+    // so normalized duplicate groups provably exist
+    "dedup_normalized" -> ((s, d) => Dedup.normalizedDups(
+      Dedup.normProbeAugmented(sources.Tables.documents(s, d)))
+      .orderBy(col("norm_hash"))),
     // ingest-time horizon-scoped dedup (dropDuplicatesWithinWatermark over
     // micro-batches), against the batch exact-dedup key set — the
     // incremental-equals-batch property for the dedup operator class
@@ -323,6 +331,7 @@ object SparkEntry {
     "q_grouping_sets" -> Relational.groupingSetsReportSql,
     "q_pivot" -> Relational.pivotEventsSql,
     "q_retention_cohort" -> Relational.retentionCohortSql,
+    "q_anomaly_mad" -> Relational.anomalyMadSql,
     "q_range_join" -> RangeJoin.inTransitCountsSql,
     "q_salted_join" -> SaltedJoin.orderVolumeBySegmentSql,
     "q_bloom_join" -> BloomJoin.urgentLineitemsSql,
@@ -357,6 +366,7 @@ object SparkEntry {
     "q_heavy_hitters_bounded_streaming" -> HeavyHitters.hotCustomersSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
+    "dedup_normalized" -> DedupSql.normalizedDupsSql,
     "dedup_exact_streaming" -> DedupSql.exactKeySetSql,
     "dedup_passage" -> DedupSql.passageDupsSql,
     "dedup_fingerprint" -> DedupSql.fingerprintSql,

@@ -76,6 +76,37 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min("doc_id").as("keep_id"), count("*").as("n_copies"))
 
+  /** Probe fixture for [[normalizedDups]]: every 250th document gains a
+    * shouted twin — ASCII-upcased via explicit `translate` (locale-free,
+    * mirror-exact in both engines) with trailing punctuation — whose
+    * CANONICAL form is byte-identical to the original's, so the oracle row
+    * asserts non-zero normalized duplicate groups (the raw corpus has none;
+    * a 0==0 row would verify nothing). Probe ids assume doc_id < 1e6 (true
+    * at every driver sf) — an oracle fixture, not a scale surface.
+    */
+  def normProbeAugmented(docs: DataFrame): DataFrame = {
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    val base = docs.select(col("doc_id"), col("text"))
+    base.unionAll(
+      base.filter(col("doc_id") % 250 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(translate(col("text"), az, az.toUpperCase), lit(" !!!"))
+            .as("text")))
+  }
+
+  /** Canonical-form dedup: exact dedup over [[TextAnalysis.normalize]]'s
+    * canonical hash, catching the case/punctuation/whitespace variants that
+    * byte-exact dedup misses (SHOUTED reposts, trailing "!!!", smart-quote
+    * swaps). Same asymptotics as [[exact]]: the normalization is narrow and
+    * codegen'd, then ONE map-side-combined shuffle of (32-byte key, two
+    * counters) — document bodies never shuffle.
+    */
+  def normalizedDups(docs: DataFrame): DataFrame =
+    TextAnalysis.normalize(docs)
+      .select(col("doc_id"), col("norm_hash"))
+      .groupBy("norm_hash")
+      .agg(min("doc_id").as("keep_id"), count("*").as("n_copies"))
+
   /** Passage chunk size for sub-document exact dedup. 8 tokens is small
     * enough that planted near-dup documents share aligned chunks and large
     * enough that chance collisions are negligible at any scale (the chunk
@@ -375,6 +406,27 @@ object DedupSql {
   val exactKeySetSql: String =
     """SELECT DISTINCT md5(trim(text)) AS content_hash
       |FROM documents ORDER BY content_hash""".stripMargin
+
+  /** SQL twin of [[Dedup.normProbeAugmented]] + [[Dedup.normalizedDups]]
+    * (the canonical-form expression is [[TextAnalysisSql.normalizeSql]]'s,
+    * inlined over the probe-augmented corpus).
+    */
+  val normalizedDupsSql: String = {
+    val collapsed = "trim(regexp_replace(regexp_replace(" +
+      "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')," +
+      " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    translate(text, 'abcdefghijklmnopqrstuvwxyz',
+       |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' !!!'
+       |  FROM documents WHERE doc_id % 250 = 7)
+       |SELECT md5($collapsed) AS norm_hash, min(doc_id) AS keep_id,
+       |       count(*) AS n_copies
+       |FROM aug GROUP BY 1
+       |ORDER BY norm_hash""".stripMargin
+  }
 
   val passageDupsSql: String = {
     val w = PassageTokens

@@ -445,6 +445,66 @@ object Relational {
       |  round(quantile_cont(value, 0.99), 6) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Robust per-group outlier profile: median, MAD (median absolute
+    * deviation), and the count of values beyond the classic 3×MAD fence —
+    * the standard data-quality screen that, unlike mean/stddev fences, a
+    * few extreme rows cannot drag.
+    *
+    * Exactness discipline: values scale to integer cents first, so every
+    * median/MAD is a half-integer both engines represent exactly (integer
+    * medians interpolate to .5 at worst, deviations are half-integers, the
+    * MAD interpolates to .25 at worst — all exact in doubles), and the
+    * 3×MAD comparison can never flip on a ulp. Group medians are the EXACT
+    * sort-based percentile (like [[percentiles]]); the bounded-state scale
+    * path for percentile-ish reads is q_approx_quantiles — this operator is
+    * the exact twin with per-group-sized state, keyed on the small
+    * event_type dimension. The two percentile passes and the fence count
+    * are all keyed aggregations on event_type; the median/MAD side tables
+    * are group-cardinality-sized and broadcast back to the fact scan.
+    */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.5)").as("med_cents"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("cents") - col("med_cents")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5)").as("mad_cents"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(min(col("med_cents")).as("med_cents"),
+        min(col("mad_cents")).as("mad_cents"),
+        count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(3) * col("mad_cents"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val anomalyMadSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+      |  FROM e GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, e.cents, med.med_cents,
+      |         abs(e.cents - med.med_cents) AS adev
+      |  FROM e JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(adev, 0.5) AS mad_cents
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type,
+      |  min(d.med_cents) AS med_cents,
+      |  min(m.mad_cents) AS mad_cents,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN d.adev > 3 * m.mad_cents THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** Full-outer reconciliation: year-over-year customer order activity —
     * customers active in 1995 or 1996, with per-year counts/totals and
     * zero-fill for the year they were absent. Both inputs are map-side-
