@@ -216,6 +216,10 @@ object SparkEntry {
     // incremental-equals-batch property for the dedup operator class
     "dedup_exact_streaming" -> ((s, d) =>
       streaming.StreamingDedup.exactWithinHorizon(s, d)),
+    // canonical-form dedup at ingest: horizon-scoped drop keyed by the
+    // normalized hash, over the probe-augmented corpus so the drop fires
+    "dedup_normalized_streaming" -> ((s, d) =>
+      streaming.StreamingDedup.normalizedWithinHorizon(s, d)),
     // sub-document exact dedup: aligned token-window chunks hashed and
     // grouped; passages appearing in >= 2 distinct docs
     "dedup_passage" -> ((s, d) => Dedup.passageDups(sources.Tables.documents(s, d))
@@ -368,6 +372,7 @@ object SparkEntry {
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_normalized" -> DedupSql.normalizedDupsSql,
     "dedup_exact_streaming" -> DedupSql.exactKeySetSql,
+    "dedup_normalized_streaming" -> DedupSql.normalizedKeySetSql,
     "dedup_passage" -> DedupSql.passageDupsSql,
     "dedup_fingerprint" -> DedupSql.fingerprintSql,
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardSql(),

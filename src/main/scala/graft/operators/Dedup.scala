@@ -428,6 +428,25 @@ object DedupSql {
        |ORDER BY norm_hash""".stripMargin
   }
 
+  /** [[normalizedDupsSql]] restricted to the key column — the oracle for
+    * the streaming canonical-dedup twin, whose certified surface is the
+    * survivor KEY SET (see StreamingDedup.normalizedWithinHorizon).
+    */
+  val normalizedKeySetSql: String = {
+    val collapsed = "trim(regexp_replace(regexp_replace(" +
+      "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')," +
+      " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    translate(text, 'abcdefghijklmnopqrstuvwxyz',
+       |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' !!!'
+       |  FROM documents WHERE doc_id % 250 = 7)
+       |SELECT DISTINCT md5($collapsed) AS norm_hash
+       |FROM aug ORDER BY norm_hash""".stripMargin
+  }
+
   val passageDupsSql: String = {
     val w = PassageTokens
     s"""WITH toks AS (SELECT doc_id, ${TS.tokens("text")} AS t FROM documents),

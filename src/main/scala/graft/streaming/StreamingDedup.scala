@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -29,10 +29,19 @@ object StreamingDedup {
     * `ts` and text column `text`.
     */
   def dedupped(docs: DataFrame, horizon: String): DataFrame =
+    deduppedBy(docs, horizon, "content_hash",
+      md5(trim(col("text")).cast("binary")))
+
+  /** [[dedupped]] generalized over the dedup key: any narrow projection of
+    * the arriving row (byte-exact hash, canonical-form hash, ...) can key
+    * the horizon-scoped state.
+    */
+  def deduppedBy(docs: DataFrame, horizon: String, keyName: String,
+      key: Column): DataFrame =
     docs
-      .withColumn("content_hash", md5(trim(col("text")).cast("binary")))
+      .withColumn(keyName, key)
       .withWatermark("ts", horizon)
-      .dropDuplicatesWithinWatermark("content_hash")
+      .dropDuplicatesWithinWatermark(keyName)
 
   /** Driver query: the documents table replayed through [[dedupped]] in
     * ~`chunks` micro-batches, returning the surviving content-hash KEY SET
@@ -61,14 +70,61 @@ object StreamingDedup {
   def exactWithinHorizon(spark: SparkSession, dir: String, chunks: Int = 3,
       horizon: String = "30 days"): DataFrame = {
     import spark.implicits._
-    implicit val ctx = spark.sqlContext
+    val rows = arrivals(spark, Tables.documents(spark, dir))
+    keySetWithinHorizon(spark, rows, "content_hash",
+      md5(trim(col("text")).cast("binary")), chunks, horizon)
+      .toDF("content_hash").orderBy(col("content_hash"))
+  }
+
+  /** The incremental twin of [[graft.operators.Dedup.normalizedDups]]: a
+    * document whose CANONICAL form (case-fold/scrub/collapse —
+    * [[graft.operators.TextAnalysis.normalize]]'s hash) was already seen
+    * within the horizon is dropped at arrival, so SHOUTED/re-punctuated
+    * reposts never reach downstream. Replays the probe-augmented corpus
+    * (every probe twin collapses into its original's canonical key, so the
+    * certified drop provably fires), and derives the horizon from the
+    * replay span (the StreamingWinnow rule) — probe ids push arrival times
+    * ~11 days out, and a fixed horizon would silently start evicting on a
+    * larger corpus. Same bounded-state design as [[exactWithinHorizon]]:
+    * state is the 128-bit canonical hash per key per horizon, never bodies.
+    */
+  def normalizedWithinHorizon(spark: SparkSession, dir: String,
+      chunks: Int = 3): DataFrame = {
+    import spark.implicits._
+    val rows = arrivals(spark,
+      graft.operators.Dedup.normProbeAugmented(Tables.documents(spark, dir)))
+    // horizon > replay span so no survivor key evicts mid-certification
+    val horizon = s"${rows.last.doc_id + 3600} seconds"
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    val canonical = trim(regexp_replace(regexp_replace(
+      translate(col("text"), az.toUpperCase, az), "[^a-z0-9 ]", " "), " +", " "))
+    keySetWithinHorizon(spark, rows, "norm_hash",
+      md5(canonical.cast("binary")), chunks, horizon)
+      .toDF("norm_hash").orderBy(col("norm_hash"))
+  }
+
+  /** Deterministic synthetic arrival frame: one second per doc_id from a
+    * fixed epoch, sorted by doc_id (the replay seam both twins share).
+    */
+  private def arrivals(spark: SparkSession, docs: DataFrame): Seq[DocArrival] = {
+    import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
-    val rows = Tables.documents(spark, dir)
-      .select(col("doc_id").cast("long"), col("text"))
+    docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)].collect()
       .sortBy(_._1)
       .map { case (id, text) =>
         DocArrival(new java.sql.Timestamp(base + id * 1000L), id, text) }
+      .toSeq
+  }
+
+  /** Shared MemoryStream micro-batch harness: replay `rows` in ~`chunks`
+    * batches through [[deduppedBy]] and return the surviving key set.
+    */
+  private def keySetWithinHorizon(spark: SparkSession, rows: Seq[DocArrival],
+      keyName: String, key: Column, chunks: Int,
+      horizon: String): Seq[String] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
     val name = s"dedup_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val input = MemoryStream[DocArrival]
     // state-store partition count freezes from spark.sql.shuffle.partitions
@@ -78,21 +134,20 @@ object StreamingDedup {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val q = try {
       spark.conf.set("spark.sql.shuffle.partitions", "4")
-      dedupped(input.toDF(), horizon)
+      deduppedBy(input.toDF(), horizon, keyName, key)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val hashes = try {
+    try {
       val per = math.max(1, (rows.length + chunks - 1) / chunks)
       rows.grouped(per).foreach { slice =>
         input.addData(slice.toSeq)
         q.processAllAvailable()
       }
-      spark.table(name).select(col("content_hash")).as[String].collect().toSeq
+      spark.table(name).select(col(keyName)).as[String].collect().toSeq
     } finally {
       q.stop()
       try spark.catalog.dropTempView(name) catch { case _: Exception => () }
     }
-    hashes.toDF("content_hash").orderBy(col("content_hash"))
   }
 }

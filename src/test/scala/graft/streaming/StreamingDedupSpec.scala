@@ -54,4 +54,44 @@ class StreamingDedupSpec extends SparkSpec {
       .select($"content_hash").as[String].collect().toSeq.sorted
     assert(streamed == batch) // same keys, already hash-ordered
   }
+
+  test("canonical variants drop at ingest (SHOUTED repost never survives)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingDedup.deduppedBy(input.toDF(), "10 minutes", "norm_hash",
+      org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.regexp_replace(
+              org.apache.spark.sql.functions.translate($"text",
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"),
+              "[^a-z0-9 ]", " "), " +", " ")).cast("binary")))
+      .writeStream.format("memory").queryName("stream_norm_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamDoc(at("10:00"), 1L, "hello world"))
+      q.processAllAvailable()
+      // a shouted, re-punctuated repost inside the horizon is dropped
+      input.addData(StreamDoc(at("10:02"), 2L, "HELLO,   WORLD!!!"),
+        StreamDoc(at("10:03"), 3L, "genuinely new"))
+      q.processAllAvailable()
+      val ids = spark.table("stream_norm_dedup")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("driver query: survivor key set equals the batch canonical key set") {
+    val streamed = StreamingDedup.normalizedWithinHorizon(spark, sf0001)
+      .as[String].collect().toSeq
+    val batch = graft.operators.Dedup
+      .normalizedDups(graft.operators.Dedup.normProbeAugmented(
+        graft.sources.Tables.documents(spark, sf0001)))
+      .select($"norm_hash").as[String].collect().toSeq.sorted
+    assert(streamed == batch)
+    // and the drop was non-vacuous: fewer survivors than arrivals
+    val arrivalsN = graft.operators.Dedup.normProbeAugmented(
+      graft.sources.Tables.documents(spark, sf0001)).count()
+    assert(streamed.size < arrivalsN)
+  }
 }
