@@ -90,6 +90,8 @@ object SparkEntry {
     // robust outlier screen: exact median/MAD in scaled-integer math, so
     // the 3xMAD fence count can never flip on a ulp
     "q_anomaly_mad" -> (Relational.anomalyMad _),
+    // NTILE quartile report: total-order window so bucket boundaries pin
+    "q_ntile" -> (Relational.ntileQuartiles _),
     // bucketed point-in-interval range join (the raw BETWEEN predicate
     // would plan as a nested-loop join)
     "q_range_join" -> (RangeJoin.inTransitCounts _),
@@ -161,6 +163,9 @@ object SparkEntry {
     // all-integer ppm scoring
     "text_bigram_novelty" -> ((s, d) => TextAnalysis.bigramNovelty(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // corpus token accounting by (lang, split): mixture/budget planning
+    "pipeline_token_budget" -> ((s, d) => TextAnalysis.tokenBudget(
+      sources.Tables.documents(s, d))),
     // concat-and-chunk sequence packing (sharded running sum, integer math)
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -227,6 +232,11 @@ object SparkEntry {
     "dedup_fingerprint" -> ((s, d) => Dedup.fingerprint(sources.Tables.documents(s, d))
       .orderBy(col("fp"))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(sources.Tables.documents(s, d))
+      .orderBy(col("doc_a"), col("doc_b"))),
+    // asymmetric containment (subset-duplicate screen), probe-augmented so
+    // a guaranteed prefix-subset pair exists (containment 1.0)
+    "dedup_containment" -> ((s, d) => Dedup.ngramContainment(
+      Dedup.containmentProbeAugmented(sources.Tables.documents(s, d)))
       .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(sources.Tables.documents(s, d))
       .orderBy(col("doc_a"), col("doc_b"))),
@@ -336,6 +346,7 @@ object SparkEntry {
     "q_pivot" -> Relational.pivotEventsSql,
     "q_retention_cohort" -> Relational.retentionCohortSql,
     "q_anomaly_mad" -> Relational.anomalyMadSql,
+    "q_ntile" -> Relational.ntileQuartilesSql,
     "q_range_join" -> RangeJoin.inTransitCountsSql,
     "q_salted_join" -> SaltedJoin.orderVolumeBySegmentSql,
     "q_bloom_join" -> BloomJoin.urgentLineitemsSql,
@@ -360,6 +371,7 @@ object SparkEntry {
     "text_vocab_topk" -> TextAnalysisSql.vocabTopKSql,
     "text_normalize" -> TextAnalysisSql.normalizeSql,
     "text_bigram_novelty" -> TextAnalysisSql.bigramNoveltySql(),
+    "pipeline_token_budget" -> TextAnalysisSql.tokenBudgetSql,
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,
     "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,
@@ -376,6 +388,7 @@ object SparkEntry {
     "dedup_passage" -> DedupSql.passageDupsSql,
     "dedup_fingerprint" -> DedupSql.fingerprintSql,
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardSql(),
+    "dedup_containment" -> DedupSql.ngramContainmentSql(),
     "dedup_minhash_lsh" -> DedupSql.minhashLshSql(),
     "dedup_simhash" -> DedupSql.simhashPairsSql(),
     "dedup_clusters" -> DedupClustersSql.componentsSql(DedupSql.simhashPairsCte()),

@@ -212,6 +212,56 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Probe fixture for [[ngramContainment]]: every 200th sufficiently-long
+    * document gains a PREFIX-HALF twin (first half of its tokens, re-joined
+    * with single spaces — a prefix's shingles are a strict subset of the
+    * original's, so the pair's containment is 1.0 by construction). The raw
+    * corpus has no guaranteed subset-duplicates, so without probes the
+    * oracle row could be a vacuous 0==0. Probe ids assume doc_id < 1e6.
+    */
+  def containmentProbeAugmented(docs: DataFrame, n: Int = ShingleN): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    val base = docs.select(col("doc_id"), col("text"))
+    base.unionAll(
+      docs.filter(col("doc_id") % 200 === 11 && size(toks) >= 2 * n)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          array_join(slice(toks, lit(1), (size(toks) / 2).cast("int")), " ")
+            .as("text")))
+  }
+
+  /** Asymmetric n-gram CONTAINMENT dedup — the subset-duplicate detector
+    * Jaccard structurally misses: a short document fully quoted inside a
+    * long one has jaccard ≈ |short|/|long| (arbitrarily small) but
+    * containment |A∩B| / min(|A|,|B|) = 1. The standard screen for
+    * quotation/excerpt/prefix duplicates in training corpora.
+    *
+    * Same scale machinery as [[ngramJaccard]] — cached hashed shingle
+    * sets, df-capped inverted index (no driver-side hot list), candidate
+    * generation via the posting self-join, never all-pairs — only the
+    * denominator differs (least of the two capped set sizes).
+    */
+  def ngramContainment(docs: DataFrame, threshold: Double = 0.6,
+      n: Int = ShingleN, maxShingleDf: Int = MaxShingleDf): DataFrame = {
+    val sets = Caching.cached(hashedShingleSets(docs, n))
+    val inv0 = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inv = capGroups(inv0, "s", maxShingleDf,
+      "ngram_containment_caps", "dropped_postings")
+    val sizes = inv.groupBy("doc_id").agg(count("*").as("sz"))
+    val common = inv.as("a")
+      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count("*").as("common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("containment",
+        col("common").cast("double") /
+          least(col("sa.sz"), col("sb.sz")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** MinHash signatures as per-doc array expressions: NumHashes
     * `array_min(transform(...))` folds over the hashed shingle array — pure
     * map-side, NO explode and NO shuffle (the previous explode + 32-way
@@ -496,6 +546,42 @@ object DedupSql {
        |JOIN sizes sa ON doc_a = sa.doc_id
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SQL twin of [[Dedup.containmentProbeAugmented]] +
+    * [[Dedup.ngramContainment]] — [[ngramJaccardSql]]'s machinery over the
+    * probe-augmented corpus with the least-size denominator.
+    */
+  def ngramContainmentSql(threshold: Double = 0.6, n: Int = ShingleN,
+      maxShingleDf: Int = MaxShingleDf): String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000,
+       |    array_to_string(list_slice(${TS.tokens("text")}, 1,
+       |      ${TS.nTokens("text")} // 2), ' ')
+       |  FROM documents
+       |  WHERE doc_id % 200 = 11 AND ${TS.nTokens("text")} >= ${2 * n}),
+       |toks AS (
+       |  SELECT doc_id, ${TS.tokens("text")} AS __t FROM aug
+       |  WHERE ${TS.nTokens("text")} >= $n),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(${TS.shingles("text", n)}) AS sh FROM toks),
+       |inv0 AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+       |hot AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) > $maxShingleDf),
+       |inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6)
+       |         AS containment
+       |FROM common
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   private def minhashExprs: String =

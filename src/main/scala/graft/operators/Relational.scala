@@ -386,43 +386,42 @@ object Relational {
       |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin
 
-  /** Cohort retention matrix: users grouped by their first-activity month,
-    * counted per months-since-cohort age — the classic product-analytics
-    * read over an event stream. ONE user-keyed shuffle builds both the
-    * cohort month and the distinct active-month set (`collect_set` is
-    * bounded by the calendar horizon, not by data volume — a user active
-    * every month for 10 years holds 120 entries); the explode fans back out
-    * to (cohort, age) pairs for a final aggregation whose key space is
-    * months², so the second shuffle is trivially small at any data scale.
-    * Ages use exact integer year*12+month arithmetic on both engines — no
-    * interval/float month math to diverge.
+  /** Cohort retention matrix: users grouped by their first-activity day,
+    * counted per days-since-cohort age — the classic product-analytics
+    * read over an event stream (daily grain because the driver events span
+    * one month; a longer-horizon deployment passes a coarser truncation).
+    * ONE user-keyed shuffle builds both the cohort day and the distinct
+    * active-day set (`collect_set` is bounded by the calendar horizon, not
+    * by data volume — a user active every day for 10 years holds 3 653
+    * entries); the explode fans back out to (cohort, age) pairs for a
+    * final aggregation whose key space is days², so the second shuffle is
+    * trivially small at any data scale. Ages are exact integer day
+    * differences of day-truncated stamps on both engines — no
+    * interval/float date math to diverge.
     */
   def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
-    def monthNum(c: Column): Column = year(c) * lit(12) + month(c)
     val e = Tables.events(spark, dir)
       .select(col("user_id"),
-        date_trunc("month", col("ts")).cast("timestamp_ntz").as("m"))
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("d"))
     e.groupBy(col("user_id"))
-      .agg(min(col("m")).as("cohort_month"), collect_set(col("m")).as("months"))
-      .select(col("cohort_month"), explode(col("months")).as("m"))
-      .groupBy(col("cohort_month"),
-        (monthNum(col("m")) - monthNum(col("cohort_month"))).as("age_months"))
+      .agg(min(col("d")).as("cohort_day"), collect_set(col("d")).as("days"))
+      .select(col("cohort_day"), explode(col("days")).as("d"))
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("age_days"))
       .agg(count(lit(1)).as("n_users"))
-      .orderBy(col("cohort_month"), col("age_months"))
+      .orderBy(col("cohort_day"), col("age_days"))
   }
 
   val retentionCohortSql: String =
-    """WITH pm AS (
-      |  SELECT DISTINCT user_id, date_trunc('month', ts) AS m FROM events),
+    """WITH pd AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
       |cohort AS (
-      |  SELECT user_id, min(m) AS cohort_month FROM pm GROUP BY 1)
-      |SELECT c.cohort_month,
-      |  CAST((year(p.m) * 12 + month(p.m))
-      |     - (year(c.cohort_month) * 12 + month(c.cohort_month)) AS INT)
-      |    AS age_months,
+      |  SELECT user_id, min(d) AS cohort_day FROM pd GROUP BY 1)
+      |SELECT c.cohort_day,
+      |  CAST(date_diff('day', c.cohort_day, p.d) AS INT) AS age_days,
       |  CAST(count(*) AS BIGINT) AS n_users
-      |FROM pm p JOIN cohort c USING (user_id)
-      |GROUP BY 1, 2 ORDER BY cohort_month, age_months""".stripMargin
+      |FROM pd p JOIN cohort c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_day, age_days""".stripMargin
 
   /** Exact interpolated percentiles per group (`percentile` — the sort-based
     * exact form; `approx_percentile`'s sketch would not be oracle-matchable).
@@ -504,6 +503,35 @@ object Relational {
       |    AS BIGINT) AS n_outliers
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** NTILE bucketing: per-event-type quartile assignment with per-bucket
+    * totals — the "value distribution by quartile" report. The window
+    * orders by (value, event_id): a total order, so bucket boundaries are
+    * pinned and cannot reorder between engines (both use the same NTILE
+    * rule — earlier buckets absorb the remainder). One window shuffle
+    * keyed by event_type, then a map-side-combined rollup on
+    * (event_type, quartile) — 4 rows per group key at any scale.
+    */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        ntile(4).over(w).as("quartile"))
+      .groupBy(col("event_type"), col("quartile"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"), col("quartile"))
+  }
+
+  val ntileQuartilesSql: String =
+    """WITH q AS (
+      |  SELECT event_type, value,
+      |         ntile(4) OVER (PARTITION BY event_type
+      |                        ORDER BY value, event_id) AS quartile
+      |  FROM events)
+      |SELECT event_type, quartile, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(value), 2) AS total_value
+      |FROM q GROUP BY 1, 2 ORDER BY event_type, quartile""".stripMargin
 
   /** Full-outer reconciliation: year-over-year customer order activity —
     * customers active in 1995 or 1996, with per-year counts/totals and

@@ -288,6 +288,20 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
 
+  /** Corpus token accounting by (lang, split) — the report every training
+    * run starts with: how many documents and tokens each language
+    * contributes to each split, for mixture-weight and budget planning.
+    * Reuses [[splitAssign]] so the accounting matches the actual split
+    * assignment. All-integer, one map-side-combined shuffle over a
+    * langs×3 key space — trivially small at any corpus size.
+    */
+  def tokenBudget(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), splitAssign(col("doc_id")).as("split"),
+        TF.nTokens(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"), col("split"))
+
   private val AsciiLower = "abcdefghijklmnopqrstuvwxyz"
 
   /** Canonical text normalization — the dedup/matching preprocessor every
@@ -522,6 +536,14 @@ object TextAnalysisSql {
        |SELECT doc_id, rank, term, tf, df, score
        |FROM ranked WHERE rank <= $k
        |ORDER BY doc_id, rank""".stripMargin
+
+  /** Mirror of [[TextAnalysis.tokenBudget]] — same split assignment. */
+  val tokenBudgetSql: String =
+    s"""SELECT lang, ${splitAssignSql("doc_id")} AS split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(${TS.nTokens("text")}) AS BIGINT) AS total_tokens
+       |FROM documents GROUP BY 1, 2
+       |ORDER BY lang, split""".stripMargin
 
   /** Mirror of [[TextAnalysis.normalize]] — same explicit A-Z translate
     * (DuckDB regexp_replace needs the 'g' flag Spark implies).
