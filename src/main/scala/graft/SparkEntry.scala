@@ -259,6 +259,12 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(sources.Tables.embeddings(s, d))
       .orderBy(col("query_id"), col("rank"))),
+    // IVF over the one-Lloyd-step TRAINED coarse codebook (exact integer
+    // means) — completes the training story: coarse (here), sub (ann_pq_
+    // trained), residual sub (ann_ivf_pq_res_trained) are all certified
+    "ann_ivf_trained" -> ((s, d) => Similarity.ivfTopK(
+      sources.Tables.embeddings(s, d), trained = true)
+      .orderBy(col("query_id"), col("rank"))),
     // product-quantization ADC top-k: M one-byte codes per vector, scoring
     // touches codes + a broadcast LUT — the memory-bound ANN scale path
     "ann_pq" -> (ProductQuantization.annPq _),
@@ -288,6 +294,9 @@ object SparkEntry {
       .orderBy(col("doc_id"))),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"), col("frame_idx"))),
+    // audio window/hop chunking in exact sample-integer math (full oracle)
+    "mm_audio_chunk" -> ((s, d) => Multimodal.audioChunks(sources.Tables.documents(s, d))
+      .orderBy(col("doc_id"), col("chunk_idx"))),
     // --- multimodal decode plumbing (mapPartitions batch stub) ---
     // partial oracle: (doc_id, width, height) hash-checked; the `features`
     // array is the declared-stub half and is dropped from the checked surface
@@ -396,6 +405,7 @@ object SparkEntry {
     "ann_brute_force" -> SimilaritySql.bruteForceTopKSql(),
     "ann_lsh" -> SimilaritySql.lshTopKSql(),
     "ann_ivf" -> SimilaritySql.ivfTopKSql(),
+    "ann_ivf_trained" -> SimilaritySql.ivfTrainedTopKSql(),
     "ann_pq" -> ProductQuantizationSql.annPqSql(),
     "ann_ivf_pq" -> ProductQuantizationSql.annIvfPqSql(),
     "ann_pq_trained" -> ProductQuantizationSql.annPqTrainedSql(),
@@ -406,6 +416,7 @@ object SparkEntry {
     "emb_quantize" -> QuantizeSql.int8Sql,
     "mm_metadata" -> MultimodalSql.metadataSql,
     "mm_frame_sample" -> MultimodalSql.frameSampleSql,
+    "mm_audio_chunk" -> MultimodalSql.audioChunksSql(),
     "mm_decode_stub" -> MultimodalSql.decodeStubSql,
     "mm_resize_stub" -> MultimodalSql.resizeStubSql(),
     "mm_embed_stub" -> MultimodalSql.embedStubSql()

@@ -56,6 +56,33 @@ object Multimodal {
         col("frame_idx").cast("long").as("frame_idx"),
         (col("frame_idx") * 1000).cast("long").as("frame_ts_ms"))
 
+  /** Audio chunking plumbing: the audio-typed media rows reframed as PCM
+    * streams (a deterministic fake sample count — 4 samples per payload
+    * byte at a 16 kHz nominal rate; a real pipeline reads the WAV header)
+    * and cut into fixed windows with 50% hop — the standard layout feeding
+    * ASR/audio-embedding models. ALL-integer boundary math (ceil by
+    * add-divide, integral ms), so the entire output is oracle-checked —
+    * plumbing included, like the resize stub. Narrow explode: a stream's
+    * chunks never leave its partition; the chunk count is
+    * samples/hop-proportional, the exact fan-out a real splitter has.
+    */
+  def audioChunks(docs: DataFrame, rate: Int = 16000, window: Int = 16000,
+      hop: Int = 8000): DataFrame = {
+    val media = asMedia(docs)
+      .filter(col("media_type") === "audio/wav")
+      .withColumn("n_samples", (col("meta.byte_len") * 4).cast("long"))
+      .withColumn("n_chunks",
+        expr(s"(greatest(n_samples - ${window}L, 0L) + ${hop - 1}L) div ${hop}L")
+          + lit(1L))
+    media
+      .select(col("doc_id"), col("n_samples"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * hop).as("start_sample"),
+        least(col("chunk_idx") * hop + window, col("n_samples")).as("end_sample"),
+        expr(s"chunk_idx * ${hop}L * 1000L div ${rate}L").as("start_ms"))
+  }
+
   /** Output schema of the decode stage. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -172,6 +199,27 @@ object MultimodalSql {
       |SELECT doc_id, media_type, unnest(generate_series(0, n_frames - 1)) AS frame_idx,
       |       unnest(generate_series(0, n_frames - 1)) * 1000 AS frame_ts_ms
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Full oracle for [[Multimodal.audioChunks]] — same constants, same
+    * integral boundary math (`doc_id % 3 = 1` selects the audio/wav rows).
+    */
+  def audioChunksSql(rate: Int = 16000, window: Int = 16000,
+      hop: Int = 8000): String =
+    s"""WITH media AS (
+       |  SELECT doc_id,
+       |    CAST(octet_length(encode(text)) * 4 AS BIGINT) AS n_samples
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |chunked AS (
+       |  SELECT doc_id, n_samples,
+       |    unnest(range(((greatest(n_samples - $window, 0) + ${hop - 1}) // $hop) + 1))
+       |      AS chunk_idx
+       |  FROM media)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |       CAST(chunk_idx * $hop AS BIGINT) AS start_sample,
+       |       CAST(least(chunk_idx * $hop + $window, n_samples) AS BIGINT)
+       |         AS end_sample,
+       |       CAST(chunk_idx * $hop * 1000 // $rate AS BIGINT) AS start_ms
+       |FROM chunked ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** Partial oracle for the decode stub: the deterministic fake dimensions are
     * a pure function of payload byte length, so (doc_id, width, height) is

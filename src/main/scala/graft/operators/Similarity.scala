@@ -172,10 +172,31 @@ object Similarity {
     withNorm.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
 
+  /** Coarse codebook after ONE Lloyd refinement step: [[kmeansStep]]'s
+    * exact-integer micro means reassembled to (cid, cvec, cnrm) rows —
+    * cvec elements are the micro values divided back to double (exact:
+    * both engines divide the identical long by 1e6). Centroids that lost
+    * every member in the refinement (possible under the lowest-cid
+    * tie-break when init vectors are parallel) drop out — the codebook
+    * shrinks deterministically, matching the oracle. Cached: the codebook
+    * is KB-sized but its lineage is a corpus pass, and it feeds BOTH the
+    * data-assignment and the query-probe joins.
+    */
+  private[operators] def trainedCentroidsOf(emb: DataFrame,
+      nCentroids: Int): DataFrame =
+    Caching.cached(kmeansStep(emb, nCentroids)
+      .groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("centroid_micro")))),
+        x => x.getField("centroid_micro").cast("double") / 1e6).as("cvec"))
+      .withColumn("cnrm", VF.norm(col("cvec"))))
+
   def ivfTopK(emb: DataFrame, nCentroids: Int = 16, nProbe: Int = 4,
-      queryMaxId: Long = 8, k: Int = 5): DataFrame = {
+      queryMaxId: Long = 8, k: Int = 5, trained: Boolean = false): DataFrame = {
     val withNorm = withNormOf(emb)
-    val centroids = centroidsOf(withNorm, nCentroids)
+    val centroids =
+      if (trained) trainedCentroidsOf(emb, nCentroids)
+      else centroidsOf(withNorm, nCentroids)
     def nearest(side: DataFrame, idCol: String, vecCol: String,
         nrmCol: String, keep: Int): DataFrame =
       nearestCentroids(side, centroids, idCol, vecCol, nrmCol, keep)
@@ -331,6 +352,63 @@ object SimilaritySql {
        |         AS centroid_micro
        |FROM ex GROUP BY cid, pos
        |ORDER BY cid, pos""".stripMargin
+
+  /** Mirror of `ivfTopK(trained = true)` — [[kmeansStepSql]]'s training
+    * chain feeding [[ivfTopKSql]]'s probe/scan machinery.
+    */
+  def ivfTrainedTopKSql(nCentroids: Int = 16, nProbe: Int = 4,
+      queryMaxId: Long = 8, k: Int = 5): String =
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id < $nCentroids),
+       |assigned0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${VS.cosine("e.embedding", "c.cvec")} DESC, c.cid) AS crn
+       |    FROM embeddings e CROSS JOIN cents0 c)
+       |  WHERE crn = 1),
+       |ex AS (
+       |  SELECT a.cid,
+       |    generate_subscripts(e.embedding, 1) - 1 AS pos,
+       |    CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1000000) AS BIGINT) AS sv
+       |  FROM assigned0 a JOIN embeddings e USING (vec_id)),
+       |km AS (
+       |  SELECT cid, pos,
+       |    CAST(floor(CAST(sum(sv) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+       |  FROM ex GROUP BY cid, pos),
+       |cents AS (
+       |  SELECT cid, list(CAST(cm AS DOUBLE) / 1000000 ORDER BY pos) AS cvec
+       |  FROM km GROUP BY cid),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${VS.cosine("e.embedding", "c.cvec")} DESC, c.cid) AS crn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE crn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |      WHERE vec_id < $queryMaxId),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${VS.cosine("q.qv", "c.cvec")} DESC, c.cid) AS crn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE crn <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id, ${VS.cosine("q.qv", "e.embedding")} AS cos
+       |  FROM probes p
+       |  JOIN q ON p.query_id = q.query_id
+       |  JOIN assigned a ON p.cid = a.cid AND a.vec_id <> q.query_id
+       |  JOIN embeddings e ON a.vec_id = e.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
 
   def lshTopKSql(queryMaxId: Long = 8, k: Int = 5,
       tables: Int = TopKTables, planes: Int = TopKPlanes): String = {

@@ -26,8 +26,12 @@ class PlanAuditSpec extends SparkSpec {
   // probe); the PQ fine stage itself is broadcast-hash equi-joins only (2).
   // ann_ivf_pq_res_trained: same two coarse-codebook scans as ann_ivf_pq_res
   // (assign + probe); the residual training pass is broadcast-hash only (2).
+  // ann_ivf_trained: ann_ivf's two coarse-codebook scans plus the Lloyd
+  // training assignment (emb_kmeans_step's scan) over the SAME constant-size
+  // broadcast codebook (3).
   private val allowedNestedLoops = Map("ann_brute_force" -> 1, "ann_ivf" -> 2,
     "ann_ivf_pq" -> 2, "ann_ivf_pq_res" -> 2, "ann_ivf_pq_res_trained" -> 2,
+    "ann_ivf_trained" -> 3,
     "emb_kmeans_step" -> 1, "text_tfidf" -> 1, "q_bloom_join" -> 1)
   // streaming/iterative queries execute eagerly (they must run a stream or a
   // convergence loop to build their result); their batch post-processing is

@@ -26,6 +26,19 @@ class AnnRecallSpec extends SparkSpec {
     assert(ivfRecall >= 0.5, f"IVF recall degenerated: $ivfRecall%.3f")
   }
 
+  test("the trained coarse codebook does not degrade IVF recall") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val exact = pairs(Similarity.bruteForceTopK(emb))
+    val init = (pairs(Similarity.ivfTopK(emb)) & exact).size.toDouble / exact.size
+    val trained = (pairs(Similarity.ivfTopK(emb, trained = true)) & exact)
+      .size.toDouble / exact.size
+    info(f"ivf recall: init = $init%.3f, trained coarse = $trained%.3f")
+    // one Lloyd step re-centers lists; recall must stay useful and not
+    // collapse relative to the init codebook
+    assert(trained >= 0.5, f"trained-coarse IVF degenerated: $trained%.3f")
+    assert(trained >= init - 0.15, f"training regressed recall: $init%.3f -> $trained%.3f")
+  }
+
   test("PQ/ADC recovers a meaningful fraction of the exact L2 top-k") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
