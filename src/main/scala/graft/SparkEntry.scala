@@ -46,6 +46,12 @@ object SparkEntry {
     // memory the way the broker-replay harness is
     "mqtt_history_streaming_file" -> ((s, d) =>
       streaming.FileReplayHistory.history(s, d)),
+    // the SAME file-source replay through Spark 4's transformWithState on
+    // the RocksDB state store (the successor state API + the provider a
+    // large deployment runs) — same oracle, so the certificate isolates
+    // the state API/store swap
+    "mqtt_history_streaming_tws" -> ((s, d) =>
+      streaming.FileReplayHistory.history(s, d, useTws = true)),
     // the keyed upsert sink end-to-end (source -> micro-batches -> foreachBatch
     // merge), against the SAME oracle as the batch state table
     "mqtt_state_streaming" -> ((s, d) => streaming.StreamingState.state(s, d)),
@@ -329,6 +335,7 @@ object SparkEntry {
     "mqtt_payload_json" -> MqttQueries.payloadJsonSql,
     "mqtt_history_streaming" -> MqttQueries.historySql,
     "mqtt_history_streaming_file" -> MqttQueries.historySql,
+    "mqtt_history_streaming_tws" -> MqttQueries.historySql,
     "mqtt_state_streaming" -> MqttQueries.stateSql,
     "mqtt_state_streaming_file" -> MqttQueries.stateSql,
     "mqtt_history_scd2" -> MqttQueries.historyScd2Sql,

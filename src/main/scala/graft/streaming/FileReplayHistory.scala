@@ -30,7 +30,14 @@ import graft.operators.MqttQueries
   */
 object FileReplayHistory {
 
-  def history(spark: SparkSession, dir: String, chunks: Int = 3): DataFrame = {
+  /** `useTws = true` runs the SAME replay through [[TwsCdc.changes]]
+    * (Spark 4's transformWithState on the RocksDB state store) instead of
+    * [[StatefulCdc.changes]] (flatMapGroupsWithState on the default
+    * provider) — everything else, including the oracle, is identical, so
+    * the two certificates differ ONLY in the state API + store.
+    */
+  def history(spark: SparkSession, dir: String, chunks: Int = 3,
+      useTws: Boolean = false): DataFrame = {
     import spark.implicits._
     val m = MqttQueries.replayMessages(spark, dir)
     val work = java.nio.file.Files.createTempDirectory("graft_file_replay").toFile
@@ -52,16 +59,28 @@ object FileReplayHistory {
         // state-store partition count freezes from the session conf at the
         // query's first run — size it to the topic keyspace, restore after
         val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = spark.conf.getOption(providerKey)
         val q = try {
           spark.conf.set("spark.sql.shuffle.partitions", "8")
+          if (useTws) spark.conf.set(providerKey, TwsCdc.RocksDbProvider)
           val stream = spark.readStream
             .schema(staged.schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(inDir)
-          StatefulCdc.changes(stream.as[MqttMsg])
+          val cdc =
+            if (useTws) TwsCdc.changes(stream.as[MqttMsg])
+            else StatefulCdc.changes(stream.as[MqttMsg])
+          cdc
             .writeStream.format("memory").queryName(name)
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          if (useTws) prevProvider match {
+            case Some(p) => spark.conf.set(providerKey, p)
+            case None => spark.conf.unset(providerKey)
+          }
+        }
         try q.awaitTermination() finally q.stop()
         // memory-sink readback: the OUTPUT surface (CDC events), not input
         spark.table(name).as[CdcEvent].collect().toSeq

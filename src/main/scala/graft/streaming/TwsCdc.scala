@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
+
+/** The CDC state machine on Spark 4's `transformWithState` — the
+  * successor API to `flatMapGroupsWithState` ([[StatefulCdc]]): typed
+  * per-key state handles (`ValueState`), explicit output/time modes, and
+  * the RocksDB state store as the execution substrate (the provider
+  * `transformWithState` requires — also the provider a 100 TB deployment
+  * runs, since its state spills to disk and snapshots incrementally
+  * instead of living on the executor heap like the HDFS-backed default).
+  *
+  * The state machine itself is IDENTICAL to [[StatefulCdc.processTopic]]
+  * verbatim — per-topic last payload, deterministic (ts, msg_id) order
+  * inside each batch, content diff (/root/reference/mysql.sql:86-91) — so
+  * certifying this form against the SAME oracle proves the semantics
+  * carry across both state APIs and both state store providers.
+  */
+object TwsCdc {
+
+  class CdcProcessor extends StatefulProcessor[String, MqttMsg, CdcEvent] {
+    @transient private var last: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[Array[Byte]]("last", Encoders.BINARY,
+        TTLConfig.NONE)
+
+    override def handleInputRows(topic: String, rows: Iterator[MqttMsg],
+        timers: TimerValues): Iterator[CdcEvent] = {
+      var prev: Option[Array[Byte]] = if (last.exists()) Some(last.get()) else None
+      val out = Vector.newBuilder[CdcEvent]
+      rows.toSeq.sortBy(m => (m.ts.getTime, m.msg_id)).foreach { m =>
+        val changed = prev match {
+          case None => true
+          case Some(p) => !java.util.Arrays.equals(p, m.value)
+        }
+        if (changed) out += CdcEvent(topic, m.ts, m.msg_id, m.value)
+        prev = Some(m.value)
+      }
+      prev.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
+  /** The RocksDB provider `transformWithState` requires (set it on
+    * `spark.sql.streaming.stateStore.providerClass` before starting the
+    * query; the conf is captured per query at start).
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def changes(msgs: Dataset[MqttMsg]): Dataset[CdcEvent] =
+    msgs.groupByKey(_.topic)(Encoders.STRING)
+      .transformWithState(new CdcProcessor, TimeMode.None(), OutputMode.Append())(
+        Encoders.product[CdcEvent])
+}

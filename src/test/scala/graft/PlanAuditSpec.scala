@@ -37,8 +37,10 @@ class PlanAuditSpec extends SparkSpec {
   // convergence loop to build their result); their batch post-processing is
   // audited via the batch twins' plans
   private val eager = Set("mqtt_history_streaming", "mqtt_history_streaming_file",
-    "mqtt_state_streaming",
+    "mqtt_history_streaming_tws",
+    "mqtt_state_streaming", "mqtt_state_streaming_file",
     "q_approx_distinct_streaming", "dedup_exact_streaming",
+    "dedup_normalized_streaming",
     "q_session_windows_streaming", "q_approx_quantiles_streaming",
     "q_heavy_hitters_streaming", "q_heavy_hitters_bounded_streaming",
     "pipeline_clean_corpus_streaming",
