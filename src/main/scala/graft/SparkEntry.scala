@@ -68,6 +68,13 @@ object SparkEntry {
     "mqtt_asof_change" -> (MqttQueries.asofChange _),
     // event-time tumbling windows (batch form; streaming twin is watermarked)
     "mqtt_windowed_counts" -> (MqttQueries.windowedCounts _),
+    // the SAME windowed aggregation certified end-to-end as an APPEND-mode
+    // streaming query through the file source: each window is emitted once
+    // when the watermark passes its end and its state evicts (the
+    // bounded-state production contract); a flush sentinel finalizes the
+    // trailing windows of the finite replay. Same oracle as the batch form.
+    "mqtt_windowed_streaming_file" -> ((s, d) =>
+      streaming.FileReplayWindowed.hourlyStats(s, d)),
     // --- relational coverage (SURVEY §2.4-2.6) ---
     "q1_pricing_summary" -> (Relational.pricingSummary _),
     "q6_forecast_revenue" -> (Relational.forecastRevenue _),
@@ -341,6 +348,7 @@ object SparkEntry {
     "mqtt_history_scd2" -> MqttQueries.historyScd2Sql,
     "mqtt_asof_change" -> MqttQueries.asofChangeSql,
     "mqtt_windowed_counts" -> MqttQueries.windowedCountsSql,
+    "mqtt_windowed_streaming_file" -> MqttQueries.windowedCountsSql,
     "q1_pricing_summary" -> Relational.pricingSummarySql,
     "q6_forecast_revenue" -> Relational.forecastRevenueSql,
     "q3_top_orders" -> Relational.topOrdersSql,

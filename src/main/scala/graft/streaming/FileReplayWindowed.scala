@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.MqttQueries
+
+/** The event-time windowed aggregation (ST2) certified END-TO-END as a
+  * streaming query in APPEND mode — the mode a production job runs,
+  * because it is the one with the bounded-state contract: a window is
+  * emitted exactly ONCE when the watermark passes its end, and its state
+  * evicts. (The existing WindowedStatsSpec asserts plan equivalence; this
+  * query makes the full watermark lifecycle a driver-checked certificate
+  * against the SAME oracle as the batch `mqtt_windowed_counts`.)
+  *
+  * Append mode only finalizes windows the watermark has passed, so a
+  * bounded replay would otherwise never emit its trailing windows: TWO
+  * FLUSH SENTINELS (excluded-from-results topic, event times 3 h and 6 h
+  * past the real maximum) arrive in their own final file-batches. The
+  * watermark is computed at the END of batch N and applied (state emitted
+  * and evicted) during batch N+1, so the first sentinel advances the
+  * watermark past every real window and the second sentinel's batch
+  * flushes them — one sentinel alone would strand the trailing windows in
+  * state, because AvailableNow stops as soon as the listed files are
+  * consumed. Both sentinels are dropped from the aggregated output — the
+  * standard end-of-stream flush pattern for certifying append-mode
+  * windows over finite input. Ingest is the distributed file-source
+  * staging (no driver-side input materialization; the only driver-visible
+  * scalars are max(ts)/max(msg_id) for sentinel construction).
+  */
+object FileReplayWindowed {
+
+  val FlushTopic = "__wm_flush"
+
+  def hourlyStats(spark: SparkSession, dir: String, chunks: Int = 3,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    import spark.implicits._
+    val m = MqttQueries.replayMessages(spark, dir)
+    val work = java.nio.file.Files.createTempDirectory("graft_file_windowed").toFile
+    try {
+      val inDir = new java.io.File(work, "in").getAbsolutePath
+      val staged = m.select(col("msg_id"), col("ts").cast("timestamp").as("ts"),
+        col("topic"), col("value"), col("qos"), col("retain"))
+      staged
+        .repartitionByRange(chunks, col("ts"), col("msg_id"))
+        .sortWithinPartitions(col("ts"), col("msg_id"))
+        .write.mode("overwrite").parquet(inDir)
+      val realParts = new java.io.File(inDir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      realParts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1_000_000_000_000L + i * 60_000L) }
+      // the flush sentinels: one row each, 3 h / 6 h past the real max
+      // event time, in their own LAST-scheduled file-batches (watermark
+      // advance in the first, state flush in the second)
+      val bounds = staged.agg(max(col("ts")), max(col("msg_id"))).head()
+      (0 until 2).foreach { i =>
+        val before = new java.io.File(inDir).listFiles()
+          .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+        val sentinel = Seq((bounds.getLong(1) + 1L + i,
+          new Timestamp(bounds.getTimestamp(0).getTime + (3L + 3 * i) * 3600 * 1000),
+          FlushTopic, Array.empty[Byte], 0, 0))
+          .toDF("msg_id", "ts", "topic", "value", "qos", "retain")
+        sentinel.coalesce(1).write.mode("append").parquet(inDir)
+        new java.io.File(inDir).listFiles()
+          .filter(_.getName.startsWith("part-"))
+          .filterNot(f => before.contains(f.getName))
+          .foreach(_.setLastModified(1_000_000_000_000L + (chunks + i) * 60_000L))
+      }
+      val name = s"mqtt_win_file_${java.util.UUID.randomUUID().toString.take(8)}"
+      try {
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          val stream = spark.readStream
+            .schema(staged.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inDir)
+          // NOTE: the sentinel filter must NOT be part of the streaming
+          // plan — a `topic =!= FlushTopic` predicate here gets pushed
+          // below the EventTimeWatermark operator (topic is not the event
+          // -time column), so the sentinel rows would be dropped at the
+          // scan and never advance the watermark. It is applied at the
+          // memory-sink readback below instead.
+          WindowedStats.hourlyStats(stream, watermarkDelay)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        try q.awaitTermination() finally q.stop()
+        // memory-sink readback: the OUTPUT surface (window-cardinality
+        // rows); the flush-sentinel windows are dropped here, post-sink
+        val rows = spark.table(name)
+          .filter(col("topic") =!= FlushTopic)
+          .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
+          .select(col("win_start"), col("topic"), col("n_msgs"),
+            col("total_bytes"))
+          .collect()
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), spark.table(name)
+            .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
+            .select(col("win_start"), col("topic"), col("n_msgs"),
+              col("total_bytes")).schema)
+          .orderBy(col("win_start"), col("topic"))
+      } finally {
+        try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
+  }
+}

@@ -37,7 +37,7 @@ class PlanAuditSpec extends SparkSpec {
   // convergence loop to build their result); their batch post-processing is
   // audited via the batch twins' plans
   private val eager = Set("mqtt_history_streaming", "mqtt_history_streaming_file",
-    "mqtt_history_streaming_tws",
+    "mqtt_history_streaming_tws", "mqtt_windowed_streaming_file",
     "mqtt_state_streaming", "mqtt_state_streaming_file",
     "q_approx_distinct_streaming", "dedup_exact_streaming",
     "dedup_normalized_streaming",
