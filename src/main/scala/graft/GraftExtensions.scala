@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MqttTopicMatches, RepetitionStats, ShingleHash60, SquaredDistance, WinnowFingerprints}
+import graft.functions.{DotProduct, KmvSketch, MqttTopicMatches, RepetitionStats, ShingleHash60, SquaredDistance, WinnowFingerprints}
 
 /** SQL surface for graft's native Catalyst expressions
   * (`spark.sql.extensions=graft.GraftExtensions`, or
@@ -22,7 +22,10 @@ import graft.functions.{DotProduct, MqttTopicMatches, RepetitionStats, ShingleHa
   *    arrays (the PQ/ADC hot loop);
   *  - `winnow_fingerprints(text, k, w)` — winnowing/MOSS passage
   *    fingerprints (sorted distinct w-window minima over the ordered
-  *    k-gram hash sequence); `k` and `w` must be literals.
+  *    k-gram hash sequence); `k` and `w` must be literals;
+  *  - `kmv_kth(hash, k)` — KMV bottom-k distinct sketch AGGREGATE over
+  *    int64 hashes, returning struct(n_kept, kth_hash); `k` must be a
+  *    literal >= 2 (the UDAF half of the extension surface).
   *
   * With these registered, a SQL-only user can run the engine's custom
   * operators without touching the Scala API — e.g.
@@ -93,6 +96,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(k >= 1 && w >= 1,
           s"winnow_fingerprints(text, k, w): k and w must be >= 1, got k=$k w=$w")
         WinnowFingerprints(children(0), k, w)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_kth"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "kmv_kth"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_kth(hash, k)")
+        val k = intLit(children(1), "kmv_kth k")
+        // fail at analysis time: the buffer math needs a real capacity
+        require(k >= 2, s"kmv_kth(hash, k): k must be >= 2, got $k")
+        KmvSketch(children(0), k).toAggregateExpression()
       }))
   }
 }

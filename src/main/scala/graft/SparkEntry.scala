@@ -111,6 +111,11 @@ object SparkEntry {
     // skew-mitigated equi-join: deterministic fact-side salt fans each hot
     // key over `salts` tasks; oracle is the plain unsalted join
     "q_salted_join" -> ((s, d) => SaltedJoin.orderVolumeBySegment(s, d)),
+    // write-time-layout join: same-bucket-count tables join with NO
+    // exchange on either side (the query-time shuffle paid once at write
+    // time); oracle is the plain parquet join — layout changes the plan,
+    // never the answer
+    "q_bucketed_join" -> (BucketedJoin.orderVolumeBySegment _),
     // runtime-filter pattern: broadcast bloom bitmap pre-filters the fact
     // side before the exact semi-join; oracle is the plain semi-join
     "q_bloom_join" -> (BloomJoin.urgentLineitems _),
@@ -119,6 +124,12 @@ object SparkEntry {
     // q_session_windows (incremental-equals-batch for merging windows)
     "q_session_windows_streaming" -> ((s, d) =>
       streaming.StreamingSessions.userSessions(s, d)),
+    // watermarked stream-stream inner join (two file-source streams, state
+    // bounded by the event-time range condition on both watermarked sides),
+    // against the plain batch-join oracle — incremental-equals-batch for
+    // the join operator class
+    "q_stream_stream_join" -> ((s, d) =>
+      streaming.StreamStreamJoin.signupPurchases(s, d)),
     // full-outer reconciliation of two same-key aggregates (zero-fill)
     "q_outer_join" -> (Relational.outerJoinYears _),
     // ordered step funnel: staged conditional min-ts aggregation per step,
@@ -196,6 +207,15 @@ object SparkEntry {
     // the SAME oracle as the batch q_approx_quantiles
     "q_approx_quantiles_streaming" -> ((s, d) =>
       streaming.StreamingQuantiles.quantilesByType(s, d)),
+    // KMV bottom-k distinct sketch as a native TypedImperativeAggregate
+    // (the custom-UDAF surface): O(k) state per group at ANY cardinality,
+    // oracle-verified through its exact integer (n_kept, kth_hash) core
+    "q_kmv_distinct" -> (Sketches.kmvDistinctUsers _),
+    // the same custom aggregate maintained incrementally by Spark's
+    // built-in update-mode streaming aggregation (state = the serialized
+    // sketch buffer), against the SAME oracle as the batch form
+    "q_kmv_distinct_streaming" -> ((s, d) =>
+      streaming.StreamingKmv.kmvDistinctUsers(s, d)),
     // exact heavy-hitter skew profile: one key-partitioned agg over data,
     // ranking/share on key-cardinality rows (integer ppm — no float ranks)
     "q_heavy_hitters" -> (HeavyHitters.hotCustomers _),
@@ -373,8 +393,10 @@ object SparkEntry {
     "q_ntile" -> Relational.ntileQuartilesSql,
     "q_range_join" -> RangeJoin.inTransitCountsSql,
     "q_salted_join" -> SaltedJoin.orderVolumeBySegmentSql,
+    "q_bucketed_join" -> BucketedJoin.orderVolumeBySegmentSql,
     "q_bloom_join" -> BloomJoin.urgentLineitemsSql,
     "q_session_windows_streaming" -> Relational.sessionWindowsSql,
+    "q_stream_stream_join" -> streaming.StreamStreamJoin.signupPurchasesSql,
     "q_outer_join" -> Relational.outerJoinYearsSql,
     "q_funnel" -> Funnel.funnelSql,
     "pipeline_clean_corpus" -> CleanCorpusSql.cleanSql,
@@ -400,6 +422,8 @@ object SparkEntry {
     "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,
     "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles_streaming" -> SketchesSql.approxQuantilesByTypeSql,
+    "q_kmv_distinct" -> SketchesSql.kmvDistinctUsersSql,
+    "q_kmv_distinct_streaming" -> SketchesSql.kmvDistinctUsersSql,
     "q_heavy_hitters" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_streaming" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_bounded" -> HeavyHitters.hotCustomersSql,

@@ -128,6 +128,60 @@ object Sketches {
   def approxQuantilesByType(spark: SparkSession, dir: String): DataFrame =
     approxQuantiles(Tables.events(spark, dir), "value", "event_type")
       .orderBy(col("event_type"))
+
+  /** KMV sketch size: 64 keeps per-group state at <= 512 bytes while giving
+    * ~13% standard error (1/sqrt(k-2)) at ANY cardinality — the driver
+    * corpus crosses the k threshold between sf0.001 (15 users/type: exact
+    * regime) and sf0.01+ (150+: estimation regime), so both branches are
+    * gate-certified.
+    */
+  val KmvK = 64
+
+  val KmvSalt = "kmv:"
+
+  /** The shared value -> 60-bit hash map of the KMV sketch (salted so its
+    * hash stream is independent of the linear-counting sketch's).
+    */
+  def kmvHashOf(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    TF.hash60(concat(lit(KmvSalt), value.cast("string")))
+
+  /** Cardinality estimate from the sketch surface: exact below capacity;
+    * (k-1) * 2^60 / kth at capacity (the k-th smallest of n uniform draws
+    * on [0, 2^60) sits near k/n of the range). 63 * 2^60 is exactly
+    * representable in a double, so both engines fold the numerator to the
+    * same constant and the single division is IEEE-identical; the round-6
+    * display residual risk is the documented [[estimate]] one, and the
+    * SKETCH itself is certified exactly through (n_kept, kth_hash).
+    */
+  def kmvEstimate(nKept: org.apache.spark.sql.Column,
+      kth: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(nKept < KmvK, nKept.cast("double"))
+      .otherwise(round(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
+        kth.cast("double"), 6))
+
+  /** Per-group KMV approximate distinct count of `valueCol`:
+    * (groupCols*, n_kept, kth_hash, est_distinct).
+    *
+    * Scale shape: ONE aggregation whose buffer is <= k longs per group —
+    * partials combine map-side (bounded set-union), so each mapper emits at
+    * most groups x (4 + 8k) bytes regardless of input size, and unlike
+    * [[approxDistinct]] the accuracy does not degrade as the true
+    * cardinality approaches a fixed bucket count.
+    */
+  def kmvDistinct(df: DataFrame, valueCol: String, groupCols: String*): DataFrame = {
+    val g = groupCols.map(col)
+    df.select(g :+ kmvHashOf(col(valueCol)).as("__hv"): _*)
+      .groupBy(g: _*)
+      .agg(graft.functions.KmvSketch.agg(col("__hv"), KmvK).as("__kmv"))
+      .select(g :+ col("__kmv.n_kept").as("n_kept") :+
+        col("__kmv.kth_hash").as("kth_hash"): _*)
+      .withColumn("est_distinct", kmvEstimate(col("n_kept"), col("kth_hash")))
+  }
+
+  /** Driver query: KMV distinct users per event type. */
+  def kmvDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    kmvDistinct(Tables.events(spark, dir), "user_id", "event_type")
+      .orderBy(col("event_type"))
 }
 
 /** DuckDB oracle for [[Sketches]] — same salt, same bucket count, same
@@ -147,6 +201,31 @@ object SketchesSql {
        |    THEN round(-$m * ln(1.0 - n_buckets_hit / $m.0), 6)
        |  END AS est_distinct
        |FROM h ORDER BY event_type""".stripMargin
+  }
+
+  /** KMV oracle: DISTINCT salted hashes ranked per group; the bottom-k set
+    * a correct sketch must hold is exactly `rn <= k`, so `n_kept` is its
+    * size and `kth_hash` the rank-k value. Same salt, same k, same
+    * estimate arithmetic as [[Sketches.kmvEstimate]].
+    */
+  val kmvDistinctUsersSql: String = {
+    val k = Sketches.KmvK
+    val hv = TS.hash60(s"('${Sketches.KmvSalt}' || CAST(user_id AS VARCHAR))")
+    s"""WITH h AS (SELECT DISTINCT event_type, $hv AS hv
+       |           FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT event_type, hv,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+       |      FROM h),
+       |s AS (SELECT event_type,
+       |        CAST(count(*) FILTER (WHERE rn <= $k) AS INT) AS n_kept,
+       |        max(CASE WHEN rn = $k THEN hv END) AS kth_hash
+       |      FROM r GROUP BY event_type)
+       |SELECT event_type, n_kept, kth_hash,
+       |  CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |    ELSE round(${(k - 1).toDouble} * 1152921504606846976.0 /
+       |           CAST(kth_hash AS DOUBLE), 6)
+       |  END AS est_distinct
+       |FROM s ORDER BY event_type""".stripMargin
   }
 
   val approxQuantilesByTypeSql: String = {

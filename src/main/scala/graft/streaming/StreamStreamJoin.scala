@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+
+/** Watermarked STREAM-STREAM inner join (the §2.7 join shape none of the
+  * other streaming certificates exercise): signup events joined to the
+  * purchases that follow within [[WindowHours]], both sides unbounded
+  * streams.
+  *
+  * This is the join whose state Spark can only bound because BOTH sides
+  * carry watermarks and the join condition carries an event-time range:
+  * from `purchase_ts BETWEEN signup_ts AND signup_ts + W` the planner
+  * derives that a buffered signup is joinable only until the purchase-side
+  * watermark passes `signup_ts + W` (and symmetrically), so each side's
+  * state holds a sliding ~W-deep window of rows, not the stream's history —
+  * the property that makes a fact-to-fact streaming join runnable at 100 TB
+  * ingest. An unconstrained stream-stream join would buffer both streams
+  * forever (Spark rejects it outright in append mode without watermarks).
+  *
+  * Ingest is the distributed file-source staging (range-ordered parquet
+  * chunks, one micro-batch per file, no driver-side input
+  * materialization): TWO independent file sources over the same staged
+  * log, each side filtered to its event type BEFORE the watermark. Inner
+  * join results emit as matches are found — no flush sentinel is needed
+  * (unlike the append-mode aggregation in [[FileReplayWindowed]], nothing
+  * waits on watermark finalization to EMIT; the watermark only EVICTS).
+  * Because the staged files are range-disjoint in event time, no row ever
+  * arrives behind the watermark, so eviction can never race ahead of a
+  * pending match and the result equals the batch join exactly — the
+  * incremental-equals-batch certificate for the stream-stream join, against
+  * the plain batch-join driver oracle.
+  *
+  * Reference analogue: the reference's read surface joins the live state
+  * table to history by topic/time (README.md:236-247) but its engine is
+  * batch SQL over MySQL; a true stream-to-stream correlation is part of
+  * the mandated scale extension surface.
+  */
+object StreamStreamJoin {
+
+  /** Join window: purchases within 24 h after the signup. Shared with
+    * [[signupPurchasesSql]].
+    */
+  val WindowHours = 24
+
+  def signupPurchases(spark: SparkSession, dir: String, chunks: Int = 3,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_ssj").toFile
+    try {
+      val inDir = new java.io.File(work, "in").getAbsolutePath
+      val staged = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"))
+      staged
+        .repartitionByRange(chunks, col("ts"), col("event_id"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(inDir)
+      val parts = new java.io.File(inDir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1_000_000_000_000L + i * 60_000L) }
+      joinStaged(spark, inDir, staged.schema, watermarkDelay)
+        .orderBy(col("user_id"), col("signup_event"), col("purchase_event"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
+  }
+
+  /** The join topology over an already-staged event log (one micro-batch
+    * per file, mtime order) — separated so the spec can drive it over
+    * hand-built file batches and prove a match across a batch boundary.
+    * Returns the collected (unordered) result frame.
+    */
+  def joinStaged(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      watermarkDelay: String): DataFrame = {
+    def source(): DataFrame = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val signups = source()
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_event"), col("user_id"),
+        col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", watermarkDelay)
+    val purchases = source()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+
+    val joined = signups.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") +
+          expr(s"INTERVAL $WindowHours HOURS"))
+
+    val name = s"ssj_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        // state partitions sized to the user keyspace, not the session 32
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      try q.awaitTermination() finally q.stop()
+      val rows = spark.table(name)
+        .select(col("user_id"), col("signup_event"), col("purchase_event"),
+          col("signup_ts").cast("timestamp_ntz").as("signup_ts"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.collect(): _*), rows.schema)
+    } finally {
+      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+    }
+  }
+
+  /** DuckDB mirror: the plain batch join — same window, same columns. */
+  val signupPurchasesSql: String =
+    s"""SELECT s.user_id, s.event_id AS signup_event, p.event_id AS purchase_event,
+       |       s.ts AS signup_ts, p.ts AS purchase_ts
+       |FROM events s JOIN events p
+       |  ON p.user_id = s.user_id
+       | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+       | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL $WindowHours HOUR
+       |ORDER BY s.user_id, signup_event, purchase_event""".stripMargin
+}

@@ -103,4 +103,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[Seq[Long]].collect()(0)
     assert(viaSql == viaCol && viaSql.nonEmpty)
   }
+
+  test("kmv_kth from SQL is a grouped aggregate equal to the Column form") {
+    import spark.implicits._
+    val df = (0L until 300L).map(v => ("g" + (v % 2), v)).toDF("grp", "hv")
+    df.createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql(
+      """SELECT grp, s.n_kept, s.kth_hash
+        |FROM (SELECT grp, kmv_kth(hv, 64) AS s FROM kmv_in GROUP BY grp)
+        |ORDER BY grp""".stripMargin)
+      .as[(String, Int, Long)].collect().toSeq
+    val viaCol = df.groupBy($"grp")
+      .agg(graft.functions.KmvSketch.agg($"hv", 64).as("s"))
+      .select($"grp", $"s.n_kept", $"s.kth_hash")
+      .orderBy($"grp").as[(String, Int, Long)].collect().toSeq
+    assert(viaSql == viaCol && viaSql.forall(_._2 == 64))
+  }
+
+  test("kmv_kth rejects a capacity below 2 at analysis time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT kmv_kth(CAST(1 AS BIGINT), 1)").collect()
+    }
+    assert(e.getMessage.contains("k must be >= 2"), e.getMessage)
+  }
 }

@@ -39,6 +39,33 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("the driver q_bucketed_join path joins the REAL tables exchange-free") {
+    val work = Files.createTempDirectory("bucketed_driver").toFile
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val (ot, ct) = (s"spec_bk_orders_$run", s"spec_bk_cust_$run")
+    try {
+      StorageLayout.writeBucketed(
+        Tables.orders(spark, sf0001).select($"o_custkey", $"o_totalprice"),
+        ot, s"${work.getAbsolutePath}/o", "o_custkey", graft.operators.BucketedJoin.Buckets)
+      StorageLayout.writeBucketed(
+        Tables.customer(spark, sf0001).select($"c_custkey", $"c_mktsegment"),
+        ct, s"${work.getAbsolutePath}/c", "c_custkey", graft.operators.BucketedJoin.Buckets)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = graft.operators.BucketedJoin.joinBucketed(spark, ot, ct)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+        assert(joined.count() == Tables.orders(spark, sf0001).count())
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $ot")
+      spark.sql(s"DROP TABLE IF EXISTS $ct")
+      org.apache.commons.io.FileUtils.deleteQuietly(work)
+    }
+  }
+
   test("a filter on the partition key prunes directories, not just rows") {
     val work = Files.createTempDirectory("partitioned").toFile
     try {
