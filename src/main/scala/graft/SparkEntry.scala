@@ -216,6 +216,14 @@ object SparkEntry {
     // sketch buffer), against the SAME oracle as the batch form
     "q_kmv_distinct_streaming" -> ((s, d) =>
       streaming.StreamingKmv.kmvDistinctUsers(s, d)),
+    // HyperLogLog: max-leading-zero registers (m bytes/group at any
+    // cardinality), certified through the exact integer (n_zero_buckets,
+    // sum_pow) core; small-range correction included
+    "q_hll_distinct" -> (Sketches.hllDistinctUsers _),
+    // the registers maintained incrementally (update-mode max IS the HLL
+    // register update), against the SAME oracle as the batch form
+    "q_hll_distinct_streaming" -> ((s, d) =>
+      streaming.StreamingHll.hllDistinctUsers(s, d)),
     // exact heavy-hitter skew profile: one key-partitioned agg over data,
     // ranking/share on key-cardinality rows (integer ppm — no float ranks)
     "q_heavy_hitters" -> (HeavyHitters.hotCustomers _),
@@ -424,6 +432,8 @@ object SparkEntry {
     "q_approx_quantiles_streaming" -> SketchesSql.approxQuantilesByTypeSql,
     "q_kmv_distinct" -> SketchesSql.kmvDistinctUsersSql,
     "q_kmv_distinct_streaming" -> SketchesSql.kmvDistinctUsersSql,
+    "q_hll_distinct" -> SketchesSql.hllDistinctUsersSql,
+    "q_hll_distinct_streaming" -> SketchesSql.hllDistinctUsersSql,
     "q_heavy_hitters" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_streaming" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_bounded" -> HeavyHitters.hotCustomersSql,

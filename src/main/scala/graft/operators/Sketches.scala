@@ -182,6 +182,97 @@ object Sketches {
   def kmvDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     kmvDistinct(Tables.events(spark, dir), "user_id", "event_type")
       .orderBy(col("event_type"))
+
+  // --- HyperLogLog [Flajolet et al. 2007] ---
+  // The third point of the cardinality-sketch family: linear counting
+  // saturates near its bucket count, KMV keeps k raw hash values; HLL
+  // stores only max-leading-zero REGISTERS — m bytes of state for relative
+  // error 1.04/sqrt(m) at ANY cardinality, the industry-standard shape.
+
+  /** m = 64 registers (p = 6 bucket bits): ~13% standard error, 64 bytes of
+    * state per group. The remaining 54 hash bits feed the rank.
+    */
+  val HllBuckets = 64
+
+  val HllRemBits = 54
+
+  val HllSalt = "hll:"
+
+  /** alpha_m * m^2 * 2^55 — the numerator of the raw estimate, folded to
+    * ONE double literal shared with the oracle via toString round-trip
+    * (exact on both engines), so the only float op on the raw path is a
+    * single IEEE division by sum_pow.
+    */
+  val HllNumerator: Double =
+    0.7213 / (1.0 + 1.079 / HllBuckets) * HllBuckets * HllBuckets *
+      9007199254740992.0 * 4.0 // 2^53 * 4 = 2^55, kept factored exactly
+
+  /** Per-group HLL registers from a value column: (groupCols*, __bucket,
+    * __rho) where rho = leading-zero count of the 54 remaining hash bits,
+    * + 1 (in [1, 55]; the all-zero remainder takes 55). `length(bin(x))`
+    * is the shared integer log2 both engines evaluate identically — no
+    * float anywhere in the register math.
+    */
+  def hllObservations(df: DataFrame, valueCol: String,
+      groupCols: String*): DataFrame = {
+    val g = groupCols.map(col)
+    val hv = TF.hash60(concat(lit(HllSalt), col(valueCol).cast("string")))
+    val rem = hv.bitwiseAND(lit((1L << HllRemBits) - 1))
+    df.select(g :+ shiftright(hv, HllRemBits).cast("int").as("__bucket") :+
+      when(rem === 0, HllRemBits + 1)
+        .otherwise(lit(HllRemBits + 1) - length(bin(rem)))
+        .cast("int").as("__rho"): _*)
+      .filter(col("__bucket").isNotNull)
+  }
+
+  /** The estimate tail over maxed registers (groupCols..., __bucket, __M)
+    * — shared with the streaming twin, which maintains the register max
+    * incrementally. All certification-bearing columns are exact integers:
+    * sum_pow = sum(2^(55 - M_j)) with empty registers contributing 2^55
+    * (<= 2^61 total — exact in a long), n_zero_buckets the empty count.
+    * The derived est_distinct applies the standard small-range linear-
+    * counting correction below 2.5m when empty registers remain.
+    */
+  def hllFromRegisters(regs: DataFrame, groupCols: String*): DataFrame = {
+    val g = groupCols.map(col)
+    val m = HllBuckets
+    val grouped = regs.groupBy(g: _*).agg(
+      count(lit(1)).as("__present"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${HllRemBits + 1} - __M AS INT))"))
+        .as("__sum_present"))
+    val zeros = (lit(m) - col("__present")).cast("int")
+    val sumPow = col("__sum_present") +
+      (lit(m.toLong) - col("__present")) * lit(1L << (HllRemBits + 1))
+    val raw = lit(HllNumerator) / sumPow.cast("double")
+    grouped
+      .withColumn("n_zero_buckets", zeros)
+      .withColumn("sum_pow", sumPow.cast("long"))
+      .withColumn("est_distinct", round(
+        when(raw <= lit(2.5 * m) && col("n_zero_buckets") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_buckets")))
+          .otherwise(raw), 6))
+      .drop("__present", "__sum_present")
+  }
+
+  /** Per-group HLL approximate distinct count of `valueCol`:
+    * (groupCols*, n_zero_buckets, sum_pow, est_distinct).
+    *
+    * Scale shape: identical to [[approxDistinct]]'s two narrow shuffles —
+    * the (group, bucket) max combines map-side, so each mapper emits at
+    * most groups x m register rows regardless of input size, and the
+    * outer fold runs on <= m rows per group.
+    */
+  def hllDistinct(df: DataFrame, valueCol: String, groupCols: String*): DataFrame = {
+    val g = groupCols.map(col)
+    val regs = hllObservations(df, valueCol, groupCols: _*)
+      .groupBy(g :+ col("__bucket"): _*).agg(max(col("__rho")).as("__M"))
+    hllFromRegisters(regs, groupCols: _*)
+  }
+
+  /** Driver query: HLL distinct users per event type. */
+  def hllDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    hllDistinct(Tables.events(spark, dir), "user_id", "event_type")
+      .orderBy(col("event_type"))
 }
 
 /** DuckDB oracle for [[Sketches]] — same salt, same bucket count, same
@@ -226,6 +317,37 @@ object SketchesSql {
        |           CAST(kth_hash AS DOUBLE), 6)
        |  END AS est_distinct
        |FROM s ORDER BY event_type""".stripMargin
+  }
+
+  /** HLL oracle: same salted hash, same integer register math (bucket =
+    * top 6 bits, rho via `length(bin(rem))`), same folded numerator
+    * literal and correction branch as [[Sketches.hllFromRegisters]].
+    */
+  val hllDistinctUsersSql: String = {
+    val m = Sketches.HllBuckets
+    val remBits = Sketches.HllRemBits
+    val mask = (1L << remBits) - 1
+    val pow55 = 1L << (remBits + 1)
+    val hv = TS.hash60(s"('${Sketches.HllSalt}' || CAST(user_id AS VARCHAR))")
+    s"""WITH h AS (SELECT event_type, $hv AS hv
+       |           FROM events WHERE user_id IS NOT NULL),
+       |b AS (SELECT event_type, hv >> $remBits AS bucket,
+       |        CASE WHEN (hv & $mask) = 0 THEN ${remBits + 1}
+       |          ELSE ${remBits + 1} - length(bin(hv & $mask)) END AS rho
+       |      FROM h),
+       |r AS (SELECT event_type, bucket, max(rho) AS M FROM b GROUP BY 1, 2),
+       |s AS (SELECT event_type,
+       |        CAST($m - count(*) AS INT) AS n_zero_buckets,
+       |        CAST(sum(CAST(1 AS BIGINT) << (${remBits + 1} - M)) +
+       |             ($m - count(*)) * CAST($pow55 AS BIGINT) AS BIGINT) AS sum_pow
+       |      FROM r GROUP BY 1),
+       |e AS (SELECT event_type, n_zero_buckets, sum_pow,
+       |        ${Sketches.HllNumerator} / CAST(sum_pow AS DOUBLE) AS raw
+       |      FROM s)
+       |SELECT event_type, n_zero_buckets, sum_pow,
+       |  round(CASE WHEN raw <= ${2.5 * m} AND n_zero_buckets > 0
+       |    THEN $m.0 * ln($m.0 / n_zero_buckets) ELSE raw END, 6) AS est_distinct
+       |FROM e ORDER BY event_type""".stripMargin
   }
 
   val approxQuantilesByTypeSql: String = {
