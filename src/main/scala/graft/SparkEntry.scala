@@ -130,6 +130,11 @@ object SparkEntry {
     // the join operator class
     "q_stream_stream_join" -> ((s, d) =>
       streaming.StreamStreamJoin.signupPurchases(s, d)),
+    // the LEFT-OUTER form: unmatched rows can only emit at watermark-driven
+    // state eviction (flush-sentinel staging proves the full lifecycle);
+    // oracle is the plain batch left join
+    "q_stream_stream_join_outer" -> ((s, d) =>
+      streaming.StreamStreamJoin.signupPurchasesOuter(s, d)),
     // full-outer reconciliation of two same-key aggregates (zero-fill)
     "q_outer_join" -> (Relational.outerJoinYears _),
     // ordered step funnel: staged conditional min-ts aggregation per step,
@@ -405,6 +410,7 @@ object SparkEntry {
     "q_bloom_join" -> BloomJoin.urgentLineitemsSql,
     "q_session_windows_streaming" -> Relational.sessionWindowsSql,
     "q_stream_stream_join" -> streaming.StreamStreamJoin.signupPurchasesSql,
+    "q_stream_stream_join_outer" -> streaming.StreamStreamJoin.signupPurchasesOuterSql,
     "q_outer_join" -> Relational.outerJoinYearsSql,
     "q_funnel" -> Funnel.funnelSql,
     "pipeline_clean_corpus" -> CleanCorpusSql.cleanSql,

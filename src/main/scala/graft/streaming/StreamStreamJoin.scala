@@ -67,6 +67,59 @@ object StreamStreamJoin {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
   }
 
+  /** LEFT-OUTER form — the hard mode of the stream-stream join: matched
+    * rows emit like the inner join, but an UNMATCHED signup can only emit
+    * (with null purchase columns) when the watermark proves no purchase
+    * can still arrive for it — i.e. at state EVICTION. A bounded replay
+    * would strand every trailing unmatched signup in state, so the staging
+    * appends two flush-sentinel file-batches (one far-future signup AND
+    * purchase each — BOTH sides' watermarks must advance, the query
+    * watermark is their min; watermark computed at the end of batch N
+    * applies during batch N+1, hence two). The sentinels must LOOK like
+    * real typed events: an excluded-marker filter would be pushed below
+    * the EventTimeWatermark operator and drop them at the scan (the
+    * FileReplayWindowed lesson); instead they carry impossible negative
+    * user ids, match nothing by construction, and are dropped at readback.
+    * Oracle: the plain batch LEFT JOIN — matched + null-extended rows.
+    */
+  def signupPurchasesOuter(spark: SparkSession, dir: String, chunks: Int = 3,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_ssj_outer").toFile
+    try {
+      val inDir = new java.io.File(work, "in").getAbsolutePath
+      val staged = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"))
+      staged
+        .repartitionByRange(chunks, col("ts"), col("event_id"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(inDir)
+      val parts = new java.io.File(inDir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1_000_000_000_000L + i * 60_000L) }
+      val maxTs = staged.agg(max(col("ts"))).head().getTimestamp(0)
+      (0 until 2).foreach { i =>
+        val before = new java.io.File(inDir).listFiles()
+          .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+        // 25 h / 50 h past the real max: each step clears window + delay
+        val t = new java.sql.Timestamp(maxTs.getTime + (25L + 25 * i) * 3600 * 1000)
+        Seq((-1L, -1L, "signup", t), (-2L, -2L, "purchase", t))
+          .toDF("event_id", "user_id", "event_type", "ts")
+          .coalesce(1).write.mode("append").parquet(inDir)
+        new java.io.File(inDir).listFiles()
+          .filter(_.getName.startsWith("part-"))
+          .filterNot(f => before.contains(f.getName))
+          .foreach(_.setLastModified(1_000_000_000_000L + (chunks + i) * 60_000L))
+      }
+      joinStaged(spark, inDir, staged.schema, watermarkDelay, "left_outer")
+        .filter(col("user_id") >= 0) // the flush sentinels
+        .orderBy(col("user_id"), col("signup_event"),
+          coalesce(col("purchase_event"), lit(-1L)))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
+  }
+
   /** The join topology over an already-staged event log (one micro-batch
     * per file, mtime order) — separated so the spec can drive it over
     * hand-built file batches and prove a match across a batch boundary.
@@ -74,7 +127,7 @@ object StreamStreamJoin {
     */
   def joinStaged(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String, joinType: String = "inner"): DataFrame = {
     def source(): DataFrame = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -95,7 +148,8 @@ object StreamStreamJoin {
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("signup_ts") &&
         col("purchase_ts") <= col("signup_ts") +
-          expr(s"INTERVAL $WindowHours HOURS"))
+          expr(s"INTERVAL $WindowHours HOURS"),
+      joinType)
 
     val name = s"ssj_${java.util.UUID.randomUUID().toString.take(8)}"
     try {
@@ -117,6 +171,18 @@ object StreamStreamJoin {
       try spark.catalog.dropTempView(name) catch { case _: Exception => () }
     }
   }
+
+  /** DuckDB mirror of the left-outer form: every signup appears, matched
+    * or null-extended; the tiebreak mirrors the Spark coalesce order.
+    */
+  val signupPurchasesOuterSql: String =
+    s"""SELECT s.user_id, s.event_id AS signup_event, p.event_id AS purchase_event,
+       |       s.ts AS signup_ts, p.ts AS purchase_ts
+       |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+       |  ON p.user_id = s.user_id
+       | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL $WindowHours HOUR
+       |ORDER BY s.user_id, signup_event, COALESCE(purchase_event, -1)""".stripMargin
 
   /** DuckDB mirror: the plain batch join — same window, same columns. */
   val signupPurchasesSql: String =

@@ -41,6 +41,35 @@ class StreamStreamJoinSpec extends SparkSpec {
     }
   }
 
+  test("left-outer streaming join equals the batch left join, including " +
+      "null-extended rows that only emit at watermark eviction") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_event"), col("user_id"),
+        col("ts").as("signup_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    val batch = s.join(p, col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") +
+          expr(s"INTERVAL ${StreamStreamJoin.WindowHours} HOURS"), "left_outer")
+      .select(col("user_id"), col("signup_event"), col("purchase_event"),
+        col("signup_ts").cast("timestamp_ntz").as("signup_ts"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
+      .orderBy(col("user_id"), col("signup_event"),
+        coalesce(col("purchase_event"), lit(-1L)))
+      .collect().toSeq
+    // the outer half is non-vacuous: some signups have no purchase in-window
+    assert(batch.exists(_.isNullAt(2)), "no unmatched signups; widen corpus")
+    val streamed = StreamStreamJoin.signupPurchasesOuter(spark, sf0001, 3)
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("a match across a micro-batch boundary is found (buffered state), " +
       "and a pair outside the window is not") {
     import spark.implicits._
