@@ -97,6 +97,9 @@ object SparkEntry {
     // explicit GROUPING SETS: |sets| expansion keys per row, not 2^dims
     "q_grouping_sets" -> (Relational.groupingSetsReport _),
     "q_pivot" -> (Relational.pivotEvents _),
+    // the inverse reshape: native unpivot (single Expand) back to the
+    // dense long form
+    "q_unpivot" -> (Relational.unpivotEvents _),
     // cohort retention matrix: one user-keyed shuffle builds cohort month +
     // distinct active months (calendar-bounded set), exact integer ages
     "q_retention_cohort" -> (Relational.retentionCohort _),
@@ -130,6 +133,11 @@ object SparkEntry {
     // the join operator class
     "q_stream_stream_join" -> ((s, d) =>
       streaming.StreamStreamJoin.signupPurchases(s, d)),
+    // stream-static join: each micro-batch enriched against a broadcast
+    // dim inside the streaming plan (stateless; the production fact x dim
+    // shape), against the plain batch join+aggregate oracle
+    "q_stream_static_join" -> ((s, d) =>
+      streaming.StreamStaticJoin.segmentActivity(s, d)),
     // the LEFT-OUTER form: unmatched rows can only emit at watermark-driven
     // state eviction (flush-sentinel staging proves the full lifecycle);
     // oracle is the plain batch left join
@@ -401,6 +409,8 @@ object SparkEntry {
     "q_cube" -> Relational.cubeEventsSql,
     "q_grouping_sets" -> Relational.groupingSetsReportSql,
     "q_pivot" -> Relational.pivotEventsSql,
+    "q_unpivot" -> Relational.unpivotEventsSql,
+    "q_stream_static_join" -> streaming.StreamStaticJoin.segmentActivitySql,
     "q_retention_cohort" -> Relational.retentionCohortSql,
     "q_anomaly_mad" -> Relational.anomalyMadSql,
     "q_ntile" -> Relational.ntileQuartilesSql,

@@ -374,6 +374,33 @@ object Relational {
        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
   }
 
+  /** The inverse reshape (§2.5 completion): melt the pivoted cohort x
+    * event-type matrix back to long form with the native `unpivot`
+    * operator (plans as a single Expand — |value columns| output rows per
+    * input row, no shuffle beyond the pivot's own aggregation). Zero
+    * cells survive the round trip, so the output is the DENSE long form —
+    * the oracle mirrors that with a cohort x type scaffold left-joined to
+    * the sparse counts.
+    */
+  def unpivotEvents(spark: SparkSession, dir: String): DataFrame =
+    pivotEvents(spark, dir)
+      .unpivot(Array(col("cohort")), PivotEventTypes.map(col).toArray,
+        "event_type", "n")
+      .orderBy(col("cohort"), col("event_type"))
+
+  val unpivotEventsSql: String = {
+    val types = PivotEventTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH c AS (SELECT DISTINCT CAST(user_id % 10 AS INT) AS cohort FROM events),
+       |t AS (SELECT unnest([$types]) AS event_type),
+       |n AS (SELECT CAST(user_id % 10 AS INT) AS cohort, event_type,
+       |        count(*) AS n
+       |      FROM events GROUP BY 1, 2)
+       |SELECT c.cohort, t.event_type, CAST(COALESCE(n.n, 0) AS BIGINT) AS n
+       |FROM c CROSS JOIN t
+       |LEFT JOIN n ON n.cohort = c.cohort AND n.event_type = t.event_type
+       |ORDER BY c.cohort, t.event_type""".stripMargin
+  }
+
   /** Time bucketing: monthly event rollup (date_trunc + agg). */
   def monthlyEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
