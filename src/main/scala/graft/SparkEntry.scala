@@ -292,6 +292,12 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => Dedup.ngramContainment(
       Dedup.containmentProbeAugmented(sources.Tables.documents(s, d)))
       .orderBy(col("doc_a"), col("doc_b"))),
+    // blocked edit-distance near-dups (character-level fuzzy screen),
+    // probe-augmented with one head-edit and one tail-edit twin so both
+    // blocking keys prove their recall guarantee
+    "dedup_fuzzy" -> ((s, d) => Dedup.fuzzyDups(
+      Dedup.fuzzyProbeAugmented(sources.Tables.documents(s, d)))
+      .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(sources.Tables.documents(s, d))
       .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(sources.Tables.documents(s, d))
@@ -463,6 +469,7 @@ object SparkEntry {
     "dedup_fingerprint" -> DedupSql.fingerprintSql,
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardSql(),
     "dedup_containment" -> DedupSql.ngramContainmentSql(),
+    "dedup_fuzzy" -> DedupSql.fuzzyDupsSql(),
     "dedup_minhash_lsh" -> DedupSql.minhashLshSql(),
     "dedup_simhash" -> DedupSql.simhashPairsSql(),
     "dedup_clusters" -> DedupClustersSql.componentsSql(DedupSql.simhashPairsCte()),

@@ -332,6 +332,74 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Fuzzy-dedup block width (tokens) and edit-distance threshold. */
+  val FuzzyBlockTokens = 8
+
+  val FuzzyMaxDist = 4
+
+  /** Probe fixture for [[fuzzyDups]]: every 250th document gains a
+    * TAIL-edited twin (" zz" suffix, distance 3) and every 250th-offset-13
+    * a HEAD-edited twin ("zz " prefix, distance 3) — one probe per block
+    * family, so the oracle row proves BOTH blocking keys recall their
+    * guaranteed case (an edit confined to one half leaves the other
+    * half's block key intact). Probe ids assume doc_id < 1e6.
+    */
+  def fuzzyProbeAugmented(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base
+      .unionAll(base.filter(col("doc_id") % 250 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+      .unionAll(base.filter(col("doc_id") % 250 === 13)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("zz "), col("text")).as("text")))
+  }
+
+  /** Blocked EDIT-DISTANCE near-dup pairs — the character-level fuzzy
+    * screen the token-set family (jaccard/containment/minhash) cannot
+    * express: `levenshtein(a, b) <= maxDist` catches small in-place edits
+    * (typo fixes, suffix stamps, injected bylines) that can perturb many
+    * shingles at once.
+    *
+    * Scale shape: never all-pairs. Candidates come from TWO blocking keys
+    * per doc — the first [[FuzzyBlockTokens]] tokens and the last — so any
+    * pair whose edits are confined to one half shares the other half's
+    * key verbatim (the recall guarantee for single-region edits; crossing
+    * edits need the token-set family, which runs alongside). Blocks are
+    * bucket-capped like the LSH bands (observed, never silent), candidate
+    * verification joins the two texts back by doc_id (document bodies
+    * never ride the block explode), a length pre-filter skips the DP for
+    * pairs that cannot be within range, and the Spark side runs the
+    * THRESHOLD form of levenshtein (early-exit banded DP, O(maxDist x n)
+    * per pair instead of O(n^2)).
+    */
+  def fuzzyDups(docs: DataFrame, maxDist: Int = FuzzyMaxDist,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val base = Caching.cached(docs.select(col("doc_id"), col("text")))
+    val toks = TF.tokens(col("text"))
+    val head = concat_ws(" ", slice(toks, lit(1), lit(FuzzyBlockTokens)))
+    val tail = concat_ws(" ", slice(toks,
+      greatest(size(toks) - lit(FuzzyBlockTokens - 1), lit(1)),
+      lit(FuzzyBlockTokens)))
+    val blocks = base.select(col("doc_id"), explode(array(
+      TF.hash60(concat(lit("fzh:"), head)),
+      TF.hash60(concat(lit("fzt:"), tail)))).as("bk"))
+    val bounded = capGroups(blocks, "bk", maxBucket,
+      "fuzzy_caps", "dropped_block_rows")
+    val cand = bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(base.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(base.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .filter(abs(length(col("ta.text")) - length(col("tb.text"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("ta.text"), col("tb.text"), maxDist))
+      .filter(col("dist") =!= -1) // threshold form: -1 means "above maxDist"
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
   /** 60-bit SimHash per doc: bit j set iff the (frequency-weighted) majority
     * of token hashes have bit j set. Relational one-pass form: explode tokens,
     * one groupBy(doc) with 60 conditional sums — a single shuffle, fully
@@ -623,6 +691,46 @@ object DedupSql {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SQL twin of [[Dedup.fuzzyProbeAugmented]] + [[Dedup.fuzzyDups]]: same
+    * probes, same two block keys, same bucket cap, same length pre-filter
+    * and threshold (DuckDB's levenshtein has no threshold form — the
+    * unbounded distance filtered to the same <= maxDist emits identical
+    * rows).
+    */
+  def fuzzyDupsSql(maxDist: Int = FuzzyMaxDist,
+      maxBucket: Int = MaxBucket): String = {
+    val b = FuzzyBlockTokens
+    val headKey = TS.hash60(s"('fzh:' || array_to_string(tk[1:$b], ' '))")
+    val tailKey = TS.hash60(
+      s"('fzt:' || array_to_string(tk[greatest(len(tk)-${b - 1},1):len(tk)], ' '))")
+    s"""WITH t AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text || ' zz'
+       |    FROM documents WHERE doc_id % 250 = 7
+       |  UNION ALL SELECT doc_id + 2000000, 'zz ' || text
+       |    FROM documents WHERE doc_id % 250 = 13),
+       |tok AS (SELECT doc_id, text, ${TS.tokens("text")} AS tk FROM t),
+       |blk AS (
+       |  SELECT doc_id, $headKey AS bk FROM tok
+       |  UNION ALL
+       |  SELECT doc_id, $tailKey AS bk FROM tok),
+       |bounded AS (
+       |  SELECT doc_id, bk FROM (
+       |    SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz FROM blk)
+       |  WHERE bsz <= $maxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bounded a JOIN bounded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |d AS (
+       |  SELECT doc_a, doc_b, levenshtein(ta.text, tb.text) AS dist
+       |  FROM cand
+       |  JOIN t ta ON doc_a = ta.doc_id
+       |  JOIN t tb ON doc_b = tb.doc_id
+       |  WHERE abs(length(ta.text) - length(tb.text)) <= $maxDist)
+       |SELECT doc_a, doc_b, CAST(dist AS INT) AS dist
+       |FROM d WHERE dist <= $maxDist ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** CTE producing (doc_id, simhash), mirroring [[Dedup.simhash]]. */
   val simhashCte: String = {

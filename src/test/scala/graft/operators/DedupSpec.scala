@@ -105,6 +105,40 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((0L, 80L), (200L, 1L)))
   }
 
+  test("fuzzyDups finds head- and tail-edited twins and rejects far pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa zz"), // tail edit, dist 3
+      (3L, "zz alpha beta gamma delta epsilon zeta eta theta iota kappa"), // head edit, dist 3
+      (4L, "totally different words that share no prefix or suffix at all"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta omega psi chi phi")
+      // 5 shares doc 1's 8-token head block but is 9+ edits away: the
+      // candidate must be generated, then rejected by the distance gate
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyDups(docs)
+      .select($"doc_a", $"doc_b", $"dist").as[(Long, Long, Int)]
+      .collect().toSet
+    // (1,2) via the shared head block, (1,3) via the shared tail block;
+    // (2,3) shares NEITHER block (head and tail both differ) — the
+    // documented recall boundary for edits in both halves. (2,5) IS a
+    // candidate (shared head, length within 4) and must be rejected by
+    // the distance gate; (1,5)/(3,5) die at the length pre-filter.
+    assert(got == Set((1L, 2L, 3), (1L, 3L, 3)))
+  }
+
+  test("fuzzyDups driver query is non-vacuous: probes survive at sf0.001") {
+    import spark.implicits._
+    val got = Dedup.fuzzyDups(
+      Dedup.fuzzyProbeAugmented(graft.sources.Tables.documents(spark, sf0001)))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // every planted twin pairs with its source (tail probes: +1e6;
+    // head probes: +2e6)
+    val tailProbes = got.collect { case (a, b) if b == a + 1000000L => a }
+    val headProbes = got.collect { case (a, b) if b == a + 2000000L => a }
+    assert(tailProbes.nonEmpty && headProbes.nonEmpty, got)
+  }
+
   test("ngramJaccard drops corpus-hot shingles but keeps real near-dups") {
     // 130 docs whose ONLY shared content is one hot trigram (df=132 > 128):
     // after the cap they share nothing -> no pairs from the hot shingle
