@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, KmvSketch, MqttTopicMatches, RepetitionStats, ShingleHash60, SquaredDistance, WinnowFingerprints}
+import graft.functions.{DotProduct, KmvSketch, MqttTopicMatches, RepetitionStats, ShingleHash60, SquaredDistance, TokenPositions, WinnowFingerprints}
 
 /** SQL surface for graft's native Catalyst expressions
   * (`spark.sql.extensions=graft.GraftExtensions`, or
@@ -25,7 +25,10 @@ import graft.functions.{DotProduct, KmvSketch, MqttTopicMatches, RepetitionStats
   *    k-gram hash sequence); `k` and `w` must be literals;
   *  - `kmv_kth(hash, k)` — KMV bottom-k distinct sketch AGGREGATE over
   *    int64 hashes, returning struct(n_kept, kth_hash); `k` must be a
-  *    literal >= 2 (the UDAF half of the extension surface).
+  *    literal >= 2 (the UDAF half of the extension surface);
+  *  - `token_positions(text)` — one-pass tokenizing GENERATOR emitting
+  *    (pos, token) rows (the UDTF half; usable in LATERAL VIEW and the
+  *    select list like any built-in generator).
   *
   * With these registered, a SQL-only user can run the engine's custom
   * operators without touching the Scala API — e.g.
@@ -106,6 +109,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // fail at analysis time: the buffer math needs a real capacity
         require(k >= 2, s"kmv_kth(hash, k): k must be >= 2, got $k")
         KmvSketch(children(0), k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("token_positions"),
+      new ExpressionInfo(classOf[TokenPositions].getName, "token_positions"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "token_positions(text)")
+        TokenPositions(children(0))
       }))
   }
 }

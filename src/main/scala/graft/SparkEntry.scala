@@ -159,6 +159,10 @@ object SparkEntry {
       streaming.StreamingCleanCorpus.cleanLedger(s, d)),
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
+    // long-form positional tokenization via the native token_positions
+    // GENERATOR (the UDTF surface): Generate over the pruned scan
+    "text_token_positions" -> ((s, d) => TextAnalysis.tokenPositions(
+      sources.Tables.documents(s, d)).orderBy(col("doc_id"), col("pos"))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(sources.Tables.documents(s, d))
@@ -432,6 +436,7 @@ object SparkEntry {
     "pipeline_clean_corpus" -> CleanCorpusSql.cleanSql,
     "pipeline_clean_corpus_streaming" -> CleanCorpusSql.cleanLedgerSql,
     "text_token_stats" -> TextAnalysisSql.tokenStatsSql,
+    "text_token_positions" -> TextAnalysisSql.tokenPositionsSql,
     "text_langid" -> TextAnalysisSql.langIdSql,
     "text_quality" -> TextAnalysisSql.qualitySql,
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,

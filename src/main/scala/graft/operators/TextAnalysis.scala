@@ -16,6 +16,16 @@ object TextAnalysis {
     * a BPE-ish upper bound (word chars / 4 + punctuation — the usual "~4 chars
     * per subword token" estimator).
     */
+  /** Long-form positional tokenization via the native
+    * [[graft.functions.TokenPositions]] GENERATOR (the UDTF surface): one
+    * (doc_id, pos, token) row per whitespace token, planned as a Generate
+    * straight over the pruned 2-column scan — no intermediate token-array
+    * allocation per row.
+    */
+  def tokenPositions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TokenPositions.of(col("text")))
+
   def tokenStats(docs: DataFrame): DataFrame = {
     val nWord = regexp_count(col("text"), lit("\\w+"))
     val nPunct = regexp_count(col("text"), lit("[^\\w\\s]"))
@@ -369,6 +379,18 @@ object TextAnalysis {
 
 /** DuckDB oracle SQL for [[TextAnalysis] ]— same formulas. */
 object TextAnalysisSql {
+
+  /** Mirror of [[TextAnalysis.tokenPositions]]: unnest with a 1-based
+    * lambda index (the documented DuckDB convention) shifted to the
+    * generator's 0-based positions.
+    */
+  val tokenPositionsSql: String =
+    s"""SELECT doc_id, CAST(s['i'] AS INT) AS pos, s['t'] AS token
+       |FROM (SELECT doc_id,
+       |        unnest(list_transform(${TS.tokens("text")},
+       |          (x, i) -> {'i': i - 1, 't': x})) AS s
+       |      FROM documents)
+       |ORDER BY doc_id, pos""".stripMargin
 
   val tokenStatsSql: String =
     s"""SELECT doc_id,

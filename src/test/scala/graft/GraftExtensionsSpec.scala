@@ -120,6 +120,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaCol && viaSql.forall(_._2 == 64))
   }
 
+  test("token_positions from SQL is a generator equal to posexplode(split)") {
+    import spark.implicits._
+    Seq((1L, "  a  b c "), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").createOrReplaceTempView("docs_tp")
+    val viaSql = spark.sql(
+      "SELECT doc_id, pos, token FROM docs_tp LATERAL VIEW token_positions(text) t")
+      .as[(Long, Int, String)].collect().toSet
+    val viaBuiltin = spark.sql(
+      """SELECT doc_id, pos, token FROM docs_tp
+        |LATERAL VIEW posexplode(split(trim(text), ' +')) t AS pos, token"""
+        .stripMargin)
+      .as[(Long, Int, String)].collect().toSet
+    assert(viaSql == viaBuiltin)
+    // doc 1: space runs collapse; doc 2: one empty token (split semantics);
+    // doc 3: null text generates nothing
+    assert(viaSql == Set((1L, 0, "a"), (1L, 1, "b"), (1L, 2, "c"), (2L, 0, "")))
+  }
+
   test("kmv_kth rejects a capacity below 2 at analysis time") {
     val e = intercept[Exception] {
       spark.sql("SELECT kmv_kth(CAST(1 AS BIGINT), 1)").collect()
