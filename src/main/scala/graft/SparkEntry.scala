@@ -91,6 +91,10 @@ object SparkEntry {
     "q_distinct_users" -> (Relational.distinctUsers _),
     "q_topk_orders" -> (Relational.topKOrders _),
     "q_monthly_events" -> (Relational.monthlyEvents _),
+    // dense hourly grid per key (gap fill): data touched once for the
+    // bucket agg; grid generation, fill join, and the running total all
+    // run on bucket-cardinality rows
+    "q_gap_fill_hourly" -> (Resample.hourlyEvents _),
     "q_session_windows" -> (Relational.sessionWindows _),
     "q_percentiles" -> (Relational.percentiles _),
     "q_cube" -> (Relational.cubeEvents _),
@@ -163,6 +167,10 @@ object SparkEntry {
     // GENERATOR (the UDTF surface): Generate over the pruned scan
     "text_token_positions" -> ((s, d) => TextAnalysis.tokenPositions(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"), col("pos"))),
+    // posting-list phrase intersection over the generator's output — the
+    // positional-inverted-index probe shape, never a substring scan
+    "text_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(
+      sources.Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(sources.Tables.documents(s, d))
@@ -259,6 +267,9 @@ object SparkEntry {
     // distinct key); same exact-regime certification, same oracle
     "q_heavy_hitters_bounded_streaming" -> ((s, d) =>
       streaming.StreamingBoundedHeavyHitters.hotCustomers(s, d)),
+    // single-row distributional skew summary of the same key: cardinality,
+    // exact count order-statistics, hot-tail share, max/mean ppm ratio
+    "q_skew_profile" -> (SkewReport.orderCustomerSkew _),
     // benchmark decontamination: broadcast bench postings, probe-augmented
     // bench suite so the correctness row is structurally non-vacuous
     "text_decontaminate" -> ((s, d) => {
@@ -353,6 +364,10 @@ object SparkEntry {
     // symmetric int8 vector quantization, payload hash-checked exactly
     "emb_quantize" -> ((s, d) => Quantize.int8(sources.Tables.embeddings(s, d))
       .orderBy(col("vec_id"))),
+    // one exact-integer power-iteration matvec toward the top principal
+    // direction: single pass, map-side-combined to Dim rows per task
+    "emb_power_iteration" -> ((s, d) => Similarity.powerIterationStep(
+      sources.Tables.embeddings(s, d))),
     // --- multimodal extensions ---
     "mm_metadata" -> ((s, d) => Multimodal.metadata(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -414,6 +429,7 @@ object SparkEntry {
     "q_distinct_users" -> Relational.distinctUsersSql,
     "q_topk_orders" -> Relational.topKOrdersSql,
     "q_monthly_events" -> Relational.monthlyEventsSql,
+    "q_gap_fill_hourly" -> Resample.hourlyEventsSql,
     "q_session_windows" -> Relational.sessionWindowsSql,
     "q_percentiles" -> Relational.percentilesSql,
     "q_cube" -> Relational.cubeEventsSql,
@@ -437,6 +453,7 @@ object SparkEntry {
     "pipeline_clean_corpus_streaming" -> CleanCorpusSql.cleanLedgerSql,
     "text_token_stats" -> TextAnalysisSql.tokenStatsSql,
     "text_token_positions" -> TextAnalysisSql.tokenPositionsSql,
+    "text_phrase_search" -> TextAnalysisSql.phraseSearchSql(),
     "text_langid" -> TextAnalysisSql.langIdSql,
     "text_quality" -> TextAnalysisSql.qualitySql,
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,
@@ -465,6 +482,7 @@ object SparkEntry {
     "q_heavy_hitters_streaming" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_bounded" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_bounded_streaming" -> HeavyHitters.hotCustomersSql,
+    "q_skew_profile" -> SkewReport.orderCustomerSkewSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_normalized" -> DedupSql.normalizedDupsSql,
@@ -491,6 +509,7 @@ object SparkEntry {
     "emb_pq_codes" -> ProductQuantizationSql.pqCodesSql,
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),
     "emb_quantize" -> QuantizeSql.int8Sql,
+    "emb_power_iteration" -> SimilaritySql.powerIterationSql,
     "mm_metadata" -> MultimodalSql.metadataSql,
     "mm_frame_sample" -> MultimodalSql.frameSampleSql,
     "mm_audio_chunk" -> MultimodalSql.audioChunksSql(),

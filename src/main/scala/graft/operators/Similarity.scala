@@ -261,6 +261,36 @@ object Similarity {
         floor(col("s").cast("double") / col("n_members")).cast("long")
           .as("centroid_micro"))
   }
+
+  /** One power-iteration step toward the corpus's top principal direction:
+    * y = Aᵀ(A·x) over the embedding matrix A, with the deterministic
+    * all-ones start vector x — the matvec at the core of PCA whitening /
+    * low-rank projection of an embedding corpus.
+    *
+    * Exact-integer discipline (the [[kmeansStep]] rule): components are
+    * 1e3-scaled longs (floor(v * 1e3)), so both the per-row projection
+    * q_r = Σ_d v_rd and the dimension accumulation y_d = Σ_r q_r·v_rd are
+    * integer sums — bit-identical under any partial-aggregation order.
+    * Scale shape: ONE pass, no joins — q is computed in the projection
+    * UNDER the explode (once per row, not once per emitted element), and
+    * the groupBy(pos) aggregate map-side-combines the exploded rows down
+    * to `Dim` partials per task, so the shuffle carries partitions×Dim
+    * tiny rows regardless of corpus size. Overflow bound: |q·v| < 1.8e7
+    * per term at unit-norm-ish inputs, so the Long accumulator is safe to
+    * ~5e11 rows — beyond any single corpus this engine targets.
+    * `y_milli2` is in 1e-6 units (two milli factors).
+    */
+  def powerIterationStep(emb: DataFrame): DataFrame = {
+    val sv = transform(col("embedding"),
+      x => floor(x.cast("double") * 1e3).cast("long"))
+    emb.select(sv.as("sva"))
+      .select(aggregate(col("sva"), lit(0L), (a, b) => a + b).as("q"), col("sva"))
+      .select(col("q"), posexplode(col("sva")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(sum(col("q") * col("v")).as("y_milli2"))
+      .select(col("pos").cast("long").as("pos"), col("y_milli2"))
+      .orderBy("pos")
+  }
 }
 
 /** DuckDB oracle SQL for [[Similarity]] — same constants, same fold order. */
@@ -437,4 +467,19 @@ object SimilaritySql {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Mirror of [[Similarity.powerIterationStep]]: the same milli-scaled
+    * integer matvec via unnest/generate_subscripts.
+    */
+  val powerIterationSql: String =
+    """WITH sv AS (
+      |  SELECT vec_id,
+      |    generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id, CAST(sum(v) AS BIGINT) AS q FROM sv GROUP BY vec_id)
+      |SELECT CAST(sv.pos AS BIGINT) AS pos,
+      |       CAST(sum(q.q * sv.v) AS BIGINT) AS y_milli2
+      |FROM sv JOIN q USING (vec_id)
+      |GROUP BY 1 ORDER BY pos""".stripMargin
 }

@@ -12,10 +12,6 @@ import graft.functions.{TextFunctions => TF, TextSql => TS}
   */
 object TextAnalysis {
 
-  /** Token statistics: whitespace tokens, word-regex tokens, punctuation, and
-    * a BPE-ish upper bound (word chars / 4 + punctuation — the usual "~4 chars
-    * per subword token" estimator).
-    */
   /** Long-form positional tokenization via the native
     * [[graft.functions.TokenPositions]] GENERATOR (the UDTF surface): one
     * (doc_id, pos, token) row per whitespace token, planned as a Generate
@@ -26,6 +22,48 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       graft.functions.TokenPositions.of(col("text")))
 
+  /** Default certification phrase — three corpus-vocabulary words whose
+    * exact sequence occurs (but is not ubiquitous) at every test scale. */
+  val PhraseTerms: Seq[String] = Seq("group", "slow", "spark")
+
+  /** Exact phrase search as a POSTING-LIST join, not a substring scan.
+    *
+    * One pass over the corpus generates (doc_id, pos, token) rows
+    * ([[tokenPositions]]) and keeps only the phrase's terms — the filter
+    * runs inside the Generate stage, so the surviving postings are
+    * term-selectivity-sized, a tiny fraction of the token stream. Each
+    * term's postings are then normalized to the would-be phrase START
+    * (`pos - term_index`) and intersected with equi-joins on
+    * (doc_id, start): every join shares one partitioning, so the first
+    * exchange is reused across all k-1 joins, and each join is 1:1 (a
+    * position holds one token). This is the shape a prebuilt positional
+    * inverted index serves at 100 TB — cost scales with posting-list
+    * length, never corpus length; a `text LIKE '%...%'` scan rereads
+    * every byte of every document.
+    *
+    * Terms must be distinct (a repeated term would need occurrence
+    * multiplicity bookkeeping the 1:1 join elides). Output: one row per
+    * matching document with its match count and first match position —
+    * overlapping matches each count ("a a a" contains "a a" twice).
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String] = PhraseTerms): DataFrame = {
+    require(phrase.length >= 2, s"phraseSearch needs >= 2 terms, got $phrase")
+    require(phrase.distinct.length == phrase.length,
+      s"phraseSearch terms must be distinct, got $phrase")
+    val postings = tokenPositions(docs).filter(col("token").isInCollection(phrase))
+    val starts = phrase.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("token") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+    starts.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("start").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** Token statistics: whitespace tokens, word-regex tokens, punctuation, and
+    * a BPE-ish upper bound (word chars / 4 + punctuation — the usual "~4 chars
+    * per subword token" estimator).
+    */
   def tokenStats(docs: DataFrame): DataFrame = {
     val nWord = regexp_count(col("text"), lit("\\w+"))
     val nPunct = regexp_count(col("text"), lit("[^\\w\\s]"))
@@ -391,6 +429,31 @@ object TextAnalysisSql {
        |          (x, i) -> {'i': i - 1, 't': x})) AS s
        |      FROM documents)
        |ORDER BY doc_id, pos""".stripMargin
+
+  /** Mirror of [[TextAnalysis.phraseSearch]]: the same posting-list
+    * intersection over the unnest-with-index token form.
+    */
+  def phraseSearchSql(phrase: Seq[String] = TextAnalysis.PhraseTerms): String = {
+    val tok =
+      s"""tok AS (
+         |  SELECT doc_id, CAST(s['i'] AS INT) AS pos, s['t'] AS token
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(${TS.tokens("text")},
+         |            (x, i) -> {'i': i - 1, 't': x})) AS s
+         |        FROM documents))""".stripMargin
+    val branches = phrase.zipWithIndex.map { case (t, i) =>
+      s"t$i AS (SELECT doc_id, pos - $i AS start FROM tok WHERE token = '$t')"
+    }
+    val joins = (1 until phrase.length)
+      .map(i => s"JOIN t$i USING (doc_id, start)").mkString(" ")
+    s"""WITH $tok,
+       |${branches.mkString(",\n")}
+       |SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       |       min(t0.start) AS first_pos
+       |FROM t0 $joins
+       |GROUP BY t0.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
 
   val tokenStatsSql: String =
     s"""SELECT doc_id,
