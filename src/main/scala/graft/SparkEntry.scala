@@ -215,6 +215,10 @@ object SparkEntry {
     // corpus token accounting by (lang, split): mixture/budget planning
     "pipeline_token_budget" -> ((s, d) => TextAnalysis.tokenBudget(
       sources.Tables.documents(s, d))),
+    // data-derived mixture rebalancing: per-lang keep rates toward equal
+    // token shares, content-addressed coin, all-integer ppm — two narrow
+    // passes, both aggs map-side-combined to |langs| rows
+    "pipeline_mixture_sample" -> (Mixture.rebalanceDocs _),
     // concat-and-chunk sequence packing (sharded running sum, integer math)
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -285,6 +289,11 @@ object SparkEntry {
     "dedup_normalized" -> ((s, d) => Dedup.normalizedDups(
       Dedup.normProbeAugmented(sources.Tables.documents(s, d)))
       .orderBy(col("norm_hash"))),
+    // quality-ranked cluster representative: each canonical duplicate group
+    // keeps its highest-integer-ppm-quality copy via a partially-
+    // aggregatable struct-max (bodies never shuffle)
+    "dedup_keep_best" -> ((s, d) => Dedup.keepBest(
+      sources.Tables.documents(s, d))),
     // ingest-time horizon-scoped dedup (dropDuplicatesWithinWatermark over
     // micro-batches), against the batch exact-dedup key set — the
     // incremental-equals-batch property for the dedup operator class
@@ -367,6 +376,11 @@ object SparkEntry {
     // one exact-integer power-iteration matvec toward the top principal
     // direction: single pass, map-side-combined to Dim rows per task
     "emb_power_iteration" -> ((s, d) => Similarity.powerIterationStep(
+      sources.Tables.embeddings(s, d))),
+    // top-k farthest-from-own-label-centroid vectors (mislabel screen):
+    // one map-side-combined centroid shuffle, then a narrow broadcast-join
+    // fold and a TakeOrdered — no global sort
+    "emb_outliers" -> ((s, d) => Similarity.labelOutliers(
       sources.Tables.embeddings(s, d))),
     // --- multimodal extensions ---
     "mm_metadata" -> ((s, d) => Multimodal.metadata(sources.Tables.documents(s, d))
@@ -470,6 +484,7 @@ object SparkEntry {
     "text_normalize" -> TextAnalysisSql.normalizeSql,
     "text_bigram_novelty" -> TextAnalysisSql.bigramNoveltySql(),
     "pipeline_token_budget" -> TextAnalysisSql.tokenBudgetSql,
+    "pipeline_mixture_sample" -> Mixture.rebalanceDocsSql,
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,
     "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,
@@ -486,6 +501,7 @@ object SparkEntry {
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_normalized" -> DedupSql.normalizedDupsSql,
+    "dedup_keep_best" -> DedupSql.keepBestSql,
     "dedup_exact_streaming" -> DedupSql.exactKeySetSql,
     "dedup_normalized_streaming" -> DedupSql.normalizedKeySetSql,
     "dedup_passage" -> DedupSql.passageDupsSql,
@@ -510,6 +526,7 @@ object SparkEntry {
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),
     "emb_quantize" -> QuantizeSql.int8Sql,
     "emb_power_iteration" -> SimilaritySql.powerIterationSql,
+    "emb_outliers" -> SimilaritySql.labelOutliersSql(),
     "mm_metadata" -> MultimodalSql.metadataSql,
     "mm_frame_sample" -> MultimodalSql.frameSampleSql,
     "mm_audio_chunk" -> MultimodalSql.audioChunksSql(),

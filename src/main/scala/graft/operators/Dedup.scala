@@ -107,6 +107,55 @@ object Dedup {
       .groupBy("norm_hash")
       .agg(min("doc_id").as("keep_id"), count("*").as("n_copies"))
 
+  /** Quality-ranked duplicate-cluster representative selection: for every
+    * canonical-form duplicate group, keep the HIGHEST-QUALITY copy instead of
+    * [[normalizedDups]]'s arbitrary min-id — the rule production corpus
+    * pipelines actually want, because the surviving copy is the one that
+    * enters training (a clean original should beat its shouted,
+    * punctuation-mangled repost).
+    *
+    * Quality is an all-INTEGER ppm re-expression of
+    * [[TextAnalysis.quality]]'s three factors (length, stopword density,
+    * alpha ratio, weighted 4/3/3) — `div` arithmetic end-to-end, so the
+    * winner of a cluster can never flip on a float rounding boundary
+    * between engines. Selection is `max(struct(q_ppm, -doc_id))`: a single
+    * partially-aggregatable max, so the groupBy map-side-combines to one
+    * candidate per partition per key and the shuffle carries (32-byte key,
+    * one candidate tuple) — document bodies never shuffle, same asymptotics
+    * as [[exact]]. A per-group window (rank-and-filter) would give the same
+    * answer but shuffle every scored row; the struct-max is the 100 TB
+    * spelling. Runs over [[normProbeAugmented]] so duplicate groups exist
+    * at every test scale (raw corpora are dup-free).
+    */
+  def keepBest(docs: DataFrame): DataFrame = {
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    val collapsed = trim(regexp_replace(regexp_replace(
+      translate(col("text"), az.toUpperCase, az), "[^a-z0-9 ]", " "), " +", " "))
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val stopHits = Seq(" the ", " a ", " and ", " of ", " to ")
+      .map(m => TF.markerCount(padded, m)).reduce(_ + _).cast("long")
+    normProbeAugmented(docs)
+      .select(col("doc_id"),
+        md5(collapsed.cast("binary")).as("norm_hash"),
+        TF.nTokens(col("text")).cast("long").as("n_tok"),
+        stopHits.as("stop_hits"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+          .as("n_alpha"),
+        length(col("text")).cast("long").as("n_chars"))
+      .select(col("doc_id"), col("norm_hash"),
+        expr("""(least((n_tok * 1000000L) div 64, 1000000L) * 4
+               | + least((stop_hits * 10000000L) div greatest(n_tok, 1L), 1000000L) * 3
+               | + ((n_alpha * 1000000L) div greatest(n_chars, 1L)) * 3) div 10"""
+          .stripMargin).as("q_ppm"))
+      .groupBy("norm_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        max(struct(col("q_ppm"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .filter(col("n_copies") >= 2)
+      .select(col("norm_hash"), (-col("best.neg_id")).as("keep_id"),
+        col("best.q_ppm").as("q_ppm"), col("n_copies"))
+      .orderBy("norm_hash")
+  }
+
   /** Passage chunk size for sub-document exact dedup. 8 tokens is small
     * enough that planted near-dup documents share aligned chunks and large
     * enough that chance collisions are negligible at any scale (the chunk
@@ -563,6 +612,47 @@ object DedupSql {
        |  FROM documents WHERE doc_id % 250 = 7)
        |SELECT DISTINCT md5($collapsed) AS norm_hash
        |FROM aug ORDER BY norm_hash""".stripMargin
+  }
+
+  /** Mirror of [[Dedup.keepBest]]: same probe augmentation, same canonical
+    * form, same all-integer ppm quality (`//` = Spark's `div`), with the
+    * struct-max re-derived as a rank-and-filter window (ORDER BY q_ppm
+    * DESC, doc_id = the same (q_ppm, -doc_id) total order).
+    */
+  val keepBestSql: String = {
+    val collapsed = "trim(regexp_replace(regexp_replace(" +
+      "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')," +
+      " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    val nTok = s"CAST(${TS.nTokens("text")} AS BIGINT)"
+    val stopHits = Seq(" the ", " a ", " and ", " of ", " to ")
+      .map(m => TS.markerCount("(' ' || text || ' ')", m))
+      .mkString("CAST((", " + ", ") AS BIGINT)")
+    val alpha =
+      "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)"
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    translate(text, 'abcdefghijklmnopqrstuvwxyz',
+       |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' !!!'
+       |  FROM documents WHERE doc_id % 250 = 7),
+       |scored AS (
+       |  SELECT doc_id, md5($collapsed) AS norm_hash,
+       |    (least(($nTok * 1000000) // 64, 1000000) * 4
+       |     + least(($stopHits * 10000000) // greatest($nTok, 1), 1000000) * 3
+       |     + (($alpha * 1000000) // greatest(CAST(length(text) AS BIGINT), 1)) * 3)
+       |      // 10 AS q_ppm
+       |  FROM aug),
+       |g AS (
+       |  SELECT norm_hash, doc_id, q_ppm,
+       |    row_number() OVER (PARTITION BY norm_hash
+       |      ORDER BY q_ppm DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY norm_hash) AS n_copies
+       |  FROM scored)
+       |SELECT norm_hash, doc_id AS keep_id, CAST(q_ppm AS BIGINT) AS q_ppm,
+       |  CAST(n_copies AS BIGINT) AS n_copies
+       |FROM g WHERE rn = 1 AND n_copies >= 2
+       |ORDER BY norm_hash""".stripMargin
   }
 
   val passageDupsSql: String = {

@@ -291,6 +291,48 @@ object Similarity {
       .select(col("pos").cast("long").as("pos"), col("y_milli2"))
       .orderBy("pos")
   }
+
+  /** How many farthest-from-centroid vectors [[labelOutliers]] reports. */
+  val OutlierTopK = 20
+
+  /** Embedding-space outlier screen over LABELED vectors: distance of every
+    * vector to its own label's centroid, top-k farthest reported — the
+    * mislabeled/degenerate-embedding detector a labeled corpus runs before
+    * training (a vector far from its class center is a label error or a
+    * broken embedding).
+    *
+    * Exact-integer discipline: components are 1e3-scaled longs and the
+    * centroid is the floored integer mean (the [[kmeansStep]] spelling), so
+    * the reported squared distances are integer sums — bit-identical under
+    * any aggregation order, and the top-k cut can never flip on a float
+    * boundary. Scale shape: the centroid pass map-side-combines the
+    * posexploded components to |labels|×Dim partials per task (the only
+    * shuffle over data-sized input); the distance pass is NARROW — the
+    * KB-sized centroid table is collapsed to one array per label and
+    * broadcast, the per-row distance is a zip_with/aggregate fold, and the
+    * top-k is a TakeOrdered (no global sort shuffle). Distances are in
+    * 1e-6 units (two milli factors).
+    */
+  def labelOutliers(emb: DataFrame, k: Int = OutlierTopK): DataFrame = {
+    val sv = transform(col("embedding"),
+      x => floor(x.cast("double") * 1e3).cast("long"))
+    val comps = emb
+      .select(col("vec_id"), col("label"), posexplode(sv).as(Seq("pos", "v")))
+    val cents = comps.groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .select(col("label"), col("pos"),
+        floor(col("s").cast("double") / col("n")).cast("long").as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("cvec"))
+    emb.select(col("vec_id"), col("label"), sv.as("sva"))
+      .join(broadcast(cents), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        aggregate(zip_with(col("sva"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist2_milli2"))
+      .orderBy(col("dist2_milli2").desc, col("vec_id"))
+      .limit(k)
+  }
 }
 
 /** DuckDB oracle SQL for [[Similarity]] — same constants, same fold order. */
@@ -482,4 +524,24 @@ object SimilaritySql {
       |       CAST(sum(q.q * sv.v) AS BIGINT) AS y_milli2
       |FROM sv JOIN q USING (vec_id)
       |GROUP BY 1 ORDER BY pos""".stripMargin
+
+  /** Mirror of [[Similarity.labelOutliers]]: same milli scaling, same
+    * floored integer centroid mean, same (dist DESC, vec_id) total order.
+    */
+  def labelOutliersSql(k: Int = Similarity.OutlierTopK): String =
+    s"""WITH sv AS (
+       |  SELECT vec_id, label,
+       |    generate_subscripts(embedding, 1) - 1 AS pos,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT label, pos,
+       |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+       |  FROM sv GROUP BY label, pos)
+       |SELECT sv.vec_id, sv.label,
+       |  CAST(sum((v - c) * (v - c)) AS BIGINT) AS dist2_milli2
+       |FROM sv JOIN cents USING (label, pos)
+       |GROUP BY 1, 2
+       |ORDER BY dist2_milli2 DESC, vec_id
+       |LIMIT $k""".stripMargin
 }
