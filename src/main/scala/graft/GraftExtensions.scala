@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, KmvSketch, MqttTopicMatches, RepetitionStats, ShingleHash60, SquaredDistance, TokenPositions, WinnowFingerprints}
+import graft.functions.{DotProduct, KmvSketch, MqttTopicMatches, RepetitionStats, ShingleHash60, SquaredDistance, TokenPositions, TopKAgg, WinnowFingerprints}
 
 /** SQL surface for graft's native Catalyst expressions
   * (`spark.sql.extensions=graft.GraftExtensions`, or
@@ -26,6 +26,9 @@ import graft.functions.{DotProduct, KmvSketch, MqttTopicMatches, RepetitionStats
   *  - `kmv_kth(hash, k)` — KMV bottom-k distinct sketch AGGREGATE over
   *    int64 hashes, returning struct(n_kept, kth_hash); `k` must be a
   *    literal >= 2 (the UDAF half of the extension surface);
+  *  - `top_k_pairs(value, id, k)` — bounded exact top-k AGGREGATE by
+  *    (value DESC, id ASC) over int64 pairs, returning the rank-ordered
+  *    array<struct(value, id)>; `k` must be a literal >= 1;
   *  - `token_positions(text)` — one-pass tokenizing GENERATOR emitting
   *    (pos, token) rows (the UDTF half; usable in LATERAL VIEW and the
   *    select list like any built-in generator).
@@ -109,6 +112,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // fail at analysis time: the buffer math needs a real capacity
         require(k >= 2, s"kmv_kth(hash, k): k must be >= 2, got $k")
         KmvSketch(children(0), k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_pairs"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "top_k_pairs(value, id, k)")
+        val k = intLit(children(2), "top_k_pairs k")
+        // fail at analysis time: the buffer math needs a real capacity
+        require(k >= 1, s"top_k_pairs(value, id, k): k must be >= 1, got $k")
+        TopKAgg(children(0), children(1), k).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("token_positions"),

@@ -90,6 +90,9 @@ object SparkEntry {
     "q_set_ops" -> (Relational.setOps _),
     "q_distinct_users" -> (Relational.distinctUsers _),
     "q_topk_orders" -> (Relational.topKOrders _),
+    // same ranking surface as a bounded O(k) aggregate: map-side partial
+    // top-k, the shuffle carries buffers instead of the fact table
+    "q_topk_agg" -> (BoundedTopK.topOrdersPerPriority _),
     "q_monthly_events" -> (Relational.monthlyEvents _),
     // dense hourly grid per key (gap fill): data touched once for the
     // bucket agg; grid generation, fill join, and the running total all
@@ -442,6 +445,7 @@ object SparkEntry {
     "q_set_ops" -> Relational.setOpsSql,
     "q_distinct_users" -> Relational.distinctUsersSql,
     "q_topk_orders" -> Relational.topKOrdersSql,
+    "q_topk_agg" -> BoundedTopK.topOrdersPerPrioritySql,
     "q_monthly_events" -> Relational.monthlyEventsSql,
     "q_gap_fill_hourly" -> Resample.hourlyEventsSql,
     "q_session_windows" -> Relational.sessionWindowsSql,
