@@ -62,6 +62,21 @@ final class TopKBuffer(val k: Int) {
   * (value DESC, id ASC) total order, which assumes `id` is unique within a
   * group (duplicate (value, id) pairs collapse set-wise).
   *
+  * Two documented, spec-pinned divergences from the window idiom
+  * (BoundedTopKSpec "NULL rows are ignored…", "duplicate (value, id)
+  * pairs collapse…"):
+  *   - NULLs: rows with a NULL value OR id are skipped in `update` — the
+  *     standard SQL aggregate posture (`SUM`/`MAX` ignore NULLs). The
+  *     window form under `ORDER BY v DESC` ranks NULLs LAST, so when a
+  *     group has fewer than k non-null rows the window form pads with
+  *     NULL-valued rows while this aggregate returns only the non-null
+  *     pairs. Pre-filter or COALESCE if NULLs must rank.
+  *   - Duplicates: a (value, id) pair arriving twice occupies ONE buffer
+  *     slot (the buffer is a set keyed by the total order), so k distinct
+  *     pairs are returned where the window form would count the duplicate
+  *     toward k. Under the documented uniqueness assumption the two forms
+  *     agree; this pin states what happens when the assumption is broken.
+  *
   * Reference analogue: the reference reads "top N" with `ORDER BY ... DESC
   * LIMIT N` over MySQL (README.md:236-247) — a single-node sort. This is
   * the distributed form of the same query surface.

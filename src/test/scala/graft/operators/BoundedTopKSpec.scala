@@ -54,6 +54,43 @@ class BoundedTopKSpec extends SparkSpec {
     assert(aggForm(rows, 10, 2) == windowForm(rows, 10))
   }
 
+  test("NULL rows are ignored (SQL-aggregate posture), even when the " +
+      "group has fewer than k non-null rows") {
+    // group a: 2 non-null rows + rows with NULL value / NULL id, k=3.
+    // The window form (ORDER BY v DESC ranks NULLs last) would pad to k
+    // with a NULL row; the aggregate returns ONLY the non-null pairs —
+    // the documented divergence (TopKAgg scaladoc "Two documented...").
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("a", java.lang.Long.valueOf(7L), java.lang.Long.valueOf(1L)),
+        org.apache.spark.sql.Row("a", java.lang.Long.valueOf(5L), java.lang.Long.valueOf(2L)),
+        org.apache.spark.sql.Row("a", null, java.lang.Long.valueOf(3L)),
+        org.apache.spark.sql.Row("a", java.lang.Long.valueOf(9L), null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+    val got = rows.repartition(3)
+      .groupBy("g")
+      .agg(TopKAgg.agg(col("v"), col("id"), 3).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.value"), col("col.id"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 7L, 1L), ("a", 5L, 2L))) // 2 rows, not padded to k
+  }
+
+  test("duplicate (value, id) pairs collapse set-wise (documented " +
+      "divergence from the row-counting window form)") {
+    // (5, 1) arrives twice: one buffer slot, so rank 2 is the NEXT distinct
+    // pair — where row_number() would spend rank 2 on the duplicate row.
+    val rows = Seq(("a", 5L, 1L), ("a", 5L, 1L), ("a", 3L, 2L), ("a", 1L, 3L))
+    val got = aggForm(rows, 2, 4)
+    assert(got == Seq(("a", 1, 1L, 5L), ("a", 2, 2L, 3L)))
+    // and the window form disagrees exactly as documented: its rank 2 is
+    // the duplicate (5, 1) row, pushing (3, 2) out of the top 2
+    assert(windowForm(rows, 2) == Seq(("a", 1, 1L, 5L), ("a", 2, 1L, 5L)))
+  }
+
   test("SQL surface: top_k_pairs registered via extensions") {
     Seq(("a", 3L, 1L), ("a", 7L, 2L), ("a", 5L, 3L)).toDF("g", "v", "id")
       .createOrReplaceTempView("tk_in")
