@@ -134,6 +134,12 @@ object SparkEntry {
     // q_session_windows (incremental-equals-batch for merging windows)
     "q_session_windows_streaming" -> ((s, d) =>
       streaming.StreamingSessions.userSessions(s, d)),
+    // the same merging-window certificate with NO driver-side input
+    // materialization: distributed file-source staging, one real
+    // micro-batch per range-ordered chunk, flush sentinels finalize the
+    // trailing open sessions; SAME oracle as the batch q_session_windows
+    "q_session_windows_streaming_file" -> ((s, d) =>
+      streaming.FileReplaySessions.userSessions(s, d)),
     // watermarked stream-stream inner join (two file-source streams, state
     // bounded by the event-time range condition on both watermarked sides),
     // against the plain batch-join oracle — incremental-equals-batch for
@@ -263,6 +269,11 @@ object SparkEntry {
     // ranked by the SAME tail against the SAME oracle as the batch form
     "q_heavy_hitters_streaming" -> ((s, d) =>
       streaming.StreamingHeavyHitters.hotCustomers(s, d)),
+    // the update-mode counter certificate with NO driver-side input
+    // materialization: file-source staged fact rows, real micro-batches;
+    // order-free (counters are monotone), SAME oracle as the batch form
+    "q_heavy_hitters_streaming_file" -> ((s, d) =>
+      streaming.FileReplayHeavyHitters.hotCustomers(s, d)),
     // the BOUNDED-state form: per-partition Misra-Gries summaries (capacity
     // counters max, regardless of input size) merged by key-sum; certified
     // in the provably-exact regime (capacity > distinct keys) against the
@@ -463,6 +474,7 @@ object SparkEntry {
     "q_bucketed_join" -> BucketedJoin.orderVolumeBySegmentSql,
     "q_bloom_join" -> BloomJoin.urgentLineitemsSql,
     "q_session_windows_streaming" -> Relational.sessionWindowsSql,
+    "q_session_windows_streaming_file" -> Relational.sessionWindowsSql,
     "q_stream_stream_join" -> streaming.StreamStreamJoin.signupPurchasesSql,
     "q_stream_stream_join_outer" -> streaming.StreamStreamJoin.signupPurchasesOuterSql,
     "q_outer_join" -> Relational.outerJoinYearsSql,
@@ -499,6 +511,7 @@ object SparkEntry {
     "q_hll_distinct_streaming" -> SketchesSql.hllDistinctUsersSql,
     "q_heavy_hitters" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_streaming" -> HeavyHitters.hotCustomersSql,
+    "q_heavy_hitters_streaming_file" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_bounded" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_bounded_streaming" -> HeavyHitters.hotCustomersSql,
     "q_skew_profile" -> SkewReport.orderCustomerSkewSql,

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+
+/** The MERGING-window streaming certificate (sessionization) WITHOUT
+  * driver-side input materialization: [[StreamingSessions.userSessions]]
+  * proves incremental-equals-batch for `session_window`, but its ingest
+  * seam `.collect()`s the whole events table into a MemoryStream — the
+  * operator scales, the certificate caps at driver memory. This path
+  * stages the events DISTRIBUTED via [[FileStage]] (range-ordered parquet
+  * chunks, one REAL micro-batch per file under `maxFilesPerTrigger = 1`),
+  * so the certificate holds at any scale the cluster can write.
+  *
+  * Append-mode sessionization only emits a session once the watermark
+  * passes its end (last event + gap); a bounded replay would strand every
+  * trailing open session in state, so two flush-sentinel file-batches
+  * (user_id -1, event times 24 h / 25 h past the real maximum) advance the
+  * watermark past every real session's end and trigger the batch that
+  * flushes them ([[FileStage.appendSentinel]]'s two-batch contract). The
+  * sentinel's own session never finalizes (nothing passes ITS end) and is
+  * dropped at memory-sink readback — never inside the streaming plan,
+  * where the filter would be pushed below the EventTimeWatermark operator.
+  *
+  * Oracle: the SAME lag + cumulative-sum session SQL as the batch
+  * `q_session_windows` ([[graft.operators.Relational.sessionWindowsSql]]),
+  * so a green row certifies the merging-window state machine against an
+  * independent formulation of gap sessionization.
+  */
+object FileReplaySessions {
+
+  def userSessions(spark: SparkSession, dir: String, chunks: Int = 3): DataFrame = {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_file_sessions").toFile
+    try {
+      val inDir = new java.io.File(work, "in").getAbsolutePath
+      val staged = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"))
+      FileStage.stage(staged, inDir, chunks, col("ts"), col("event_id"))
+      // the only driver-visible scalar: max(ts) for sentinel construction
+      val maxTs = staged.agg(max(col("ts"))).head().getTimestamp(0)
+      (0 until 2).foreach { i =>
+        val t = new Timestamp(maxTs.getTime + (24L + i) * 3600 * 1000)
+        FileStage.appendSentinel(
+          Seq((-1L - i, t, -1L)).toDF("event_id", "ts", "user_id"),
+          inDir, chunks, i)
+      }
+      val name = s"sessions_file_${java.util.UUID.randomUUID().toString.take(8)}"
+      try {
+        // state-store partition count freezes from the session conf at the
+        // query's first run — size it to the open-session keyspace, restore
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          val stream = spark.readStream
+            .schema(staged.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inDir)
+          StreamingSessions.sessions(stream, gap = "30 minutes",
+              watermark = "10 minutes")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        try q.awaitTermination() finally q.stop()
+        // memory-sink readback (session-cardinality rows): drop the flush
+        // sentinels here, post-sink
+        val out = spark.table(name)
+          .filter(col("user_id") =!= -1L)
+          .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+          .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+        val rows = out.collect()
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .orderBy(col("user_id"), col("session_start"))
+      } finally {
+        try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
+  }
+}

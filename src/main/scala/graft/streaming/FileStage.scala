@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Shared distributed staging seam of the file-source replay certificates
+  * ([[FileReplayHistory]], [[FileReplayState]], [[FileReplayWindowed]],
+  * [[StreamStreamJoin]], [[FileReplaySessions]],
+  * [[FileReplayHeavyHitters]]): write a replay frame as `chunks`
+  * range-ordered parquet part files whose modification times ascend in
+  * range order, so the built-in file stream source (which schedules
+  * oldest-mtime-first) consumes them as real micro-batches in event order —
+  * no input row ever visits the driver.
+  *
+  * `repartitionByRange` + `sortWithinPartitions` is an executor-side range
+  * sort: chunk i's rows all precede chunk i+1's in the staging order, which
+  * is what lets watermarks advance monotonically across file-batches. The
+  * mtime stamping is the one piece of file METADATA the driver touches;
+  * never data.
+  */
+private[streaming] object FileStage {
+
+  val BaseMtime = 1_000_000_000_000L
+
+  /** Stage `df` into `dir` as `chunks` parquet files range-ordered on
+    * `order`, mtimes ascending in range order.
+    */
+  def stage(df: DataFrame, dir: String, chunks: Int, order: Column*): Unit = {
+    df.repartitionByRange(chunks, order: _*)
+      .sortWithinPartitions(order: _*)
+      .write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(BaseMtime + i * 60_000L) }
+  }
+
+  /** Append a sentinel file-batch scheduled AFTER the `chunks` real files
+    * and after any earlier sentinel (`index` counts from 0) — the
+    * end-of-stream flush pattern: append-mode state only emits when the
+    * watermark passes it, and the watermark computed at the end of batch N
+    * applies during batch N+1, so finalizing everything takes TWO trailing
+    * sentinel batches. Sentinel rows must look like real typed rows (a
+    * marker filter inside the streaming plan would be pushed below the
+    * EventTimeWatermark operator and drop them at the scan — the
+    * FileReplayWindowed lesson); callers drop them at memory-sink readback.
+    */
+  def appendSentinel(df: DataFrame, dir: String, chunks: Int, index: Int): Unit = {
+    val before = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    df.coalesce(1).write.mode("append").parquet(dir)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .filterNot(f => before.contains(f.getName))
+      .foreach(_.setLastModified(BaseMtime + (chunks + index) * 60_000L))
+  }
+}
