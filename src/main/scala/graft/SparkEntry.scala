@@ -170,6 +170,10 @@ object SparkEntry {
     // the (content_hash, keep_id, n_copies) ledger
     "pipeline_clean_corpus_streaming" -> ((s, d) =>
       streaming.StreamingCleanCorpus.cleanLedger(s, d)),
+    // the same gated ledger over distributed file-source micro-batches
+    // (no driver-side input materialization); SAME oracle
+    "pipeline_clean_corpus_streaming_file" -> ((s, d) =>
+      streaming.StreamingCleanCorpus.cleanLedgerFromFiles(s, d)),
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
     // long-form positional tokenization via the native token_positions
@@ -195,6 +199,10 @@ object SparkEntry {
     // state keyed by the 8-byte fp (O(distinct passages/horizon))
     "dedup_winnow_streaming" -> ((s, d) =>
       streaming.StreamingWinnow.firstSeenPassages(s, d)),
+    // the same first-seen passage state over distributed file-source
+    // micro-batches (no driver-side input materialization); SAME oracle
+    "dedup_winnow_streaming_file" -> ((s, d) =>
+      streaming.StreamingWinnow.firstSeenPassagesFromFiles(s, d)),
     // deterministic content-addressed train/valid/test assignment
     "text_split" -> ((s, d) => TextAnalysis.split(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -240,11 +248,19 @@ object SparkEntry {
     // 128-byte state per group), against the SAME oracle as the batch form
     "q_approx_distinct_streaming" -> ((s, d) =>
       streaming.StreamingSketch.approxDistinctUsers(s, d)),
+    // the same sketch over distributed file-source micro-batches (no
+    // driver-side input materialization); SAME oracle
+    "q_approx_distinct_streaming_file" -> ((s, d) =>
+      streaming.StreamingSketch.approxDistinctUsersFromFiles(s, d)),
     // the histogram sketch maintained incrementally (built-in update-mode
     // streaming agg IS the sketch update; O(groups x bins) state), against
     // the SAME oracle as the batch q_approx_quantiles
     "q_approx_quantiles_streaming" -> ((s, d) =>
       streaming.StreamingQuantiles.quantilesByType(s, d)),
+    // the same histogram over distributed file-source micro-batches (no
+    // driver-side input materialization); SAME oracle
+    "q_approx_quantiles_streaming_file" -> ((s, d) =>
+      streaming.StreamingQuantiles.quantilesByTypeFromFiles(s, d)),
     // KMV bottom-k distinct sketch as a native TypedImperativeAggregate
     // (the custom-UDAF surface): O(k) state per group at ANY cardinality,
     // oracle-verified through its exact integer (n_kept, kth_hash) core
@@ -254,6 +270,10 @@ object SparkEntry {
     // sketch buffer), against the SAME oracle as the batch form
     "q_kmv_distinct_streaming" -> ((s, d) =>
       streaming.StreamingKmv.kmvDistinctUsers(s, d)),
+    // the same custom aggregate over distributed file-source micro-batches
+    // (no driver-side input materialization); SAME oracle
+    "q_kmv_distinct_streaming_file" -> ((s, d) =>
+      streaming.StreamingKmv.kmvDistinctUsersFromFiles(s, d)),
     // HyperLogLog: max-leading-zero registers (m bytes/group at any
     // cardinality), certified through the exact integer (n_zero_buckets,
     // sum_pow) core; small-range correction included
@@ -262,6 +282,10 @@ object SparkEntry {
     // register update), against the SAME oracle as the batch form
     "q_hll_distinct_streaming" -> ((s, d) =>
       streaming.StreamingHll.hllDistinctUsers(s, d)),
+    // the same registers over distributed file-source micro-batches (no
+    // driver-side input materialization); SAME oracle
+    "q_hll_distinct_streaming_file" -> ((s, d) =>
+      streaming.StreamingHll.hllDistinctUsersFromFiles(s, d)),
     // exact heavy-hitter skew profile: one key-partitioned agg over data,
     // ranking/share on key-cardinality rows (integer ppm — no float ranks)
     "q_heavy_hitters" -> (HeavyHitters.hotCustomers _),
@@ -313,10 +337,19 @@ object SparkEntry {
     // incremental-equals-batch property for the dedup operator class
     "dedup_exact_streaming" -> ((s, d) =>
       streaming.StreamingDedup.exactWithinHorizon(s, d)),
+    // the same horizon-scoped drop over distributed file-source
+    // micro-batches (no driver-side input materialization, span-derived
+    // horizon); SAME oracle
+    "dedup_exact_streaming_file" -> ((s, d) =>
+      streaming.StreamingDedup.exactWithinHorizonFromFiles(s, d)),
     // canonical-form dedup at ingest: horizon-scoped drop keyed by the
     // normalized hash, over the probe-augmented corpus so the drop fires
     "dedup_normalized_streaming" -> ((s, d) =>
       streaming.StreamingDedup.normalizedWithinHorizon(s, d)),
+    // the same canonical-hash drop over distributed file-source
+    // micro-batches (no driver-side input materialization); SAME oracle
+    "dedup_normalized_streaming_file" -> ((s, d) =>
+      streaming.StreamingDedup.normalizedWithinHorizonFromFiles(s, d)),
     // sub-document exact dedup: aligned token-window chunks hashed and
     // grouped; passages appearing in >= 2 distinct docs
     "dedup_passage" -> ((s, d) => Dedup.passageDups(sources.Tables.documents(s, d))
@@ -481,6 +514,7 @@ object SparkEntry {
     "q_funnel" -> Funnel.funnelSql,
     "pipeline_clean_corpus" -> CleanCorpusSql.cleanSql,
     "pipeline_clean_corpus_streaming" -> CleanCorpusSql.cleanLedgerSql,
+    "pipeline_clean_corpus_streaming_file" -> CleanCorpusSql.cleanLedgerSql,
     "text_token_stats" -> TextAnalysisSql.tokenStatsSql,
     "text_token_positions" -> TextAnalysisSql.tokenPositionsSql,
     "text_phrase_search" -> TextAnalysisSql.phraseSearchSql(),
@@ -490,6 +524,7 @@ object SparkEntry {
     "text_winnow" -> Winnow.winnowDocsSql,
     "dedup_winnow" -> Winnow.winnowDupsSql,
     "dedup_winnow_streaming" -> Winnow.distinctFpsSql,
+    "dedup_winnow_streaming_file" -> Winnow.distinctFpsSql,
     "text_split" -> TextAnalysisSql.splitSql,
     "text_redact" -> TextAnalysisSql.redactEmailsSql,
     "text_tfidf" -> TextAnalysisSql.tfidfTopTermsSql(),
@@ -504,11 +539,15 @@ object SparkEntry {
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,
     "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,
+    "q_approx_distinct_streaming_file" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles_streaming" -> SketchesSql.approxQuantilesByTypeSql,
+    "q_approx_quantiles_streaming_file" -> SketchesSql.approxQuantilesByTypeSql,
     "q_kmv_distinct" -> SketchesSql.kmvDistinctUsersSql,
     "q_kmv_distinct_streaming" -> SketchesSql.kmvDistinctUsersSql,
+    "q_kmv_distinct_streaming_file" -> SketchesSql.kmvDistinctUsersSql,
     "q_hll_distinct" -> SketchesSql.hllDistinctUsersSql,
     "q_hll_distinct_streaming" -> SketchesSql.hllDistinctUsersSql,
+    "q_hll_distinct_streaming_file" -> SketchesSql.hllDistinctUsersSql,
     "q_heavy_hitters" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_streaming" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_streaming_file" -> HeavyHitters.hotCustomersSql,
@@ -520,7 +559,9 @@ object SparkEntry {
     "dedup_normalized" -> DedupSql.normalizedDupsSql,
     "dedup_keep_best" -> DedupSql.keepBestSql,
     "dedup_exact_streaming" -> DedupSql.exactKeySetSql,
+    "dedup_exact_streaming_file" -> DedupSql.exactKeySetSql,
     "dedup_normalized_streaming" -> DedupSql.normalizedKeySetSql,
+    "dedup_normalized_streaming_file" -> DedupSql.normalizedKeySetSql,
     "dedup_passage" -> DedupSql.passageDupsSql,
     "dedup_fingerprint" -> DedupSql.fingerprintSql,
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardSql(),

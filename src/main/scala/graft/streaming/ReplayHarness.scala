@@ -19,6 +19,51 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   */
 private[streaming] object ReplayHarness {
 
+  /** The driver-free counterpart of [[updateModeEmissions]]: the replay
+    * frame is staged DISTRIBUTED via [[FileStage]] (range-ordered parquet
+    * chunks, one REAL micro-batch per file) instead of collected into a
+    * MemoryStream, so no input row ever visits the driver. Shared by every
+    * `*_streaming_file` twin; `agg` receives the raw file-source frame
+    * (callers re-type with `.as[T]` where their agg is typed). Append-mode
+    * users (dedup / winnow key sets) emit on ARRIVAL — first-seen rows
+    * pass `dropDuplicatesWithinWatermark` immediately; the watermark only
+    * EVICTS — so unlike windowed/session aggregation no flush sentinel is
+    * needed. The memory-sink readback (materialized before the staging dir
+    * is deleted) is the OUTPUT surface, bounded by emission cardinality.
+    */
+  def emissionsFromFiles(spark: SparkSession, staged: DataFrame, chunks: Int,
+      statePartitions: Int, prefix: String, outputMode: String,
+      order: org.apache.spark.sql.Column*)(
+      agg: DataFrame => DataFrame): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory(prefix).toFile
+    try {
+      val inDir = new java.io.File(work, "in").getAbsolutePath
+      FileStage.stage(staged, inDir, chunks, order: _*)
+      val name = s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
+      try {
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+          val stream = spark.readStream
+            .schema(staged.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inDir)
+          agg(stream)
+            .writeStream.format("memory").queryName(name)
+            .outputMode(outputMode)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        try q.awaitTermination() finally q.stop()
+        val table = spark.table(name)
+        spark.createDataFrame(
+          java.util.Arrays.asList(table.collect(): _*), table.schema)
+      } finally {
+        try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
+  }
+
   def updateModeEmissions[T](spark: SparkSession, rows: Seq[T], chunks: Int,
       statePartitions: Int, prefix: String)(agg: Dataset[T] => DataFrame)(
       implicit enc: Encoder[T]): DataFrame = {

@@ -41,12 +41,32 @@ object StreamingCleanCorpus {
     val rows = gated(Tables.documents(spark, dir)).as[GatedDoc].collect()
     val emissions = ReplayHarness.updateModeEmissions(
       spark, rows.toIndexedSeq, chunks, statePartitions = 8, prefix = "clean_stream")(
-      _.groupBy(col("content_hash"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")))
-    // min is monotone nonincreasing, count nondecreasing: final = (min, max)
+      ds => ledgerAgg(ds.toDF()))
+    foldEmissions(emissions)
+  }
+
+  /** The driver-free form: the same stateless gates and incremental dedup
+    * ledger over distributed file-source micro-batches — SAME oracle as
+    * the MemoryStream twin. The gate projection runs INSIDE the staging
+    * write (executor-side), so rejected documents never even reach the
+    * staged replay, let alone the driver.
+    */
+  def cleanLedgerFromFiles(spark: SparkSession, dir: String,
+      chunks: Int = 3): DataFrame =
+    foldEmissions(ReplayHarness.emissionsFromFiles(
+      spark, gated(Tables.documents(spark, dir)), chunks, statePartitions = 8,
+      prefix = "clean_file", outputMode = "update",
+      col("content_hash"), col("doc_id"))(ledgerAgg))
+
+  /** Shared incremental aggregate: first-kept id + copy count per hash. */
+  private val ledgerAgg: DataFrame => DataFrame =
+    _.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** min is monotone nonincreasing, count nondecreasing: final = (min, max). */
+  private def foldEmissions(emissions: DataFrame): DataFrame =
     emissions
       .groupBy(col("content_hash"))
       .agg(min(col("keep_id")).as("keep_id"), max(col("n_copies")).as("n_copies"))
       .orderBy(col("content_hash"))
-  }
 }

@@ -95,12 +95,57 @@ object StreamingDedup {
       graft.operators.Dedup.normProbeAugmented(Tables.documents(spark, dir)))
     // horizon > replay span so no survivor key evicts mid-certification
     val horizon = s"${rows.last.doc_id + 3600} seconds"
-    val az = "abcdefghijklmnopqrstuvwxyz"
-    val canonical = trim(regexp_replace(regexp_replace(
-      translate(col("text"), az.toUpperCase, az), "[^a-z0-9 ]", " "), " +", " "))
     keySetWithinHorizon(spark, rows, "norm_hash",
-      md5(canonical.cast("binary")), chunks, horizon)
+      md5(canonicalText.cast("binary")), chunks, horizon)
       .toDF("norm_hash").orderBy(col("norm_hash"))
+  }
+
+  /** The driver-free form of [[exactWithinHorizon]]: the synthetic arrival
+    * frame is STAGED distributed ([[ReplayHarness.emissionsFromFiles]],
+    * append mode — survivors emit on arrival, the watermark only evicts,
+    * so no flush sentinel) and the horizon derives from the replay span
+    * (the StreamingWinnow rule; the only driver-visible scalar is
+    * max(doc_id)). SAME oracle as the MemoryStream twin: the surviving
+    * content-hash key set.
+    */
+  def exactWithinHorizonFromFiles(spark: SparkSession, dir: String,
+      chunks: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val horizon = spanHorizon(docs)
+    ReplayHarness.emissionsFromFiles(
+      spark, arrivalsFrame(docs), chunks, statePartitions = 4,
+      prefix = "dedup_file", outputMode = "append",
+      col("ts"), col("doc_id"))(
+      deduppedBy(_, horizon, "content_hash",
+        md5(trim(col("text")).cast("binary"))))
+      .select(col("content_hash")).orderBy(col("content_hash"))
+  }
+
+  /** The driver-free form of [[normalizedWithinHorizon]]: the
+    * probe-augmented corpus staged distributed, canonical-hash state,
+    * span-derived horizon. SAME oracle as the MemoryStream twin.
+    */
+  def normalizedWithinHorizonFromFiles(spark: SparkSession, dir: String,
+      chunks: Int = 3): DataFrame = {
+    val docs = graft.operators.Dedup.normProbeAugmented(
+      Tables.documents(spark, dir))
+    val horizon = spanHorizon(docs)
+    ReplayHarness.emissionsFromFiles(
+      spark, arrivalsFrame(docs), chunks, statePartitions = 4,
+      prefix = "dedup_norm_file", outputMode = "append",
+      col("ts"), col("doc_id"))(
+      deduppedBy(_, horizon, "norm_hash", md5(canonicalText.cast("binary"))))
+      .select(col("norm_hash")).orderBy(col("norm_hash"))
+  }
+
+  /** The canonical form shared by the normalized twins: case-fold, scrub
+    * non-alphanumerics, collapse runs — TextAnalysis.normalize's hash
+    * contract expressed over `text`.
+    */
+  private val canonicalText: Column = {
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    trim(regexp_replace(regexp_replace(
+      translate(col("text"), az.toUpperCase, az), "[^a-z0-9 ]", " "), " +", " "))
   }
 
   /** Deterministic synthetic arrival frame: one second per doc_id from a
@@ -115,6 +160,26 @@ object StreamingDedup {
       .map { case (id, text) =>
         DocArrival(new java.sql.Timestamp(base + id * 1000L), id, text) }
       .toSeq
+  }
+
+  /** The [[arrivals]] frame built EXECUTOR-SIDE (no collect): the same
+    * one-second-per-doc_id event times, as a DataFrame for [[FileStage]].
+    * Shared with [[StreamingWinnow]]'s file twin.
+    */
+  private[streaming] def arrivalsFrame(docs: DataFrame): DataFrame =
+    docs.select(
+      expr("timestampadd(SECOND, cast(doc_id AS bigint), " +
+        "timestamp'2024-01-01 00:00:00')").as("ts"),
+      col("doc_id").cast("long").as("doc_id"), col("text"))
+
+  /** Horizon covering the whole replay span (arrival times are doc_id
+    * seconds after base, so max doc_id + slack covers every arrival) — a
+    * fixed horizon would silently start evicting state on a larger corpus.
+    * The one driver-visible scalar of the file twins.
+    */
+  private def spanHorizon(docs: DataFrame): String = {
+    val maxId = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0)
+    s"${maxId + 3600} seconds"
   }
 
   /** Shared MemoryStream micro-batch harness: replay `rows` in ~`chunks`

@@ -34,16 +34,35 @@ object StreamingHll {
   def hllDistinctUsers(spark: SparkSession, dir: String,
       chunks: Int = 3): DataFrame = {
     import spark.implicits._
-    val rows = Sketches.hllObservations(
-        Tables.events(spark, dir), "user_id", "event_type")
-      .select(col("event_type"), col("__bucket").as("bucket"),
-        col("__rho").as("rho"))
-      .as[HllHit].collect()
+    val rows = hllHits(spark, dir).as[HllHit].collect()
     // the group space is event-type-sized (a handful): 4 state partitions
     val emissions = ReplayHarness.updateModeEmissions(
       spark, rows.toIndexedSeq, chunks, statePartitions = 4, prefix = "hll_stream")(
       _.groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("rho_max")))
-    // register maxima are monotone: the final register is the row max
+    foldEmissions(emissions)
+  }
+
+  /** The driver-free form: same observations, incremental register maxima,
+    * and monotone fold over distributed file-source micro-batches — SAME
+    * oracle as the batch `q_hll_distinct`.
+    */
+  def hllDistinctUsersFromFiles(spark: SparkSession, dir: String,
+      chunks: Int = 3): DataFrame =
+    foldEmissions(ReplayHarness.emissionsFromFiles(
+      spark, hllHits(spark, dir), chunks, statePartitions = 4,
+      prefix = "hll_file", outputMode = "update",
+      col("event_type"), col("bucket"))(
+      _.groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("rho_max"))))
+
+  /** Shared replay projection: (event_type, bucket, rho) observations. */
+  private def hllHits(spark: SparkSession, dir: String): DataFrame =
+    Sketches.hllObservations(
+        Tables.events(spark, dir), "user_id", "event_type")
+      .select(col("event_type"), col("__bucket").as("bucket"),
+        col("__rho").as("rho"))
+
+  /** Register maxima are monotone: the final register is the row max. */
+  private def foldEmissions(emissions: DataFrame): DataFrame = {
     val regs = emissions
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho_max")).as("__M"))

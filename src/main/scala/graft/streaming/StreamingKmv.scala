@@ -35,30 +35,53 @@ object StreamingKmv {
   def kmvDistinctUsers(spark: SparkSession, dir: String,
       chunks: Int = 3): DataFrame = {
     import spark.implicits._
-    val rows = Tables.events(spark, dir)
-      .select(col("event_type"),
-        Sketches.kmvHashOf(col("user_id")).as("hv"))
-      // a null user_id hashes to a null hv; the batch twin's aggregate
-      // skips nulls, so drop them here too (the primitive Long encoder
-      // would otherwise throw and the twins would diverge)
-      .filter(col("hv").isNotNull)
-      .as[KmvHit].collect()
+    val rows = kmvHits(spark, dir).as[KmvHit].collect()
     // the group space is event-type-sized (a handful): 4 state partitions
     val emissions = ReplayHarness.updateModeEmissions(
       spark, rows.toIndexedSeq, chunks, statePartitions = 4, prefix = "kmv_stream")(
-      _.groupBy(col("event_type"))
-        .agg(KmvSketch.agg(col("hv"), Sketches.KmvK).as("__kmv"))
-        .select(col("event_type"), col("__kmv.n_kept").as("n_kept"),
-          col("__kmv.kth_hash").as("kth_hash")))
-    // the kept set only grows (n_kept nondecreasing) and its k-th smallest
-    // only falls (kth_hash nonincreasing): the final sketch is the row
-    // max/min per key, batch-order-independent (min skips the pre-capacity
-    // null kth emissions)
+      ds => kmvAgg(ds.toDF()))
+    foldEmissions(emissions)
+  }
+
+  /** The driver-free form: same projection, incremental KMV aggregate, and
+    * monotone fold over distributed file-source micro-batches — SAME
+    * oracle as the batch `q_kmv_distinct`.
+    */
+  def kmvDistinctUsersFromFiles(spark: SparkSession, dir: String,
+      chunks: Int = 3): DataFrame =
+    foldEmissions(ReplayHarness.emissionsFromFiles(
+      spark, kmvHits(spark, dir), chunks, statePartitions = 4,
+      prefix = "kmv_file", outputMode = "update",
+      col("event_type"), col("hv"))(kmvAgg))
+
+  /** Shared replay projection: (event_type, hv), nulls dropped — a null
+    * user_id hashes to a null hv; the batch twin's aggregate skips nulls,
+    * so drop them here too (the primitive Long encoder would otherwise
+    * throw and the twins would diverge).
+    */
+  private def kmvHits(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        Sketches.kmvHashOf(col("user_id")).as("hv"))
+      .filter(col("hv").isNotNull)
+
+  /** Shared incremental aggregate: the bounded KMV sketch per type. */
+  private val kmvAgg: DataFrame => DataFrame =
+    _.groupBy(col("event_type"))
+      .agg(KmvSketch.agg(col("hv"), Sketches.KmvK).as("__kmv"))
+      .select(col("event_type"), col("__kmv.n_kept").as("n_kept"),
+        col("__kmv.kth_hash").as("kth_hash"))
+
+  /** The kept set only grows (n_kept nondecreasing) and its k-th smallest
+    * only falls (kth_hash nonincreasing): the final sketch is the row
+    * max/min per key, batch-order-independent (min skips the pre-capacity
+    * null kth emissions).
+    */
+  private def foldEmissions(emissions: DataFrame): DataFrame =
     emissions
       .groupBy(col("event_type"))
       .agg(max(col("n_kept")).as("n_kept"), min(col("kth_hash")).as("kth_hash"))
       .withColumn("est_distinct",
         Sketches.kmvEstimate(col("n_kept"), col("kth_hash")))
       .orderBy(col("event_type"))
-  }
 }

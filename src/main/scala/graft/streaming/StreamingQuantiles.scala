@@ -33,17 +33,37 @@ object StreamingQuantiles {
   def quantilesByType(spark: SparkSession, dir: String,
       chunks: Int = 3): DataFrame = {
     import spark.implicits._
-    val rows = Tables.events(spark, dir)
-      .select(col("event_type"),
-        floor(col("value") / Sketches.QuantileBinWidth).as("bin"))
-      // a null value bins to a null bin; the Long encoder would throw on it
-      // (the driver events table carries none — this keeps the seam total)
-      .filter(col("bin").isNotNull)
-      .as[BinHit].collect()
+    val rows = binHits(spark, dir).as[BinHit].collect()
     val emissions = ReplayHarness.updateModeEmissions(
       spark, rows.toIndexedSeq, chunks, statePartitions = 8, prefix = "quant_stream")(
       _.groupBy(col("event_type"), col("bin")).count())
-    // cumulative counts are monotone: the final histogram is the row max
+    foldEmissions(emissions)
+  }
+
+  /** The driver-free form: same projection, incremental histogram, and
+    * monotone fold over distributed file-source micro-batches — SAME
+    * oracle as the batch `q_approx_quantiles`.
+    */
+  def quantilesByTypeFromFiles(spark: SparkSession, dir: String,
+      chunks: Int = 3): DataFrame =
+    foldEmissions(ReplayHarness.emissionsFromFiles(
+      spark, binHits(spark, dir), chunks, statePartitions = 8,
+      prefix = "quant_file", outputMode = "update",
+      col("event_type"), col("bin"))(
+      _.groupBy(col("event_type"), col("bin")).count()))
+
+  /** Shared replay projection: (event_type, bin), null bins dropped (a
+    * null value bins to a null bin; the driver events table carries none —
+    * this keeps the seam total).
+    */
+  private def binHits(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") / Sketches.QuantileBinWidth).as("bin"))
+      .filter(col("bin").isNotNull)
+
+  /** Cumulative counts are monotone: the final histogram is the row max. */
+  private def foldEmissions(emissions: DataFrame): DataFrame = {
     val binned = emissions
       .groupBy(col("event_type"), col("bin"))
       .agg(max(col("count")).as("__n"))

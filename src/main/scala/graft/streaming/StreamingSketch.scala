@@ -62,23 +62,44 @@ object StreamingSketch {
   def approxDistinctUsers(spark: SparkSession, dir: String,
       chunks: Int = 3): DataFrame = {
     import spark.implicits._
-    val rows = Tables.events(spark, dir)
-      .select(col("event_type"),
-        Sketches.bucketOf(col("user_id")).cast("int").as("bucket"))
-      // a null user_id hashes to a null bucket; the batch twin's
-      // countDistinct ignores nulls, so drop them here too (the primitive
-      // Int encoder would otherwise throw and the twins would diverge)
-      .filter(col("bucket").isNotNull)
-      .as[BucketHit].collect()
+    val rows = bucketHits(spark, dir).as[BucketHit].collect()
     // the group space is event-type-sized (a handful): 4 state partitions
     val emissions = ReplayHarness.updateModeEmissions(
       spark, rows.toIndexedSeq, chunks, statePartitions = 4, prefix = "sketch_stream")(
       counts(_).toDF())
-    // cumulative occupancy is monotone: the final sketch is the row max
+    foldEmissions(emissions)
+  }
+
+  /** The driver-free form: the same projection, sketch state, and monotone
+    * fold, ingested through [[ReplayHarness.emissionsFromFiles]]'s
+    * distributed file-source staging instead of a driver-collected
+    * MemoryStream — SAME oracle as the batch `q_approx_distinct`.
+    */
+  def approxDistinctUsersFromFiles(spark: SparkSession, dir: String,
+      chunks: Int = 3): DataFrame = {
+    import spark.implicits._
+    foldEmissions(ReplayHarness.emissionsFromFiles(
+      spark, bucketHits(spark, dir), chunks, statePartitions = 4,
+      prefix = "sketch_file", outputMode = "update",
+      col("event_type"), col("bucket"))(df => counts(df.as[BucketHit]).toDF()))
+  }
+
+  /** Shared replay projection: (event_type, bucket), nulls dropped — a
+    * null user_id hashes to a null bucket; the batch twin's countDistinct
+    * ignores nulls, so drop them here too (the primitive Int encoder would
+    * otherwise throw and the twins would diverge).
+    */
+  private def bucketHits(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        Sketches.bucketOf(col("user_id")).cast("int").as("bucket"))
+      .filter(col("bucket").isNotNull)
+
+  /** Cumulative occupancy is monotone: the final sketch is the row max. */
+  private def foldEmissions(emissions: DataFrame): DataFrame =
     emissions
       .groupBy(col("event_type"))
       .agg(max(col("n_buckets_hit")).as("n_buckets_hit"))
       .withColumn("est_distinct", Sketches.estimate(col("n_buckets_hit")))
       .orderBy(col("event_type"))
-  }
 }

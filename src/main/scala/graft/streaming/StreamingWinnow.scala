@@ -81,4 +81,24 @@ object StreamingWinnow {
     }
     fps.toDF("fp").orderBy(col("fp"))
   }
+
+  /** The driver-free form: the same in-stream fingerprint explosion and
+    * first-seen state over distributed file-source micro-batches
+    * ([[ReplayHarness.emissionsFromFiles]], append mode — first-seen
+    * fingerprints emit on arrival, no flush sentinel needed) with the same
+    * span-derived horizon (the only driver-visible scalar is max(doc_id)).
+    * SAME oracle as the MemoryStream twin: the surviving fingerprint set.
+    */
+  def firstSeenPassagesFromFiles(spark: SparkSession, dir: String,
+      chunks: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val maxId = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0)
+    val horizon = s"${maxId + 3600} seconds"
+    ReplayHarness.emissionsFromFiles(
+      spark, StreamingDedup.arrivalsFrame(docs), chunks, statePartitions = 8,
+      prefix = "winnow_file", outputMode = "append",
+      col("ts"), col("doc_id"))(
+      novelPassages(_, horizon))
+      .select(col("fp")).orderBy(col("fp"))
+  }
 }
