@@ -151,6 +151,10 @@ object SparkEntry {
     // shape), against the plain batch join+aggregate oracle
     "q_stream_static_join" -> ((s, d) =>
       streaming.StreamStaticJoin.segmentActivity(s, d)),
+    // the same broadcast enrichment over distributed file-source
+    // micro-batches (no driver-side input materialization); SAME oracle
+    "q_stream_static_join_file" -> ((s, d) =>
+      streaming.StreamStaticJoin.segmentActivityFromFiles(s, d)),
     // the LEFT-OUTER form: unmatched rows can only emit at watermark-driven
     // state eviction (flush-sentinel staging proves the full lifecycle);
     // oracle is the plain batch left join
@@ -309,6 +313,11 @@ object SparkEntry {
     // distinct key); same exact-regime certification, same oracle
     "q_heavy_hitters_bounded_streaming" -> ((s, d) =>
       streaming.StreamingBoundedHeavyHitters.hotCustomers(s, d)),
+    // the same hashed-group Misra-Gries state over distributed
+    // file-source micro-batches (no driver-side input materialization);
+    // SAME oracle
+    "q_heavy_hitters_bounded_streaming_file" -> ((s, d) =>
+      streaming.StreamingBoundedHeavyHitters.hotCustomersFromFiles(s, d)),
     // single-row distributional skew summary of the same key: cardinality,
     // exact count order-statistics, hot-tail share, max/mean ppm ratio
     "q_skew_profile" -> (SkewReport.orderCustomerSkew _),
@@ -499,6 +508,7 @@ object SparkEntry {
     "q_pivot" -> Relational.pivotEventsSql,
     "q_unpivot" -> Relational.unpivotEventsSql,
     "q_stream_static_join" -> streaming.StreamStaticJoin.segmentActivitySql,
+    "q_stream_static_join_file" -> streaming.StreamStaticJoin.segmentActivitySql,
     "q_retention_cohort" -> Relational.retentionCohortSql,
     "q_anomaly_mad" -> Relational.anomalyMadSql,
     "q_ntile" -> Relational.ntileQuartilesSql,
@@ -553,6 +563,7 @@ object SparkEntry {
     "q_heavy_hitters_streaming_file" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_bounded" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_bounded_streaming" -> HeavyHitters.hotCustomersSql,
+    "q_heavy_hitters_bounded_streaming_file" -> HeavyHitters.hotCustomersSql,
     "q_skew_profile" -> SkewReport.orderCustomerSkewSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,

@@ -32,26 +32,50 @@ object StreamStaticJoin {
   def segmentActivity(spark: SparkSession, dir: String,
       chunks: Int = 3): DataFrame = {
     import spark.implicits._
-    val rows = Tables.events(spark, dir)
-      .select(col("user_id"),
-        floor(col("value") * 100).cast("long").as("value_cents"))
-      .as[UserEvent].collect()
-    val dim = broadcast(Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_mktsegment")))
+    val rows = eventCents(spark, dir).as[UserEvent].collect()
     // the group space is segment-sized (5): 4 state partitions
     val emissions = ReplayHarness.updateModeEmissions(
       spark, rows.toIndexedSeq, chunks, statePartitions = 4, prefix = "ss_join")(
-      _.join(dim, col("user_id") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value_cents")).as("value_cents")))
-    // counts and non-negative cent sums are monotone: final = row max
+      ds => enrichedAgg(spark, dir)(ds.toDF()))
+    foldEmissions(emissions)
+  }
+
+  /** The driver-free form: the same broadcast enrichment + update-mode
+    * aggregation over distributed file-source micro-batches — SAME oracle
+    * as the MemoryStream twin (stream-static-equals-batch).
+    */
+  def segmentActivityFromFiles(spark: SparkSession, dir: String,
+      chunks: Int = 3): DataFrame =
+    foldEmissions(ReplayHarness.emissionsFromFiles(
+      spark, eventCents(spark, dir), chunks, statePartitions = 4,
+      prefix = "ss_join_file", outputMode = "update",
+      col("user_id"), col("value_cents"))(enrichedAgg(spark, dir)))
+
+  /** Shared replay projection: (user_id, value_cents) — cent-scaled longs
+    * (the repo exactness rule).
+    */
+  private def eventCents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+
+  /** Shared streaming plan: broadcast-dim enrichment + segment counters. */
+  private def enrichedAgg(spark: SparkSession, dir: String): DataFrame => DataFrame = {
+    val dim = broadcast(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    _.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_cents")).as("value_cents"))
+  }
+
+  /** Counts and non-negative cent sums are monotone: final = row max. */
+  private def foldEmissions(emissions: DataFrame): DataFrame =
     emissions
       .groupBy(col("c_mktsegment"))
       .agg(max(col("n_events")).as("n_events"),
         max(col("value_cents")).as("value_cents"))
       .orderBy(col("c_mktsegment"))
-  }
 
   /** DuckDB mirror: the plain batch join + aggregate. */
   val segmentActivitySql: String =

@@ -101,7 +101,29 @@ object StreamingBoundedHeavyHitters {
       q.stop()
       try spark.catalog.dropTempView(name) catch { case _: Exception => () }
     }
-    // final summary per group = the emission at its max seen stamp
+    foldEmissions(emissions)
+  }
+
+  /** The driver-free form: the same hashed-group Misra-Gries state over
+    * distributed file-source micro-batches
+    * ([[ReplayHarness.emissionsFromFiles]]; fold-order-independent in the
+    * exact regime, so no ordering constraint on the staging) — SAME
+    * oracle as the exact batch profile.
+    */
+  def hotCustomersFromFiles(spark: SparkSession, dir: String, chunks: Int = 3,
+      groups: Int = 8, capacity: Int = 1 << 16): DataFrame = {
+    import spark.implicits._
+    val staged = Tables.orders(spark, dir).select(col("o_custkey"))
+    foldEmissions(ReplayHarness.emissionsFromFiles(
+      spark, staged, chunks, statePartitions = 8,
+      prefix = "hh_bounded_file", outputMode = "append", col("o_custkey"))(
+      df => summaryStream(df.as[Long], groups, capacity).toDF()))
+  }
+
+  /** Final summary per group = the emission at its max seen stamp; then
+    * the shared ranking tail over bounded summary rows.
+    */
+  private def foldEmissions(emissions: DataFrame): DataFrame = {
     val finalSeen = emissions.groupBy(col("gid")).agg(max(col("seen")).as("seen"))
     val summaries = emissions.join(finalSeen, Seq("gid", "seen"))
       .select(col("k"), col("cnt"))

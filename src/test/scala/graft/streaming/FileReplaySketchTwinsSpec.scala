@@ -79,6 +79,27 @@ class FileReplaySketchTwinsSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("bounded heavy-hitters file twin equals the exact batch profile " +
+      "(exact regime)") {
+    val got = rows(StreamingBoundedHeavyHitters.hotCustomersFromFiles(spark, sf0001))
+    assert(got.nonEmpty)
+    assert(got == rows(graft.operators.HeavyHitters.hotCustomers(spark, sf0001)))
+  }
+
+  test("stream-static join file twin equals the batch join+aggregate") {
+    val got = rows(StreamStaticJoin.segmentActivityFromFiles(spark, sf0001))
+    assert(got.nonEmpty)
+    val batch = Tables.events(spark, sf0001)
+      .select(col("user_id"), floor(col("value") * 100).cast("long").as("value_cents"))
+      .join(Tables.customer(spark, sf0001)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_cents")).as("value_cents"))
+      .orderBy(col("c_mktsegment"))
+    assert(got == rows(batch))
+  }
+
   test("winnow file twin's survivor fingerprints equal the batch distinct set") {
     val got = StreamingWinnow.firstSeenPassagesFromFiles(spark, sf0001)
       .as[Long].collect().toSeq
