@@ -35,6 +35,24 @@ class FileReplayTwinsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sessionization file twin on the RocksDB state store (the at-scale " +
+      "provider) equals the default-provider result") {
+    val batch = rows(Relational.sessionWindows(spark, sf0001)
+      .withColumn("session_start",
+        org.apache.spark.sql.functions.col("session_start").cast("timestamp_ntz"))
+      .withColumn("session_end",
+        org.apache.spark.sql.functions.col("session_end").cast("timestamp_ntz")))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, TwsCdc.RocksDbProvider)
+      assert(rows(FileReplaySessions.userSessions(spark, sf0001)) == batch)
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("session-window file-source restart resumes merging-window state " +
       "from the checkpoint: no duplicates, no loss") {
     import org.apache.spark.sql.functions._
