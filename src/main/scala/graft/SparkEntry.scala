@@ -93,6 +93,10 @@ object SparkEntry {
     // same ranking surface as a bounded O(k) aggregate: map-side partial
     // top-k, the shuffle carries buffers instead of the fact table
     "q_topk_agg" -> (BoundedTopK.topOrdersPerPriority _),
+    // deterministic exact-k-per-group sample on the same bounded
+    // aggregate: content-addressed (salted hash60), growth-stable, O(k)
+    // buffers instead of a per-group window sort
+    "pipeline_group_sample" -> (BoundedTopK.sampleDocsPerLang _),
     "q_monthly_events" -> (Relational.monthlyEvents _),
     // dense hourly grid per key (gap fill): data touched once for the
     // bucket agg; grid generation, fill join, and the running total all
@@ -499,6 +503,7 @@ object SparkEntry {
     "q_distinct_users" -> Relational.distinctUsersSql,
     "q_topk_orders" -> Relational.topKOrdersSql,
     "q_topk_agg" -> BoundedTopK.topOrdersPerPrioritySql,
+    "pipeline_group_sample" -> BoundedTopK.sampleDocsPerLangSql,
     "q_monthly_events" -> Relational.monthlyEventsSql,
     "q_gap_fill_hourly" -> Resample.hourlyEventsSql,
     "q_session_windows" -> Relational.sessionWindowsSql,

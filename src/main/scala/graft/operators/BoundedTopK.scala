@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TopKAgg
+import graft.functions.{TextFunctions => TF, TextSql => TS, TopKAgg}
 import graft.sources.Tables
 
 /** Top-k per group WITHOUT a global sort: the [[graft.functions.TopKAgg]]
@@ -37,6 +37,61 @@ object BoundedTopK {
         col("col.id").as("o_orderkey"),
         (col("col.value").cast("double") / 100.0).as("total_price"))
       .orderBy(col("o_orderpriority"), col("rank"))
+
+  /** Exact sample size per group for [[sampleDocsPerLang]]. */
+  val SampleK = 20
+
+  /** Salt distinguishing this sampler's hash from the split hash
+    * ([[TextAnalysis.splitAssign]]), the stratified-sample hash
+    * ([[TextAnalysis.SampleSalt]]), and the mixture coin ([[Mixture.Salt]])
+    * — each decision must be independent of the others.
+    */
+  val KSampleSalt = "ksample:"
+
+  /** Deterministic EXACT-k-per-group sampling — the missing sibling of the
+    * rate-based samplers ([[TextAnalysis]] stratified sampling keeps
+    * rate x n documents; [[Mixture.rebalance]] hits a token share): keep
+    * exactly [[SampleK]] documents per language, chosen content-addressed
+    * (the k smallest salted 60-bit hashes of doc_id), so the sample is
+    * reproducible across runs, engines, and cluster sizes, and STABLE
+    * under corpus growth — a document leaves the sample only when a
+    * smaller-hash newcomer displaces it, never because partitioning moved.
+    *
+    * Scale shape: the naive spelling is `row_number() OVER (PARTITION BY
+    * lang ORDER BY hash)` — a full shuffle AND sort of the corpus to
+    * discard all but k rows per group. This form reuses the bounded
+    * [[TopKAgg]] aggregate (hash-ascending = value-descending on the
+    * negated 60-bit hash, which cannot overflow): O(k) buffers map-side,
+    * the exchange carries kilobytes, nothing is globally sorted — the same
+    * bounded-merge-equals-sort guarantee the oracle proves, now doing
+    * uniform sampling work. This is how "pick 10k docs per domain for
+    * eval" should run at 100 TB.
+    */
+  def sampleDocsPerLang(spark: SparkSession, dir: String): DataFrame = {
+    val h = TF.hash60(concat(lit(KSampleSalt), col("doc_id").cast("string")))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id").cast("long").as("doc_id"), h.as("h"))
+      .groupBy(col("lang"))
+      .agg(TopKAgg.agg(-col("h"), col("doc_id"), SampleK).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), (-col("col.value")).as("h"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val sampleDocsPerLangSql: String = {
+    val h = TS.hash60(s"'$KSampleSalt' || CAST(doc_id AS VARCHAR)")
+    s"""WITH hashed AS (
+       |  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, $h AS h
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT lang, doc_id, h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk
+       |  FROM hashed)
+       |SELECT lang, CAST(rnk AS INT) AS rank, doc_id, h
+       |FROM ranked WHERE rnk <= $SampleK
+       |ORDER BY lang, rank""".stripMargin
+  }
 
   val topOrdersPerPrioritySql: String =
     """WITH ranked AS (

@@ -101,6 +101,27 @@ class BoundedTopKSpec extends SparkSpec {
     assert(got == (("a", 2L, 3L)))
   }
 
+  test("deterministic k-per-group sample equals the window spelling and " +
+      "is partition-invariant") {
+    val expect = {
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      graft.sources.Tables.documents(spark, sf0001)
+        .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+          graft.functions.TextFunctions.hash60(
+            concat(lit(BoundedTopK.KSampleSalt), col("doc_id").cast("string")))
+            .as("h"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= BoundedTopK.SampleK)
+        .select(col("lang"), col("rank"), col("doc_id"), col("h"))
+        .orderBy(col("lang"), col("rank"))
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(expect.nonEmpty)
+    val got = BoundedTopK.sampleDocsPerLang(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expect)
+  }
+
   test("non-literal or non-positive k fails at analysis time") {
     Seq(("a", 1L, 1L)).toDF("g", "v", "id").createOrReplaceTempView("tk_bad")
     intercept[Exception] {
