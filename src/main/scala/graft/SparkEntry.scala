@@ -97,6 +97,12 @@ object SparkEntry {
     // aggregate: content-addressed (salted hash60), growth-stable, O(k)
     // buffers instead of a per-group window sort
     "pipeline_group_sample" -> (BoundedTopK.sampleDocsPerLang _),
+    // the same sample maintained INCREMENTALLY: the serialized O(k)
+    // top-k buffer per language is the streaming aggregation state
+    // (bottom-k-hash = uniform sample of the stream so far), over
+    // distributed file-source micro-batches; SAME oracle
+    "pipeline_group_sample_streaming_file" -> ((s, d) =>
+      streaming.StreamingGroupSample.sampleDocsPerLangFromFiles(s, d)),
     "q_monthly_events" -> (Relational.monthlyEvents _),
     // dense hourly grid per key (gap fill): data touched once for the
     // bucket agg; grid generation, fill join, and the running total all
@@ -504,6 +510,7 @@ object SparkEntry {
     "q_topk_orders" -> Relational.topKOrdersSql,
     "q_topk_agg" -> BoundedTopK.topOrdersPerPrioritySql,
     "pipeline_group_sample" -> BoundedTopK.sampleDocsPerLangSql,
+    "pipeline_group_sample_streaming_file" -> BoundedTopK.sampleDocsPerLangSql,
     "q_monthly_events" -> Relational.monthlyEventsSql,
     "q_gap_fill_hourly" -> Resample.hourlyEventsSql,
     "q_session_windows" -> Relational.sessionWindowsSql,

@@ -100,6 +100,12 @@ class FileReplaySketchTwinsSpec extends SparkSpec {
     assert(got == rows(batch))
   }
 
+  test("incremental bottom-k-hash group sample equals the batch sample") {
+    val got = rows(StreamingGroupSample.sampleDocsPerLangFromFiles(spark, sf0001))
+    assert(got.nonEmpty)
+    assert(got == rows(graft.operators.BoundedTopK.sampleDocsPerLang(spark, sf0001)))
+  }
+
   test("winnow file twin's survivor fingerprints equal the batch distinct set") {
     val got = StreamingWinnow.firstSeenPassagesFromFiles(spark, sf0001)
       .as[Long].collect().toSeq
