@@ -45,6 +45,18 @@ object FileReplaySessions {
       FileStage.stage(staged, inDir, chunks, col("ts"), col("event_id"))
       // the only driver-visible scalar: max(ts) for sentinel construction
       val maxTs = staged.agg(max(col("ts"))).head().getTimestamp(0)
+      if (maxTs == null) // empty replay: nothing to sessionize (or flush)
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("session_start",
+              org.apache.spark.sql.types.TimestampNTZType),
+            org.apache.spark.sql.types.StructField("session_end",
+              org.apache.spark.sql.types.TimestampNTZType),
+            org.apache.spark.sql.types.StructField("n_events",
+              org.apache.spark.sql.types.LongType))))
       (0 until 2).foreach { i =>
         val t = new Timestamp(maxTs.getTime + (24L + i) * 3600 * 1000)
         FileStage.appendSentinel(

@@ -37,15 +37,7 @@ object FileReplayState {
       val inDir = new java.io.File(work, "in").getAbsolutePath
       val staged = m.select(col("msg_id"), col("ts").cast("timestamp").as("ts"),
         col("topic"), col("value"), col("qos"), col("retain"))
-      staged
-        .repartitionByRange(chunks, col("ts"), col("msg_id"))
-        .sortWithinPartitions(col("ts"), col("msg_id"))
-        .write.mode("overwrite").parquet(inDir)
-      // pin pickup order across triggers: ascending mtimes in range order
-      val parts = new java.io.File(inDir).listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1_000_000_000_000L + i * 60_000L) }
+      FileStage.stage(staged, inDir, chunks, col("ts"), col("msg_id"))
       val statePath = new java.io.File(work, "state").getAbsolutePath
       val q = spark.readStream
         .schema(staged.schema)

@@ -44,30 +44,17 @@ object FileReplayWindowed {
       val inDir = new java.io.File(work, "in").getAbsolutePath
       val staged = m.select(col("msg_id"), col("ts").cast("timestamp").as("ts"),
         col("topic"), col("value"), col("qos"), col("retain"))
-      staged
-        .repartitionByRange(chunks, col("ts"), col("msg_id"))
-        .sortWithinPartitions(col("ts"), col("msg_id"))
-        .write.mode("overwrite").parquet(inDir)
-      val realParts = new java.io.File(inDir).listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      realParts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1_000_000_000_000L + i * 60_000L) }
+      FileStage.stage(staged, inDir, chunks, col("ts"), col("msg_id"))
       // the flush sentinels: one row each, 3 h / 6 h past the real max
       // event time, in their own LAST-scheduled file-batches (watermark
       // advance in the first, state flush in the second)
       val bounds = staged.agg(max(col("ts")), max(col("msg_id"))).head()
       (0 until 2).foreach { i =>
-        val before = new java.io.File(inDir).listFiles()
-          .filter(_.getName.startsWith("part-")).map(_.getName).toSet
         val sentinel = Seq((bounds.getLong(1) + 1L + i,
           new Timestamp(bounds.getTimestamp(0).getTime + (3L + 3 * i) * 3600 * 1000),
           FlushTopic, Array.empty[Byte], 0, 0))
           .toDF("msg_id", "ts", "topic", "value", "qos", "retain")
-        sentinel.coalesce(1).write.mode("append").parquet(inDir)
-        new java.io.File(inDir).listFiles()
-          .filter(_.getName.startsWith("part-"))
-          .filterNot(f => before.contains(f.getName))
-          .foreach(_.setLastModified(1_000_000_000_000L + (chunks + i) * 60_000L))
+        FileStage.appendSentinel(sentinel, inDir, chunks, i)
       }
       val name = s"mqtt_win_file_${java.util.UUID.randomUUID().toString.take(8)}"
       try {

@@ -54,14 +54,7 @@ object StreamStreamJoin {
       val staged = Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts").cast("timestamp").as("ts"))
-      staged
-        .repartitionByRange(chunks, col("ts"), col("event_id"))
-        .sortWithinPartitions(col("ts"), col("event_id"))
-        .write.mode("overwrite").parquet(inDir)
-      val parts = new java.io.File(inDir).listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1_000_000_000_000L + i * 60_000L) }
+      FileStage.stage(staged, inDir, chunks, col("ts"), col("event_id"))
       joinStaged(spark, inDir, staged.schema, watermarkDelay)
         .orderBy(col("user_id"), col("signup_event"), col("purchase_event"))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
@@ -91,27 +84,15 @@ object StreamStreamJoin {
       val staged = Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts").cast("timestamp").as("ts"))
-      staged
-        .repartitionByRange(chunks, col("ts"), col("event_id"))
-        .sortWithinPartitions(col("ts"), col("event_id"))
-        .write.mode("overwrite").parquet(inDir)
-      val parts = new java.io.File(inDir).listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1_000_000_000_000L + i * 60_000L) }
+      FileStage.stage(staged, inDir, chunks, col("ts"), col("event_id"))
       val maxTs = staged.agg(max(col("ts"))).head().getTimestamp(0)
       (0 until 2).foreach { i =>
-        val before = new java.io.File(inDir).listFiles()
-          .filter(_.getName.startsWith("part-")).map(_.getName).toSet
         // 25 h / 50 h past the real max: each step clears window + delay
         val t = new java.sql.Timestamp(maxTs.getTime + (25L + 25 * i) * 3600 * 1000)
-        Seq((-1L, -1L, "signup", t), (-2L, -2L, "purchase", t))
-          .toDF("event_id", "user_id", "event_type", "ts")
-          .coalesce(1).write.mode("append").parquet(inDir)
-        new java.io.File(inDir).listFiles()
-          .filter(_.getName.startsWith("part-"))
-          .filterNot(f => before.contains(f.getName))
-          .foreach(_.setLastModified(1_000_000_000_000L + (chunks + i) * 60_000L))
+        FileStage.appendSentinel(
+          Seq((-1L, -1L, "signup", t), (-2L, -2L, "purchase", t))
+            .toDF("event_id", "user_id", "event_type", "ts"),
+          inDir, chunks, i)
       }
       joinStaged(spark, inDir, staged.schema, watermarkDelay, "left_outer")
         .filter(col("user_id") >= 0) // the flush sentinels

@@ -178,7 +178,8 @@ object StreamingDedup {
     * The one driver-visible scalar of the file twins.
     */
   private def spanHorizon(docs: DataFrame): String = {
-    val maxId = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0)
+    val maxId = Option(docs.agg(max(col("doc_id").cast("long"))).head()
+      .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L) // empty corpus
     s"${maxId + 3600} seconds"
   }
 

@@ -92,7 +92,8 @@ object StreamingWinnow {
   def firstSeenPassagesFromFiles(spark: SparkSession, dir: String,
       chunks: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val maxId = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0)
+    val maxId = Option(docs.agg(max(col("doc_id").cast("long"))).head()
+      .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L) // empty corpus
     val horizon = s"${maxId + 3600} seconds"
     ReplayHarness.emissionsFromFiles(
       spark, StreamingDedup.arrivalsFrame(docs), chunks, statePartitions = 8,

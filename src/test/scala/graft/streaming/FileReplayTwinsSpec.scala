@@ -35,6 +35,18 @@ class FileReplayTwinsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("empty replay yields an empty session frame, not a crash") {
+    val work = java.nio.file.Files.createTempDirectory("sessions_empty").toFile
+    try {
+      graft.sources.Tables.events(spark, sf0001).limit(0)
+        .write.parquet(new java.io.File(work, "events.parquet").getAbsolutePath)
+      val got = FileReplaySessions.userSessions(spark, work.getAbsolutePath)
+      assert(got.collect().isEmpty)
+      assert(got.columns.toSeq ==
+        Seq("user_id", "session_start", "session_end", "n_events"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
+  }
+
   test("sessionization file twin on the RocksDB state store (the at-scale " +
       "provider) equals the default-provider result") {
     val batch = rows(Relational.sessionWindows(spark, sf0001)
