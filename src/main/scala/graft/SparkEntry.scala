@@ -24,6 +24,39 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     MqttQueries.historyView(spark, "/root/testdata/sf0.001")
 
+  /** Queries whose `queries` entry EXECUTES eagerly when the DataFrame is
+    * built — streaming replays (they must run a stream to produce the
+    * readback frame), the iterative union-find (a driver convergence loop),
+    * and the bucketed join (a bucketed table write). Their returned frame's
+    * physical plan is a vacuous post-collect LocalTableScan, so plan-level
+    * tooling (PlanAuditSpec, tools.DumpPlans) must skip them — and MUST
+    * share THIS set: the round-13 review found the two hand-maintained
+    * copies had drifted 18 queries apart, making the plan audit replay 18
+    * streams to assert on nothing. The streaming queries' plan-shape claims
+    * are certified by their batch twins' plans plus StreamProfile; the
+    * union-find's by the DedupClusters scaladoc.
+    */
+  val eagerQueries: Set[String] = Set(
+    "mqtt_history_streaming", "mqtt_history_streaming_file",
+    "mqtt_history_streaming_tws", "mqtt_windowed_streaming_file",
+    "mqtt_state_streaming", "mqtt_state_streaming_file",
+    "dedup_clusters",
+    "q_approx_distinct_streaming", "q_approx_distinct_streaming_file",
+    "q_kmv_distinct_streaming", "q_kmv_distinct_streaming_file",
+    "q_hll_distinct_streaming", "q_hll_distinct_streaming_file",
+    "q_approx_quantiles_streaming", "q_approx_quantiles_streaming_file",
+    "q_heavy_hitters_streaming", "q_heavy_hitters_streaming_file",
+    "q_heavy_hitters_bounded_streaming", "q_heavy_hitters_bounded_streaming_file",
+    "q_session_windows_streaming", "q_session_windows_streaming_file",
+    "q_stream_static_join", "q_stream_static_join_file",
+    "q_stream_stream_join", "q_stream_stream_join_outer",
+    "q_bucketed_join",
+    "pipeline_clean_corpus_streaming", "pipeline_clean_corpus_streaming_file",
+    "pipeline_group_sample_streaming_file",
+    "dedup_exact_streaming", "dedup_exact_streaming_file",
+    "dedup_normalized_streaming", "dedup_normalized_streaming_file",
+    "dedup_winnow_streaming", "dedup_winnow_streaming_file")
+
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- MQTT parity pipeline (SURVEY §2.1-2.3) ---

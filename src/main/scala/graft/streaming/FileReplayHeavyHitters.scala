@@ -40,9 +40,7 @@ object FileReplayHeavyHitters {
       FileStage.stage(staged, inDir, chunks, col("o_orderkey"))
       val name = s"hh_file_${java.util.UUID.randomUUID().toString.take(8)}"
       try {
-        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = ReplayHarness.runWithStatePartitions(spark, 8) {
           val stream = spark.readStream
             .schema(staged.schema)
             .option("maxFilesPerTrigger", "1")
@@ -50,7 +48,7 @@ object FileReplayHeavyHitters {
           stream.groupBy(col("o_custkey")).count()
             .writeStream.format("memory").queryName(name)
             .outputMode("update").trigger(Trigger.AvailableNow()).start()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
         try q.awaitTermination() finally q.stop()
         val emissions = spark.table(name)
         val materialized = spark.createDataFrame(

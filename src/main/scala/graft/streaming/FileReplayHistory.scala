@@ -48,26 +48,25 @@ object FileReplayHistory {
       FileStage.stage(staged, inDir, chunks, col("ts"), col("msg_id"))
       val name = s"mqtt_cdc_file_${java.util.UUID.randomUUID().toString.take(8)}"
       val events = try {
-        // state-store partition count freezes from the session conf at the
-        // query's first run — size it to the topic keyspace, restore after
-        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        // state sized to the topic keyspace; the clone-at-start contract is
+        // documented at ReplayHarness.runWithStatePartitions
         val providerKey = "spark.sql.streaming.stateStore.providerClass"
         val prevProvider = spark.conf.getOption(providerKey)
         val q = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "8")
           if (useTws) spark.conf.set(providerKey, TwsCdc.RocksDbProvider)
-          val stream = spark.readStream
-            .schema(staged.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(inDir)
-          val cdc =
-            if (useTws) TwsCdc.changes(stream.as[MqttMsg])
-            else StatefulCdc.changes(stream.as[MqttMsg])
-          cdc
-            .writeStream.format("memory").queryName(name)
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          ReplayHarness.runWithStatePartitions(spark, 8) {
+            val stream = spark.readStream
+              .schema(staged.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(inDir)
+            val cdc =
+              if (useTws) TwsCdc.changes(stream.as[MqttMsg])
+              else StatefulCdc.changes(stream.as[MqttMsg])
+            cdc
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          }
         } finally {
-          spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
           if (useTws) prevProvider match {
             case Some(p) => spark.conf.set(providerKey, p)
             case None => spark.conf.unset(providerKey)

@@ -65,11 +65,9 @@ object FileReplaySessions {
       }
       val name = s"sessions_file_${java.util.UUID.randomUUID().toString.take(8)}"
       try {
-        // state-store partition count freezes from the session conf at the
-        // query's first run — size it to the open-session keyspace, restore
-        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "8")
+        // state sized to the open-session keyspace; the clone-at-start
+        // contract is documented at ReplayHarness.runWithStatePartitions
+        val q = ReplayHarness.runWithStatePartitions(spark, 8) {
           val stream = spark.readStream
             .schema(staged.schema)
             .option("maxFilesPerTrigger", "1")
@@ -78,12 +76,13 @@ object FileReplaySessions {
               watermark = "10 minutes")
             .writeStream.format("memory").queryName(name)
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
         try q.awaitTermination() finally q.stop()
         // memory-sink readback (session-cardinality rows): drop the flush
-        // sentinels here, post-sink
+        // sentinels here, post-sink. Null-safe: a plain =!= would also drop
+        // any NULL user_id group the batch oracle keeps.
         val out = spark.table(name)
-          .filter(col("user_id") =!= -1L)
+          .filter(!col("user_id").eqNullSafe(-1L))
           .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
           .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
         val rows = out.collect()

@@ -58,9 +58,7 @@ object FileReplayWindowed {
       }
       val name = s"mqtt_win_file_${java.util.UUID.randomUUID().toString.take(8)}"
       try {
-        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = ReplayHarness.runWithStatePartitions(spark, 8) {
           val stream = spark.readStream
             .schema(staged.schema)
             .option("maxFilesPerTrigger", "1")
@@ -74,7 +72,7 @@ object FileReplayWindowed {
           WindowedStats.hourlyStats(stream, watermarkDelay)
             .writeStream.format("memory").queryName(name)
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
         try q.awaitTermination() finally q.stop()
         // memory-sink readback: the OUTPUT surface (window-cardinality
         // rows); the flush-sentinel windows are dropped here, post-sink

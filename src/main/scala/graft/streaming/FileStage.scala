@@ -31,7 +31,11 @@ private[streaming] object FileStage {
     val parts = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(BaseMtime + i * 60_000L) }
+      // mtime IS the micro-batch schedule — a silent failure here degrades
+      // to arbitrary pickup order and confusing downstream diffs
+      require(f.setLastModified(BaseMtime + i * 60_000L),
+        s"mtime stamp failed for $f — file-batch ordering would be arbitrary")
+    }
   }
 
   /** Append a sentinel file-batch scheduled AFTER the `chunks` real files
@@ -51,6 +55,9 @@ private[streaming] object FileStage {
     new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("part-"))
       .filterNot(f => before.contains(f.getName))
-      .foreach(_.setLastModified(BaseMtime + (chunks + index) * 60_000L))
+      .foreach { f =>
+        require(f.setLastModified(BaseMtime + (chunks + index) * 60_000L),
+          s"mtime stamp failed for sentinel $f — it must be scheduled last")
+      }
   }
 }

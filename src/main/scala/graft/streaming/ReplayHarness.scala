@@ -19,6 +19,36 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   */
 private[streaming] object ReplayHarness {
 
+  /** Start a streaming query with `spark.sql.shuffle.partitions` set to
+    * `statePartitions` (the StreamingHistory rule: size the stateful
+    * shuffle — which FREEZES into the checkpoint as the state-store
+    * partition count — to the keyspace, not the session default), restoring
+    * the session value once `start` returns the running query.
+    *
+    * LOAD-BEARING ASSUMPTION, documented here because every file twin rides
+    * on it: `DataStreamWriter.start()` constructs the `StreamExecution`
+    * SYNCHRONOUSLY, and the execution clones the session (and with it the
+    * SQL conf) at construction — so the conf restore in this method's
+    * `finally` cannot race the running stream; the stream keeps the
+    * `statePartitions` value for its whole life while the caller's session
+    * is already back to its default. `StreamingConfCaptureSpec` pins the
+    * behavior against Spark upgrades: if a Spark version ever deferred the
+    * clone past `start()`, that spec (a stream started under an altered
+    * conf, restored immediately, asserting the stream kept the altered
+    * value) is the tripwire. Every start-a-stream-with-sized-state site
+    * must route through here rather than re-implementing the
+    * save/set/restore dance.
+    */
+  def runWithStatePartitions(spark: SparkSession, statePartitions: Int)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      start
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** The driver-free counterpart of [[updateModeEmissions]]: the replay
     * frame is staged DISTRIBUTED via [[FileStage]] (range-ordered parquet
     * chunks, one REAL micro-batch per file) instead of collected into a
@@ -41,9 +71,7 @@ private[streaming] object ReplayHarness {
       FileStage.stage(staged, inDir, chunks, order: _*)
       val name = s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
       try {
-        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        val q = runWithStatePartitions(spark, statePartitions) {
           val stream = spark.readStream
             .schema(staged.schema)
             .option("maxFilesPerTrigger", "1")
@@ -53,7 +81,7 @@ private[streaming] object ReplayHarness {
             .outputMode(outputMode)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
         try q.awaitTermination() finally q.stop()
         val table = spark.table(name)
         spark.createDataFrame(
@@ -70,13 +98,11 @@ private[streaming] object ReplayHarness {
     implicit val ctx = spark.sqlContext
     val name = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val input = MemoryStream[T]
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = runWithStatePartitions(spark, statePartitions) {
       agg(input.toDS())
         .writeStream.format("memory").queryName(name)
         .outputMode("update").start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     try {
       val per = math.max(1, (rows.length + chunks - 1) / chunks)
       rows.grouped(per).foreach { slice =>

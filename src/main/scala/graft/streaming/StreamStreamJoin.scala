@@ -95,7 +95,9 @@ object StreamStreamJoin {
           inDir, chunks, i)
       }
       joinStaged(spark, inDir, staged.schema, watermarkDelay, "left_outer")
-        .filter(col("user_id") >= 0) // the flush sentinels
+        // drop the flush sentinels (negative user ids), null-safely: a plain
+        // >= 0 would also drop a NULL-user signup the batch oracle keeps
+        .filter(!col("user_id").eqNullSafe(-1L) && !col("user_id").eqNullSafe(-2L))
         .orderBy(col("user_id"), col("signup_event"),
           coalesce(col("purchase_event"), lit(-1L)))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
@@ -134,13 +136,13 @@ object StreamStreamJoin {
 
     val name = s"ssj_${java.util.UUID.randomUUID().toString.take(8)}"
     try {
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        // state partitions sized to the user keyspace, not the session 32
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // state sized to the user keyspace, not the session 32; the
+      // clone-at-start contract is documented at
+      // ReplayHarness.runWithStatePartitions
+      val q = ReplayHarness.runWithStatePartitions(spark, 8) {
         joined.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       try q.awaitTermination() finally q.stop()
       val rows = spark.table(name)
         .select(col("user_id"), col("signup_event"), col("purchase_event"),

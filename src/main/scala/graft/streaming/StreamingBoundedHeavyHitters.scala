@@ -82,13 +82,11 @@ object StreamingBoundedHeavyHitters {
       .select(col("o_custkey")).as[Long].collect()
     val name = s"hh_bounded_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ReplayHarness.runWithStatePartitions(spark, 8) {
       summaryStream(input.toDS(), groups, capacity)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     val emissions = try {
       val per = math.max(1, (rows.length + chunks - 1) / chunks)
       rows.grouped(per).foreach { slice =>

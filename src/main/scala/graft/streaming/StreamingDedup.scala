@@ -193,17 +193,14 @@ object StreamingDedup {
     implicit val ctx = spark.sqlContext
     val name = s"dedup_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val input = MemoryStream[DocArrival]
-    // state-store partition count freezes from spark.sql.shuffle.partitions
-    // at the query's first batch; the distinct-key space at test scale is
-    // hundreds, so size the stateful shuffle small rather than the session
-    // default (the StreamingHistory sizing rule) and restore the conf after.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // state sized to the distinct-key space (hundreds at test scale); the
+    // clone-at-start contract is documented at
+    // ReplayHarness.runWithStatePartitions
+    val q = ReplayHarness.runWithStatePartitions(spark, 4) {
       deduppedBy(input.toDF(), horizon, keyName, key)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     try {
       val per = math.max(1, (rows.length + chunks - 1) / chunks)
       rows.grouped(per).foreach { slice =>

@@ -46,13 +46,10 @@ object StreamingHistory {
     val (broker, n) = Replay.publish(m, "history")
     val name = s"mqtt_cdc_stream_$broker"
     val events = try {
-      // state-store partition count is fixed at the query's first run from
-      // spark.sql.shuffle.partitions; the keyspace is topic-sized (hundreds),
-      // so size the stateful shuffle to it rather than the session default
-      // (a per-stream, not per-session, decision) and restore the conf after.
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // state sized to the topic keyspace (hundreds), a per-stream decision;
+      // the clone-at-start contract is documented at
+      // ReplayHarness.runWithStatePartitions
+      val q = ReplayHarness.runWithStatePartitions(spark, 8) {
         val stream = spark.readStream
           .format("graft.sources.mqtt.MqttSourceProvider")
           .option("broker", broker)
@@ -61,7 +58,7 @@ object StreamingHistory {
         StatefulCdc.changes(stream.as[MqttMsg])
           .writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       try q.awaitTermination() finally q.stop()
       // detach results from the memory sink before dropping its registration
       spark.table(name).as[CdcEvent].collect().toSeq

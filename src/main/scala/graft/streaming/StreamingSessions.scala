@@ -74,17 +74,13 @@ object StreamingSessions {
     val horizon = rows.last.ts.getTime + 86400000L
     val name = s"sessions_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val input = MemoryStream[EventArrival]
-    // state-store partition count freezes from spark.sql.shuffle.partitions
-    // at the query's first batch; size the stateful shuffle to the open-
-    // session keyspace rather than the session default (the StreamingHistory
-    // sizing rule) and restore the conf after.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // state sized to the open-session keyspace; the clone-at-start contract
+    // is documented at ReplayHarness.runWithStatePartitions
+    val q = ReplayHarness.runWithStatePartitions(spark, 8) {
       sessions(input.toDF(), gap = "30 minutes", watermark = "10 minutes")
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     val finalized = try {
       val per = math.max(1, (rows.length + chunks - 1) / chunks)
       rows.grouped(per).foreach { slice =>

@@ -61,13 +61,11 @@ object StreamingWinnow {
     val horizon = s"${(if (rows.nonEmpty) rows.last.doc_id else 0L) + 3600L} seconds"
     val name = s"winnow_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val input = MemoryStream[DocArrival]
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ReplayHarness.runWithStatePartitions(spark, 8) {
       novelPassages(input.toDF(), horizon)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     val fps = try {
       val per = math.max(1, (rows.length + chunks - 1) / chunks)
       rows.grouped(per).foreach { slice =>

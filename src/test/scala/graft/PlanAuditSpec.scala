@@ -33,22 +33,11 @@ class PlanAuditSpec extends SparkSpec {
     "ann_ivf_pq" -> 2, "ann_ivf_pq_res" -> 2, "ann_ivf_pq_res_trained" -> 2,
     "ann_ivf_trained" -> 3,
     "emb_kmeans_step" -> 1, "text_tfidf" -> 1, "q_bloom_join" -> 1)
-  // streaming/iterative queries execute eagerly (they must run a stream or a
-  // convergence loop to build their result); their batch post-processing is
-  // audited via the batch twins' plans
-  private val eager = Set("mqtt_history_streaming", "mqtt_history_streaming_file",
-    "mqtt_history_streaming_tws", "mqtt_windowed_streaming_file",
-    "mqtt_state_streaming", "mqtt_state_streaming_file",
-    "q_approx_distinct_streaming", "dedup_exact_streaming",
-    "dedup_normalized_streaming",
-    "q_session_windows_streaming", "q_approx_quantiles_streaming",
-    "q_heavy_hitters_streaming", "q_heavy_hitters_bounded_streaming",
-    "pipeline_clean_corpus_streaming",
-    "dedup_winnow_streaming")
-
   test("no driver query plans a cartesian or nested-loop join") {
+    // eager (streaming/iterative) queries are skipped via the ONE shared
+    // exclusion set — see SparkEntry.eagerQueries for the rationale
     val offenders = SparkEntry.queries.toSeq
-      .filterNot { case (name, _) => eager.contains(name) }
+      .filterNot { case (name, _) => SparkEntry.eagerQueries.contains(name) }
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
         val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length

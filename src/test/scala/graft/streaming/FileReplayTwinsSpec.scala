@@ -123,7 +123,8 @@ class FileReplayTwinsSpec extends SparkSpec {
           inDir.getAbsolutePath, 3, i)
       }
       run()
-      val out = spark.read.parquet(outDir).filter(col("user_id") =!= -1L)
+      val out = spark.read.parquet(outDir)
+        .filter(!col("user_id").eqNullSafe(-1L))
         .select(col("user_id"),
           col("session_start").cast("timestamp_ntz").as("session_start"),
           col("session_end").cast("timestamp_ntz").as("session_end"),
