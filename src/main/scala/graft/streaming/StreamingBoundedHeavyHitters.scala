@@ -121,7 +121,7 @@ object StreamingBoundedHeavyHitters {
   /** Final summary per group = the emission at its max seen stamp; then
     * the shared ranking tail over bounded summary rows.
     */
-  private def foldEmissions(emissions: DataFrame): DataFrame = {
+  private[streaming] def foldEmissions(emissions: DataFrame): DataFrame = {
     val finalSeen = emissions.groupBy(col("gid")).agg(max(col("seen")).as("seen"))
     val summaries = emissions.join(finalSeen, Seq("gid", "seen"))
       .select(col("k"), col("cnt"))

@@ -44,7 +44,7 @@ object StreamingGroupSample {
   }
 
   /** Each group's final emission is the one at its max n_seen stamp. */
-  private def foldEmissions(emissions: DataFrame): DataFrame = {
+  private[streaming] def foldEmissions(emissions: DataFrame): DataFrame = {
     val last = emissions.groupBy(col("lang")).agg(max(col("n_seen")).as("n_seen"))
     emissions.join(last, Seq("lang", "n_seen"))
       .select(col("lang"), posexplode(col("top")))

@@ -89,14 +89,14 @@ object StreamingSketch {
     * ignores nulls, so drop them here too (the primitive Int encoder would
     * otherwise throw and the twins would diverge).
     */
-  private def bucketHits(spark: SparkSession, dir: String): DataFrame =
+  private[streaming] def bucketHits(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
         Sketches.bucketOf(col("user_id")).cast("int").as("bucket"))
       .filter(col("bucket").isNotNull)
 
   /** Cumulative occupancy is monotone: the final sketch is the row max. */
-  private def foldEmissions(emissions: DataFrame): DataFrame =
+  private[streaming] def foldEmissions(emissions: DataFrame): DataFrame =
     emissions
       .groupBy(col("event_type"))
       .agg(max(col("n_buckets_hit")).as("n_buckets_hit"))
