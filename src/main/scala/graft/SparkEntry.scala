@@ -187,8 +187,12 @@ object SparkEntry {
     // bounded by the event-time range condition on both watermarked sides),
     // against the plain batch-join oracle — incremental-equals-batch for
     // the join operator class
+    // chunks=2 at the driver contract: the join is batch-count-invariant
+    // (the oracle proves it; the spec drives finer chunkings and a
+    // cross-batch match explicitly), so the certification replay uses the
+    // cheapest multi-batch shape
     "q_stream_stream_join" -> ((s, d) =>
-      streaming.StreamStreamJoin.signupPurchases(s, d)),
+      streaming.StreamStreamJoin.signupPurchases(s, d, chunks = 2)),
     // stream-static join: each micro-batch enriched against a broadcast
     // dim inside the streaming plan (stateless; the production fact x dim
     // shape), against the plain batch join+aggregate oracle
@@ -201,8 +205,11 @@ object SparkEntry {
     // the LEFT-OUTER form: unmatched rows can only emit at watermark-driven
     // state eviction (flush-sentinel staging proves the full lifecycle);
     // oracle is the plain batch left join
+    // chunks=2 for the same reason as the inner form (eviction semantics
+    // are per-watermark-advance, not per-batch-count; the sentinels still
+    // drive the full unmatched-row eviction lifecycle)
     "q_stream_stream_join_outer" -> ((s, d) =>
-      streaming.StreamStreamJoin.signupPurchasesOuter(s, d)),
+      streaming.StreamStreamJoin.signupPurchasesOuter(s, d, chunks = 2)),
     // full-outer reconciliation of two same-key aggregates (zero-fill)
     "q_outer_join" -> (Relational.outerJoinYears _),
     // ordered step funnel: staged conditional min-ts aggregation per step,

@@ -46,14 +46,25 @@ object StreamStreamJoin {
     */
   val WindowHours = 24
 
+  /** Shared staging projection: only the two event types the join consumes
+    * are staged — the predicate belongs UPSTREAM of the staging write, not
+    * just inside the streaming plan (at 100 TB, shipping rows the join can
+    * never use through the staging write and both per-batch source scans is
+    * the dominant waste; the in-plan filters below remain as the semantic
+    * contract either way).
+    */
+  private def stagedEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+      .filter(col("event_type").isin("signup", "purchase"))
+
   def signupPurchases(spark: SparkSession, dir: String, chunks: Int = 3,
       watermarkDelay: String = "30 minutes"): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_ssj").toFile
     try {
       val inDir = new java.io.File(work, "in").getAbsolutePath
-      val staged = Tables.events(spark, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("ts").cast("timestamp").as("ts"))
+      val staged = stagedEvents(spark, dir)
       FileStage.stage(staged, inDir, chunks, col("ts"), col("event_id"))
       joinStaged(spark, inDir, staged.schema, watermarkDelay)
         .orderBy(col("user_id"), col("signup_event"), col("purchase_event"))
@@ -65,14 +76,23 @@ object StreamStreamJoin {
     * (with null purchase columns) when the watermark proves no purchase
     * can still arrive for it — i.e. at state EVICTION. A bounded replay
     * would strand every trailing unmatched signup in state, so the staging
-    * appends two flush-sentinel file-batches (one far-future signup AND
-    * purchase each — BOTH sides' watermarks must advance, the query
-    * watermark is their min; watermark computed at the end of batch N
-    * applies during batch N+1, hence two). The sentinels must LOOK like
-    * real typed events: an excluded-marker filter would be pushed below
-    * the EventTimeWatermark operator and drop them at the scan (the
-    * FileReplayWindowed lesson); instead they carry impossible negative
-    * user ids, match nothing by construction, and are dropped at readback.
+    * appends ONE flush-sentinel file-batch (a far-future signup AND
+    * purchase — BOTH sides' watermarks must advance, the query watermark is
+    * their min). One suffices where the append-mode AGGREGATIONS need two
+    * ([[FileReplaySessions]]): the watermark computed at the end of the
+    * sentinel batch is applied by the trailing NO-DATA micro-batch Spark
+    * runs before AvailableNow terminates
+    * (`spark.sql.streaming.noDataMicroBatches.enabled`, on by default),
+    * which performs the final eviction — the r14 profiling of this pair
+    * showed each sentinel batch costs ~0.6 s of pure state-store/commit
+    * overhead, so the redundant second sentinel was retired (the batch
+    * oracle re-proves the equality). The sentinel must LOOK like a real
+    * typed event: an excluded-marker filter would be pushed below the
+    * EventTimeWatermark operator and drop it at the scan (the
+    * FileReplayWindowed lesson); instead it carries impossible negative
+    * user ids, matches nothing by construction, and its own signup never
+    * finalizes (nothing passes ITS end) — the readback filter drops any
+    * sentinel row as a safety invariant regardless.
     * Oracle: the plain batch LEFT JOIN — matched + null-extended rows.
     */
   def signupPurchasesOuter(spark: SparkSession, dir: String, chunks: Int = 3,
@@ -81,19 +101,15 @@ object StreamStreamJoin {
     val work = java.nio.file.Files.createTempDirectory("graft_ssj_outer").toFile
     try {
       val inDir = new java.io.File(work, "in").getAbsolutePath
-      val staged = Tables.events(spark, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("ts").cast("timestamp").as("ts"))
+      val staged = stagedEvents(spark, dir)
       FileStage.stage(staged, inDir, chunks, col("ts"), col("event_id"))
       val maxTs = staged.agg(max(col("ts"))).head().getTimestamp(0)
-      (0 until 2).foreach { i =>
-        // 25 h / 50 h past the real max: each step clears window + delay
-        val t = new java.sql.Timestamp(maxTs.getTime + (25L + 25 * i) * 3600 * 1000)
-        FileStage.appendSentinel(
-          Seq((-1L, -1L, "signup", t), (-2L, -2L, "purchase", t))
-            .toDF("event_id", "user_id", "event_type", "ts"),
-          inDir, chunks, i)
-      }
+      // 25 h past the real max: clears window + delay for every real signup
+      val t = new java.sql.Timestamp(maxTs.getTime + 25L * 3600 * 1000)
+      FileStage.appendSentinel(
+        Seq((-1L, -1L, "signup", t), (-2L, -2L, "purchase", t))
+          .toDF("event_id", "user_id", "event_type", "ts"),
+        inDir, chunks, 0)
       joinStaged(spark, inDir, staged.schema, watermarkDelay, "left_outer")
         // drop the flush sentinels (negative user ids), null-safely: a plain
         // >= 0 would also drop a NULL-user signup the batch oracle keeps
