@@ -19,10 +19,11 @@ import graft.sources.Tables
   *
   * Append-mode sessionization only emits a session once the watermark
   * passes its end (last event + gap); a bounded replay would strand every
-  * trailing open session in state, so two flush-sentinel file-batches
-  * (user_id -1, event times 24 h / 25 h past the real maximum) advance the
-  * watermark past every real session's end and trigger the batch that
-  * flushes them ([[FileStage.appendSentinel]]'s two-batch contract). The
+  * trailing open session in state, so ONE flush-sentinel file-batch
+  * (user_id -1, event time 24 h past the real maximum) advances the
+  * watermark past every real session's end; the trailing NO-DATA
+  * micro-batch Spark runs before AvailableNow terminates applies it and
+  * flushes them ([[FileStage.appendSentinel]]'s flush contract). The
   * sentinel's own session never finalizes (nothing passes ITS end) and is
   * dropped at memory-sink readback — never inside the streaming plan,
   * where the filter would be pushed below the EventTimeWatermark operator.
@@ -57,12 +58,10 @@ object FileReplaySessions {
               org.apache.spark.sql.types.TimestampNTZType),
             org.apache.spark.sql.types.StructField("n_events",
               org.apache.spark.sql.types.LongType))))
-      (0 until 2).foreach { i =>
-        val t = new Timestamp(maxTs.getTime + (24L + i) * 3600 * 1000)
-        FileStage.appendSentinel(
-          Seq((-1L - i, t, -1L)).toDF("event_id", "ts", "user_id"),
-          inDir, chunks, i)
-      }
+      val t = new Timestamp(maxTs.getTime + 24L * 3600 * 1000)
+      FileStage.appendSentinel(
+        Seq((-1L, t, -1L)).toDF("event_id", "ts", "user_id"),
+        inDir, chunks, 0)
       val name = s"sessions_file_${java.util.UUID.randomUUID().toString.take(8)}"
       try {
         // state sized to the open-session keyspace; the clone-at-start

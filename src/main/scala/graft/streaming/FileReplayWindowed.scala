@@ -17,15 +17,17 @@ import graft.operators.MqttQueries
   * against the SAME oracle as the batch `mqtt_windowed_counts`.)
   *
   * Append mode only finalizes windows the watermark has passed, so a
-  * bounded replay would otherwise never emit its trailing windows: TWO
-  * FLUSH SENTINELS (excluded-from-results topic, event times 3 h and 6 h
-  * past the real maximum) arrive in their own final file-batches. The
-  * watermark is computed at the END of batch N and applied (state emitted
-  * and evicted) during batch N+1, so the first sentinel advances the
-  * watermark past every real window and the second sentinel's batch
-  * flushes them — one sentinel alone would strand the trailing windows in
-  * state, because AvailableNow stops as soon as the listed files are
-  * consumed. Both sentinels are dropped from the aggregated output — the
+  * bounded replay would otherwise never emit its trailing windows: ONE
+  * FLUSH SENTINEL (excluded-from-results topic, event time 3 h past the
+  * real maximum) arrives in its own final file-batch. The watermark is
+  * computed at the END of batch N and applied (state emitted and evicted)
+  * during batch N+1 — which for the sentinel batch is the trailing
+  * NO-DATA micro-batch Spark runs before AvailableNow terminates
+  * (`spark.sql.streaming.noDataMicroBatches.enabled`, on by default), so
+  * a second sentinel batch is redundant (rounds 1-13 carried two; r14
+  * profiling showed each sentinel batch costs ~0.6 s of pure
+  * state-commit overhead and the spec re-proved the single-sentinel
+  * equality). The sentinel is dropped from the aggregated output — the
   * standard end-of-stream flush pattern for certifying append-mode
   * windows over finite input. Ingest is the distributed file-source
   * staging (no driver-side input materialization; the only driver-visible
@@ -45,17 +47,15 @@ object FileReplayWindowed {
       val staged = m.select(col("msg_id"), col("ts").cast("timestamp").as("ts"),
         col("topic"), col("value"), col("qos"), col("retain"))
       FileStage.stage(staged, inDir, chunks, col("ts"), col("msg_id"))
-      // the flush sentinels: one row each, 3 h / 6 h past the real max
-      // event time, in their own LAST-scheduled file-batches (watermark
-      // advance in the first, state flush in the second)
+      // the flush sentinel: one row, 3 h past the real max event time, in
+      // its own LAST-scheduled file-batch (watermark advance; the trailing
+      // no-data batch performs the flush)
       val bounds = staged.agg(max(col("ts")), max(col("msg_id"))).head()
-      (0 until 2).foreach { i =>
-        val sentinel = Seq((bounds.getLong(1) + 1L + i,
-          new Timestamp(bounds.getTimestamp(0).getTime + (3L + 3 * i) * 3600 * 1000),
-          FlushTopic, Array.empty[Byte], 0, 0))
-          .toDF("msg_id", "ts", "topic", "value", "qos", "retain")
-        FileStage.appendSentinel(sentinel, inDir, chunks, i)
-      }
+      val sentinel = Seq((bounds.getLong(1) + 1L,
+        new Timestamp(bounds.getTimestamp(0).getTime + 3L * 3600 * 1000),
+        FlushTopic, Array.empty[Byte], 0, 0))
+        .toDF("msg_id", "ts", "topic", "value", "qos", "retain")
+      FileStage.appendSentinel(sentinel, inDir, chunks, 0)
       val name = s"mqtt_win_file_${java.util.UUID.randomUUID().toString.take(8)}"
       try {
         val q = ReplayHarness.runWithStatePartitions(spark, 8) {

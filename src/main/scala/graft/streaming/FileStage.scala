@@ -42,11 +42,18 @@ private[streaming] object FileStage {
     * and after any earlier sentinel (`index` counts from 0) — the
     * end-of-stream flush pattern: append-mode state only emits when the
     * watermark passes it, and the watermark computed at the end of batch N
-    * applies during batch N+1, so finalizing everything takes TWO trailing
-    * sentinel batches. Sentinel rows must look like real typed rows (a
-    * marker filter inside the streaming plan would be pushed below the
-    * EventTimeWatermark operator and drop them at the scan — the
-    * FileReplayWindowed lesson); callers drop them at memory-sink readback.
+    * applies during batch N+1. ONE trailing sentinel batch finalizes
+    * everything on current Spark, because batch N+1 is the trailing
+    * NO-DATA micro-batch AvailableNow runs before terminating
+    * (`spark.sql.streaming.noDataMicroBatches.enabled`, on by default) —
+    * rounds 1-13 appended a second sentinel to BE batch N+1, which r14
+    * profiling retired (~0.6 s of pure state-commit overhead per batch; a
+    * deployment that disables no-data batches would need the two-sentinel
+    * form back, which is why `index` still composes). Sentinel rows must
+    * look like real typed rows (a marker filter inside the streaming plan
+    * would be pushed below the EventTimeWatermark operator and drop them at
+    * the scan — the FileReplayWindowed lesson); callers drop them at
+    * memory-sink readback.
     */
   def appendSentinel(df: DataFrame, dir: String, chunks: Int, index: Int): Unit = {
     val before = new java.io.File(dir).listFiles()
