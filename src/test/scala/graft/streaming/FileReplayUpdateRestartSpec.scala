@@ -122,6 +122,33 @@ class FileReplayUpdateRestartSpec extends SparkSpec {
     assert(partial > 0, "file 3 added nothing — the carry assertion is vacuous")
   }
 
+  test("sketch restart ON the RocksDB provider: recovery loads the RocksDB " +
+      "snapshot/changelog, not the HDFS-backed delta path") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val emissions = try {
+      spark.conf.set(key, TwsCdc.RocksDbProvider)
+      crashAndResume(
+        StreamingSketch.bucketHits(spark, sf0001), "bucket", "update",
+        "sketch_restart_rocks")(df => StreamingSketch.counts(df.as[BucketHit]).toDF())
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+    assert(emissions.select(max(col("batch_id"))).head().getLong(0) == 2L)
+    assert(rows(StreamingSketch.foldEmissions(emissions))
+      == rows(Sketches.approxDistinctUsers(spark, sf0001)))
+    // same state-carry check as the default-provider form: post-restart
+    // emissions must be cumulative over the restored RocksDB state
+    val finalByGroup = emissions.groupBy(col("event_type"))
+      .agg(max(col("n_buckets_hit")).as("final_hits"))
+    val mismatched = emissions.filter(col("batch_id") === 2L)
+      .join(finalByGroup, "event_type")
+      .filter(col("n_buckets_hit") =!= col("final_hits")).count()
+    assert(mismatched == 0, "post-restart RocksDB emissions are not cumulative")
+  }
+
   test("bounded Misra-Gries counters (flatMapGroupsWithState) resume from " +
       "the checkpoint: rows-seen totals span the crash, ranking equals the " +
       "exact batch profile") {
