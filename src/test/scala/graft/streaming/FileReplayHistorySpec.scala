@@ -58,9 +58,7 @@ class FileReplayHistorySpec extends SparkSpec {
         dst.setLastModified(1_000_000_000_000L + i * 60_000L)
       }
       def run(): Unit = {
-        val prev = spark.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = ReplayHarness.runWithStatePartitions(spark, 8) {
           StatefulCdc.changes(
             spark.readStream.schema(staged.schema)
               .option("maxFilesPerTrigger", "1")
@@ -68,7 +66,7 @@ class FileReplayHistorySpec extends SparkSpec {
             .writeStream.format("parquet").option("path", outDir)
             .option("checkpointLocation", ckpt)
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        }
         try q.awaitTermination() finally q.stop()
       }
       // run 1 sees only the first two range files; the "crash" happens

@@ -89,9 +89,7 @@ class FileReplayTwinsSpec extends SparkSpec {
         dst.setLastModified(FileStage.BaseMtime + i * 60_000L)
       }
       def run(): Unit = {
-        val prev = spark.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = ReplayHarness.runWithStatePartitions(spark, 8) {
           StreamingSessions.sessions(
             spark.readStream.schema(staged.schema)
               .option("maxFilesPerTrigger", "1")
@@ -100,7 +98,7 @@ class FileReplayTwinsSpec extends SparkSpec {
             .writeStream.format("parquet").option("path", outDir)
             .option("checkpointLocation", ckpt)
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        }
         try q.awaitTermination() finally q.stop()
       }
       // run 1 sees the first two range files; the "crash" happens before

@@ -106,9 +106,7 @@ class StreamStreamJoinSpec extends SparkSpec {
           .select(col("event_id").as("purchase_event"),
             col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
           .withWatermark("purchase_ts", "30 minutes")
-        val prev = spark.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = ReplayHarness.runWithStatePartitions(spark, 8) {
           signups.join(purchases,
               col("user_id") === col("p_user_id") &&
                 col("purchase_ts") >= col("signup_ts") &&
@@ -117,7 +115,7 @@ class StreamStreamJoinSpec extends SparkSpec {
             .writeStream.format("parquet").option("path", outDir)
             .option("checkpointLocation", ckpt)
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        }
         try q.awaitTermination() finally q.stop()
       }
       // run 1 sees the first two range files; the "crash" happens before
