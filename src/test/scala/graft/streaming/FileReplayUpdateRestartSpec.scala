@@ -89,6 +89,64 @@ class FileReplayUpdateRestartSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
   }
 
+  test("a batch that FAILS after its side effect is replayed on restart and " +
+      "the monotone fold absorbs the duplicate emissions (at-least-once " +
+      "idempotence, injected fault)") {
+    // The clean-stop restarts above never exercise batch REPLAY: they stop
+    // at AvailableNow exhaustion, so every batch is committed exactly once.
+    // Here batch 1's foreachBatch writes its emissions and THEN throws, so
+    // the batch fails after its side effect but before the commit log
+    // records it — the restart must re-run batch 1, the emission log gets
+    // two copies of its rows, and the fold's correctness under duplication
+    // is exactly the at-least-once contract the spec scaladoc claims.
+    import spark.implicits._
+    val work = Files.createTempDirectory("sketch_fault").toFile
+    try {
+      val staged = StreamingSketch.bucketHits(spark, sf0001)
+      val stagingDir = new File(work, "staging").getAbsolutePath
+      FileStage.stage(staged, stagingDir, 3, col("bucket"))
+      val inDir = new File(work, "staging") // all three files present upfront
+      val outDir = new File(work, "out").getAbsolutePath
+      val ckpt = new File(work, "ckpt").getAbsolutePath
+      val injected = new java.util.concurrent.atomic.AtomicBoolean(true)
+      def emit(df: Dataset[Row], id: Long): Unit = {
+        df.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+        if (id == 1L && injected.getAndSet(false))
+          throw new RuntimeException("injected post-side-effect crash")
+      }
+      def run(): Unit = {
+        val q = ReplayHarness.runWithStatePartitions(spark, 8) {
+          StreamingSketch.counts(
+            spark.readStream.schema(staged.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(inDir.getAbsolutePath).as[BucketHit]).toDF()
+            .writeStream.foreachBatch(emit _)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        try q.awaitTermination() finally q.stop()
+      }
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+      assert(failed.getMessage.contains("injected") ||
+        failed.getCause != null, "the injected fault did not surface")
+      run() // restart: must replay batch 1, then run batch 2
+      val log = spark.read.parquet(outDir)
+      // non-vacuous: batch 1's emissions really are duplicated in the log
+      val b1 = log.filter(col("batch_id") === 1L)
+        .groupBy(col("event_type"), col("n_buckets_hit")).count()
+      assert(b1.filter(col("count") === 2L).count() > 0 &&
+        b1.filter(col("count") =!= 2L).count() == 0,
+        "batch 1 was not replayed exactly once more")
+      // the fold is idempotent under the duplicates: same answer as batch
+      val emissions = spark.createDataFrame(
+        java.util.Arrays.asList(log.collect(): _*), log.schema)
+      assert(rows(StreamingSketch.foldEmissions(emissions))
+        == rows(Sketches.approxDistinctUsers(spark, sf0001)))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
+  }
+
   test("linear-counting sketch state (mapGroupsWithState bitmask) resumes " +
       "from the checkpoint: batch-2 emissions are cumulative, fold equals " +
       "the batch oracle") {
