@@ -42,6 +42,7 @@ object SparkEntry {
     "mqtt_state_streaming", "mqtt_state_streaming_file",
     "dedup_clusters",
     "q_approx_distinct_streaming", "q_approx_distinct_streaming_file",
+    "q_approx_distinct_streaming_tws",
     "q_kmv_distinct_streaming", "q_kmv_distinct_streaming_file",
     "q_hll_distinct_streaming", "q_hll_distinct_streaming_file",
     "q_approx_quantiles_streaming", "q_approx_quantiles_streaming_file",
@@ -306,6 +307,12 @@ object SparkEntry {
     // driver-side input materialization); SAME oracle
     "q_approx_distinct_streaming_file" -> ((s, d) =>
       streaming.StreamingSketch.approxDistinctUsersFromFiles(s, d)),
+    // the SAME file-source sketch on Spark 4's transformWithState + the
+    // RocksDB store (the successor state API, as mqtt_history_streaming_tws
+    // is for the CDC path) — same oracle, so the green row isolates the
+    // state API + provider swap for the update-mode aggregation class
+    "q_approx_distinct_streaming_tws" -> ((s, d) =>
+      streaming.TwsSketch.approxDistinctUsersFromFiles(s, d)),
     // the histogram sketch maintained incrementally (built-in update-mode
     // streaming agg IS the sketch update; O(groups x bins) state), against
     // the SAME oracle as the batch q_approx_quantiles
@@ -602,6 +609,7 @@ object SparkEntry {
     "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,
     "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_distinct_streaming_file" -> SketchesSql.approxDistinctUsersSql,
+    "q_approx_distinct_streaming_tws" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles_streaming" -> SketchesSql.approxQuantilesByTypeSql,
     "q_approx_quantiles_streaming_file" -> SketchesSql.approxQuantilesByTypeSql,
     "q_kmv_distinct" -> SketchesSql.kmvDistinctUsersSql,

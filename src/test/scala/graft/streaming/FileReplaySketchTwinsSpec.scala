@@ -27,6 +27,13 @@ class FileReplaySketchTwinsSpec extends SparkSpec {
     assert(got == rows(Sketches.approxDistinctUsers(spark, sf0001)))
   }
 
+  test("approx-distinct on transformWithState + RocksDB equals the batch " +
+      "sketch (successor state API, update-mode class)") {
+    val got = rows(TwsSketch.approxDistinctUsersFromFiles(spark, sf0001))
+    assert(got.nonEmpty)
+    assert(got == rows(Sketches.approxDistinctUsers(spark, sf0001)))
+  }
+
   test("approx-quantiles file twin equals the batch histogram") {
     val got = rows(StreamingQuantiles.quantilesByTypeFromFiles(spark, sf0001))
     assert(got.nonEmpty)
