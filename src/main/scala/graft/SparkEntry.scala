@@ -49,6 +49,7 @@ object SparkEntry {
     "q_heavy_hitters_streaming", "q_heavy_hitters_streaming_file",
     "q_heavy_hitters_bounded_streaming", "q_heavy_hitters_bounded_streaming_file",
     "q_session_windows_streaming", "q_session_windows_streaming_file",
+    "q_session_windows_streaming_tws",
     "q_stream_static_join", "q_stream_static_join_file",
     "q_stream_stream_join", "q_stream_stream_join_outer",
     "q_bucketed_join",
@@ -184,6 +185,12 @@ object SparkEntry {
     // trailing open sessions; SAME oracle as the batch q_session_windows
     "q_session_windows_streaming_file" -> ((s, d) =>
       streaming.FileReplaySessions.userSessions(s, d)),
+    // the merging-window class hand-rolled on transformWithState: ListState
+    // of open sessions + event-time timers at each would-be end, RocksDB
+    // provider, through the SAME file-replay harness — completes the
+    // 3-state-classes x 2-state-APIs certificate matrix; SAME oracle
+    "q_session_windows_streaming_tws" -> ((s, d) =>
+      streaming.TwsSessions.userSessionsFromFiles(s, d)),
     // watermarked stream-stream inner join (two file-source streams, state
     // bounded by the event-time range condition on both watermarked sides),
     // against the plain batch-join oracle — incremental-equals-batch for
@@ -577,6 +584,7 @@ object SparkEntry {
     "q_bloom_join" -> BloomJoin.urgentLineitemsSql,
     "q_session_windows_streaming" -> Relational.sessionWindowsSql,
     "q_session_windows_streaming_file" -> Relational.sessionWindowsSql,
+    "q_session_windows_streaming_tws" -> Relational.sessionWindowsSql,
     "q_stream_stream_join" -> streaming.StreamStreamJoin.signupPurchasesSql,
     "q_stream_stream_join_outer" -> streaming.StreamStreamJoin.signupPurchasesOuterSql,
     "q_outer_join" -> Relational.outerJoinYearsSql,

@@ -35,7 +35,21 @@ import graft.sources.Tables
   */
 object FileReplaySessions {
 
-  def userSessions(spark: SparkSession, dir: String, chunks: Int = 3): DataFrame = {
+  def userSessions(spark: SparkSession, dir: String, chunks: Int = 3): DataFrame =
+    run(spark, dir, chunks,
+      stream => StreamingSessions.sessions(stream, gap = "30 minutes",
+        watermark = "10 minutes"))
+
+  /** The staging + sentinel + readback harness, parameterized on the
+    * sessionizing transform so the `session_window` form and the
+    * hand-rolled [[TwsSessions]] state machine certify through the SAME
+    * replay path (and differ ONLY in the operator under test). The
+    * transform must map the staged `(event_id, ts, user_id)` stream to
+    * `(user_id, session_start, session_end, n_events)` finalized sessions
+    * in append mode.
+    */
+  private[streaming] def run(spark: SparkSession, dir: String, chunks: Int,
+      transform: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_file_sessions").toFile
     try {
@@ -71,8 +85,7 @@ object FileReplaySessions {
             .schema(staged.schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(inDir)
-          StreamingSessions.sessions(stream, gap = "30 minutes",
-              watermark = "10 minutes")
+          transform(stream)
             .writeStream.format("memory").queryName(name)
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
         }
