@@ -207,6 +207,41 @@ class FileReplayUpdateRestartSpec extends SparkSpec {
     assert(mismatched == 0, "post-restart RocksDB emissions are not cumulative")
   }
 
+  test("sketch restart with RocksDB CHANGELOG checkpointing: recovery " +
+      "replays the incremental commit log, not a full snapshot") {
+    // Changelog checkpointing is the at-scale commit mode (upload the
+    // batch's delta, snapshot in the background) — restart must reconstruct
+    // state by replaying the changelog onto the last snapshot. Same
+    // assertions as the snapshot-mode RocksDB test: a recovery bug would
+    // surface as non-cumulative post-restart emissions or a fold mismatch.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" -> TwsCdc.RocksDbProvider,
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        -> "true")
+    val prevs = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    val emissions = try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      crashAndResume(
+        StreamingSketch.bucketHits(spark, sf0001), "bucket", "update",
+        "sketch_restart_changelog")(df =>
+        StreamingSketch.counts(df.as[BucketHit]).toDF())
+    } finally prevs.foreach {
+      case (k, Some(p)) => spark.conf.set(k, p)
+      case (k, None) => spark.conf.unset(k)
+    }
+    assert(emissions.select(max(col("batch_id"))).head().getLong(0) == 2L)
+    assert(rows(StreamingSketch.foldEmissions(emissions))
+      == rows(Sketches.approxDistinctUsers(spark, sf0001)))
+    val finalByGroup = emissions.groupBy(col("event_type"))
+      .agg(max(col("n_buckets_hit")).as("final_hits"))
+    val mismatched = emissions.filter(col("batch_id") === 2L)
+      .join(finalByGroup, "event_type")
+      .filter(col("n_buckets_hit") =!= col("final_hits")).count()
+    assert(mismatched == 0,
+      "post-restart changelog-recovered emissions are not cumulative")
+  }
+
   test("bounded Misra-Gries counters (flatMapGroupsWithState) resume from " +
       "the checkpoint: rows-seen totals span the crash, ranking equals the " +
       "exact batch profile") {
