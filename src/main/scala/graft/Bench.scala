@@ -88,12 +88,18 @@ object Bench {
     println(json)
     // the stdout line is also written to a file: the driver keeps only a log
     // TAIL, and round 10's headline total was lost to that truncation
-    // ("parsed": null) — the committed file makes the number artifact-durable
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"bench_out write failed: ${e.getMessage}") }
+    // ("parsed": null) — the committed file makes the number artifact-durable.
+    // SPARK_GRAFT_ONLY subset runs skip the default path: a solo-profiling
+    // run must not clobber the committed full-run record (it happened twice
+    // in round 14 before this guard).
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("bench_out.json") else None)
+    outPath.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"bench_out write failed: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }
