@@ -48,6 +48,7 @@ object SparkEntry {
     "q_approx_quantiles_streaming", "q_approx_quantiles_streaming_file",
     "q_heavy_hitters_streaming", "q_heavy_hitters_streaming_file",
     "q_heavy_hitters_bounded_streaming", "q_heavy_hitters_bounded_streaming_file",
+    "q_heavy_hitters_bounded_streaming_tws",
     "q_session_windows_streaming", "q_session_windows_streaming_file",
     "q_session_windows_streaming_tws",
     "q_stream_static_join", "q_stream_static_join_file",
@@ -382,6 +383,12 @@ object SparkEntry {
     // SAME oracle
     "q_heavy_hitters_bounded_streaming_file" -> ((s, d) =>
       streaming.StreamingBoundedHeavyHitters.hotCustomersFromFiles(s, d)),
+    // the same bounded counters on transformWithState + MapState (RocksDB):
+    // each counter is its own store entry, write-back touches only counters
+    // the batch changed — the at-scale layout for per-key sub-maps; SAME
+    // oracle, isolating the state API + layout swap
+    "q_heavy_hitters_bounded_streaming_tws" -> ((s, d) =>
+      streaming.TwsHeavyHitters.hotCustomersFromFiles(s, d)),
     // single-row distributional skew summary of the same key: cardinality,
     // exact count order-statistics, hot-tail share, max/mean ppm ratio
     "q_skew_profile" -> (SkewReport.orderCustomerSkew _),
@@ -632,6 +639,7 @@ object SparkEntry {
     "q_heavy_hitters_bounded" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_bounded_streaming" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_bounded_streaming_file" -> HeavyHitters.hotCustomersSql,
+    "q_heavy_hitters_bounded_streaming_tws" -> HeavyHitters.hotCustomersSql,
     "q_skew_profile" -> SkewReport.orderCustomerSkewSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
