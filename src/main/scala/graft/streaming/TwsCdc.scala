@@ -20,12 +20,21 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   */
 object TwsCdc {
 
-  class CdcProcessor extends StatefulProcessor[String, MqttMsg, CdcEvent] {
+  /** `ttl` bounds per-topic state by PROCESSING time — the successor API's
+    * lever for key-churn workloads (a topic that stops publishing frees its
+    * state after `ttl` instead of pinning a last-payload forever; the MQTT
+    * topic universe is exactly such an open keyspace). The semantic trade
+    * is explicit and spec-pinned: a topic re-appearing after expiry has no
+    * `last` to diff against, so its next message re-emits even if the
+    * payload never changed — at-least-once CDC rows in exchange for state
+    * O(topics active within the TTL horizon) instead of O(topics ever).
+    */
+  class CdcProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, MqttMsg, CdcEvent] {
     @transient private var last: ValueState[Array[Byte]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      last = getHandle.getValueState[Array[Byte]]("last", Encoders.BINARY,
-        TTLConfig.NONE)
+      last = getHandle.getValueState[Array[Byte]]("last", Encoders.BINARY, ttl)
 
     override def handleInputRows(topic: String, rows: Iterator[MqttMsg],
         timers: TimerValues): Iterator[CdcEvent] = {
@@ -54,5 +63,15 @@ object TwsCdc {
   def changes(msgs: Dataset[MqttMsg]): Dataset[CdcEvent] =
     msgs.groupByKey(_.topic)(Encoders.STRING)
       .transformWithState(new CdcProcessor, TimeMode.None(), OutputMode.Append())(
+        Encoders.product[CdcEvent])
+
+  /** The TTL'd form (see [[CdcProcessor]]'s scaladoc for the semantic
+    * trade): processing-time mode, as state TTL requires.
+    */
+  def changesTtl(msgs: Dataset[MqttMsg],
+      ttl: java.time.Duration): Dataset[CdcEvent] =
+    msgs.groupByKey(_.topic)(Encoders.STRING)
+      .transformWithState(new CdcProcessor(TTLConfig(ttl)),
+        TimeMode.ProcessingTime(), OutputMode.Append())(
         Encoders.product[CdcEvent])
 }

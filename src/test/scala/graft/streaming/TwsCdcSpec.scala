@@ -50,6 +50,47 @@ class TwsCdcSpec extends SparkSpec {
     }
   }
 
+  test("state TTL bounds the topic keyspace: an expired topic's next " +
+      "message re-emits (at-least-once), an unexpired one still suppresses") {
+    implicit val ctx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[MqttMsg]
+      // ProcessingTime mode schedules micro-batches continuously for TTL
+      // cleanup, so processAllAvailable can starve at the default 0 ms
+      // trigger — use an explicit interval and poll the sink instead
+      val q = TwsCdc.changesTtl(input.toDS(), java.time.Duration.ofSeconds(2))
+        .writeStream.format("memory").queryName("tws_cdc_ttl")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+        .start()
+      def emitted: Set[Long] = spark.table("tws_cdc_ttl").as[CdcEvent]
+        .collect().map(_.msg_id).toSet
+      def await(desc: String)(cond: => Boolean): Unit = {
+        val deadline = System.nanoTime() + 30_000_000_000L
+        while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
+        assert(cond, desc)
+      }
+      def processedRows: Long = q.recentProgress.map(_.numInputRows).sum
+      try {
+        input.addData(Seq(msg(1, 10, "t", "a")))
+        await("first message emitted")(emitted == Set(1L))
+        // within the TTL horizon (2 s; msg 2 follows msg 1 by well under
+        // it): unchanged payload suppressed as always — wait until the
+        // batch carrying msg 2 is PROCESSED, then assert nothing new
+        input.addData(Seq(msg(2, 11, "t", "a")))
+        await("second message processed")(processedRows >= 2L)
+        assert(emitted == Set(1L), "unchanged payload inside the TTL horizon re-emitted")
+        // let the topic's last-payload state expire, then repeat the SAME
+        // payload: no state to diff against -> re-emission. This is the
+        // documented trade for state O(active topics), and the assertion
+        // pins it as a contract, not an accident.
+        Thread.sleep(3000)
+        input.addData(Seq(msg(3, 12, "t", "a")))
+        await("post-expiry re-emission")(emitted == Set(1L, 3L))
+      } finally q.stop()
+    }
+  }
+
   test("driver query form: file-source replay through transformWithState equals batch") {
     val batch = MqttQueries.history(spark, sf0001).collect()
       .map(_.toSeq.map { case b: Array[Byte] => b.toSeq; case x => x }).toSeq
