@@ -38,7 +38,8 @@ object SparkEntry {
     */
   val eagerQueries: Set[String] = Set(
     "mqtt_history_streaming", "mqtt_history_streaming_file",
-    "mqtt_history_streaming_tws", "mqtt_windowed_streaming_file",
+    "mqtt_history_streaming_tws", "mqtt_history_handoff",
+    "mqtt_windowed_streaming_file",
     "mqtt_state_streaming", "mqtt_state_streaming_file",
     "dedup_clusters",
     "q_approx_distinct_streaming", "q_approx_distinct_streaming_file",
@@ -88,6 +89,14 @@ object SparkEntry {
     // the state API/store swap
     "mqtt_history_streaming_tws" -> ((s, d) =>
       streaming.FileReplayHistory.history(s, d, useTws = true)),
+    // the backfill-to-streaming handoff: batch CDC over the head of the
+    // log + the tail streamed with state BOOTSTRAPPED from the head's
+    // snapshot (transformWithState initial state, RocksDB) — starts the
+    // stream O(topics) cold instead of replaying O(history); SAME oracle
+    // as mqtt_history, which never sees the cut, so any bootstrap defect
+    // (missed / duplicated / fresh state) surfaces as a row diff
+    "mqtt_history_handoff" -> ((s, d) =>
+      streaming.TwsBootstrapCdc.history(s, d)),
     // the keyed upsert sink end-to-end (source -> micro-batches -> foreachBatch
     // merge), against the SAME oracle as the batch state table
     "mqtt_state_streaming" -> ((s, d) => streaming.StreamingState.state(s, d)),
@@ -550,6 +559,7 @@ object SparkEntry {
     "mqtt_history_streaming" -> MqttQueries.historySql,
     "mqtt_history_streaming_file" -> MqttQueries.historySql,
     "mqtt_history_streaming_tws" -> MqttQueries.historySql,
+    "mqtt_history_handoff" -> MqttQueries.historySql,
     "mqtt_state_streaming" -> MqttQueries.stateSql,
     "mqtt_state_streaming_file" -> MqttQueries.stateSql,
     "mqtt_history_scd2" -> MqttQueries.historyScd2Sql,

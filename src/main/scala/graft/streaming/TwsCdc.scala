@@ -37,20 +37,29 @@ object TwsCdc {
       last = getHandle.getValueState[Array[Byte]]("last", Encoders.BINARY, ttl)
 
     override def handleInputRows(topic: String, rows: Iterator[MqttMsg],
-        timers: TimerValues): Iterator[CdcEvent] = {
-      var prev: Option[Array[Byte]] = if (last.exists()) Some(last.get()) else None
-      val out = Vector.newBuilder[CdcEvent]
-      rows.toSeq.sortBy(m => (m.ts.getTime, m.msg_id)).foreach { m =>
-        val changed = prev match {
-          case None => true
-          case Some(p) => !java.util.Arrays.equals(p, m.value)
-        }
-        if (changed) out += CdcEvent(topic, m.ts, m.msg_id, m.value)
-        prev = Some(m.value)
+        timers: TimerValues): Iterator[CdcEvent] =
+      foldTopic(last, topic, rows)
+  }
+
+  /** The CDC update step shared by every transformWithState form (plain,
+    * TTL'd, bootstrap): diff each message in deterministic (ts, msg_id)
+    * order against the stored previous payload, emit changes, store the
+    * batch's last payload.
+    */
+  private[streaming] def foldTopic(last: ValueState[Array[Byte]],
+      topic: String, rows: Iterator[MqttMsg]): Iterator[CdcEvent] = {
+    var prev: Option[Array[Byte]] = if (last.exists()) Some(last.get()) else None
+    val out = Vector.newBuilder[CdcEvent]
+    rows.toSeq.sortBy(m => (m.ts.getTime, m.msg_id)).foreach { m =>
+      val changed = prev match {
+        case None => true
+        case Some(p) => !java.util.Arrays.equals(p, m.value)
       }
-      prev.foreach(last.update)
-      out.result().iterator
+      if (changed) out += CdcEvent(topic, m.ts, m.msg_id, m.value)
+      prev = Some(m.value)
     }
+    prev.foreach(last.update)
+    out.result().iterator
   }
 
   /** The RocksDB provider `transformWithState` requires (set it on
