@@ -85,6 +85,55 @@ class TwsBootstrapCdcSpec extends SparkSpec {
     assert(batch.nonEmpty && got == batch)
   }
 
+  test("restart after the handoff resumes the EVOLVED state, not the " +
+      "bootstrap snapshot (initial state applies once, at query birth)") {
+    // snapshot: t->a. Pre-crash batch: t->b (emits; state evolves to b).
+    // Post-crash batch: t->a — equal to the SNAPSHOT but not to the evolved
+    // last, so it must EMIT; a restart that re-applied handleInitialState
+    // would suppress it. The fixture makes the two failure modes disjoint.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.{Dataset, Row}
+    val work = java.nio.file.Files.createTempDirectory("handoff_restart").toFile
+    withRocksDb {
+      try {
+        val snapshot = Seq(TopicLast("t", "a".getBytes("UTF-8"))).toDS()
+        val batches = Seq(Seq(msg(20, 30, "t", "b")), Seq(msg(21, 31, "t", "a")))
+        val schema = Seq(msg(0, 0, "x", "y")).toDS().toDF().schema
+        val inDir = new java.io.File(work, "in"); inDir.mkdirs()
+        val outDir = new java.io.File(work, "out").getAbsolutePath
+        val ckpt = new java.io.File(work, "ckpt").getAbsolutePath
+        def arrive(i: Int): Unit = {
+          val f = new java.io.File(work, s"stage$i")
+          batches(i).toDS().toDF().coalesce(1).write.parquet(f.getAbsolutePath)
+          val part = f.listFiles().filter(_.getName.startsWith("part-")).head
+          val dst = new java.io.File(inDir, s"b$i.parquet")
+          java.nio.file.Files.copy(part.toPath, dst.toPath)
+          require(dst.setLastModified(FileStage.BaseMtime + i * 60_000L))
+        }
+        def emit(df: Dataset[CdcEvent], id: Long): Unit =
+          df.write.mode("append").parquet(outDir)
+        def run(): Unit = {
+          val q = ReplayHarness.runWithStatePartitions(spark, 2) {
+            TwsBootstrapCdc.changesFrom(
+              spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(inDir.getAbsolutePath).as[MqttMsg], snapshot)
+              .writeStream.foreachBatch(emit _)
+              .option("checkpointLocation", ckpt)
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          }
+          try q.awaitTermination() finally q.stop()
+        }
+        arrive(0); run() // bootstrap applies; t->b emits, state evolves
+        arrive(1); run() // restart from checkpoint; t->a must emit
+        val emitted = spark.read.parquet(outDir)
+          .select(col("msg_id")).collect().map(_.getLong(0)).toSet
+        assert(emitted == Set(20L, 21L),
+          s"got $emitted — 21 missing means the restart re-applied the snapshot")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
+    }
+  }
+
   test("handoff is cut-invariant: a different split yields the same history") {
     val batch = MqttQueries.history(spark, sf0001).collect()
       .map(_.toSeq.map { case b: Array[Byte] => b.toSeq; case x => x }).toSeq
