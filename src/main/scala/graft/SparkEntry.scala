@@ -364,6 +364,11 @@ object SparkEntry {
     // driver-side input materialization); SAME oracle
     "q_hll_distinct_streaming_file" -> ((s, d) =>
       streaming.StreamingHll.hllDistinctUsersFromFiles(s, d)),
+    // Count-Min sketch: bounded-state per-key FREQUENCY estimation — a
+    // depth x width counter grid (state independent of key cardinality,
+    // the frequency complement of the cardinality sketches above); probe
+    // estimates certified as exact overcounts vs the true counts
+    "q_cms_counts" -> (Sketches.cmsUserTypeCounts _),
     // exact heavy-hitter skew profile: one key-partitioned agg over data,
     // ranking/share on key-cardinality rows (integer ppm — no float ranks)
     "q_heavy_hitters" -> (HeavyHitters.hotCustomers _),
@@ -643,6 +648,7 @@ object SparkEntry {
     "q_hll_distinct" -> SketchesSql.hllDistinctUsersSql,
     "q_hll_distinct_streaming" -> SketchesSql.hllDistinctUsersSql,
     "q_hll_distinct_streaming_file" -> SketchesSql.hllDistinctUsersSql,
+    "q_cms_counts" -> SketchesSql.cmsUserTypeCountsSql,
     "q_heavy_hitters" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_streaming" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_streaming_file" -> HeavyHitters.hotCustomersSql,

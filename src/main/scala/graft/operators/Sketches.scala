@@ -273,6 +273,118 @@ object Sketches {
   def hllDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     hllDistinct(Tables.events(spark, dir), "user_id", "event_type")
       .orderBy(col("event_type"))
+
+  // --------------------------------------------------------------------
+  // Count-Min sketch [Cormode & Muthukrishnan 2005] — the FREQUENCY
+  // complement to the cardinality sketches above: estimate per-key counts
+  // from a fixed depth x width counter grid instead of one counter per
+  // distinct key. The reference's per-topic row counts
+  // (/root/reference/mqtt2sql.py:333-344 keeps exact per-key state) are
+  // keyspace-bounded; at 100 TB the key universe itself overwhelms memory
+  // and the CMS grid is the standard bounded-state answer: state is
+  // depth x width Longs REGARDLESS of cardinality, updates are pure
+  // increments (commutative, partial-aggregatable), and every estimate is
+  // a provable OVERcount (min over depth rows of colliding-key sums).
+  // --------------------------------------------------------------------
+
+  /** Independent hash rows: 4 is the standard error-probability knob
+    * (P[overcount > eps*N] <= e^-depth per row independence).
+    */
+  val CmsDepth = 4
+
+  /** Counters per row. DELIBERATELY small (64) relative to the sketched
+    * key domain so collisions — the thing the min-over-rows estimate
+    * exists to absorb — actually occur at every certification scale and
+    * the oracle certifies real overcounts, not a vacuous est == exact.
+    */
+  val CmsWidth = 64L
+
+  val CmsSalt = "cms:"
+
+  /** Probe set bound: estimates are reported for keys of users 0..7. */
+  val CmsProbeMaxUser = 8L
+
+  /** The sketched key: compound (user_id, event_type) — high enough
+    * cardinality that the grid saturates as sf grows (distinct pairs scale
+    * with the corpus; the grid never does).
+    */
+  private def cmsKeyOf(userId: org.apache.spark.sql.Column,
+      eventType: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(userId.cast("string"), lit(":"), eventType)
+
+  /** Row-d bucket of a key: salted 60-bit md5 (non-negative), mod width.
+    * The depth index is IN the salt, so the rows are independent hashes of
+    * the same key — shared with the oracle via the same string recipe.
+    */
+  private def cmsBucketOf(d: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    TF.hash60(concat(lit(CmsSalt), d.cast("string"), lit(":"), key)) % CmsWidth
+
+  /** (d, bucket) hit per input row per depth row — the sketch's input
+    * relation. The depth explode multiplies rows by CmsDepth, but the
+    * aggregation on (d, bucket) map-side-combines each mapper's output to
+    * at most depth x width partials, so the shuffle is grid-sized, not
+    * data-sized.
+    */
+  private[graft] def cmsEntries(keyed: DataFrame): DataFrame =
+    keyed
+      .select(explode(array((0 until CmsDepth).map(lit(_)): _*)).as("d"),
+        col("__cms_key"))
+      .select(col("d"), cmsBucketOf(col("d"), col("__cms_key")).as("bucket"))
+
+  /** Rows of any (user_id, event_type) frame carrying the compound key
+    * (nulls dropped — no key).
+    */
+  private[graft] def cmsKeyed(df: DataFrame): DataFrame =
+    df.filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        cmsKeyOf(col("user_id"), col("event_type")).as("__cms_key"))
+
+  private[graft] def cmsKeyedEvents(spark: SparkSession, dir: String): DataFrame =
+    cmsKeyed(Tables.events(spark, dir))
+
+  /** The counter grid: count per (d, bucket) — at most depth x width rows. */
+  private[graft] def cmsSketch(keyed: DataFrame): DataFrame =
+    cmsEntries(keyed).groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Estimation tail shared by the batch operator and the streaming twins:
+    * probe keys re-hash through the same depth rows, join the grid (a
+    * broadcast — the grid is at most depth x width rows by construction),
+    * and take the min counter. `est_count >= exact_count` holds by
+    * construction; `overcount` materializes the collision error so the
+    * oracle certifies the sketch's defining inequality, value-exactly.
+    */
+  private[graft] def cmsEstimate(sketch: DataFrame, probes: DataFrame): DataFrame =
+    probes
+      .select(col("user_id"), col("event_type"), col("exact_count"),
+        explode(array((0 until CmsDepth).map(lit(_)): _*)).as("d"))
+      .withColumn("bucket",
+        cmsBucketOf(col("d"), cmsKeyOf(col("user_id"), col("event_type"))))
+      .join(broadcast(sketch), Seq("d", "bucket"))
+      .groupBy(col("user_id"), col("event_type"), col("exact_count"))
+      .agg(min(col("cnt")).as("est_count"))
+      .select(col("user_id"), col("event_type"), col("exact_count"),
+        col("est_count"), (col("est_count") - col("exact_count")).as("overcount"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** Driver query: CMS-estimated vs exact (user, event_type) frequencies
+    * for the probe keys. Scale shape: ONE grid-sized aggregation over the
+    * data (map-side combined to depth x width partials per task) + one
+    * PUSHED-DOWN probe aggregation (`user_id < 8` reaches the scan); the
+    * estimate join broadcasts the KB-sized grid. Nothing downstream of the
+    * scans is data-sized.
+    */
+  def cmsCounts(df: DataFrame, probeMaxUser: Long = CmsProbeMaxUser): DataFrame = {
+    val keyed = cmsKeyed(df)
+    val probes = keyed.filter(col("user_id") < probeMaxUser)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("exact_count"))
+    cmsEstimate(cmsSketch(keyed), probes)
+  }
+
+  def cmsUserTypeCounts(spark: SparkSession, dir: String): DataFrame =
+    cmsCounts(Tables.events(spark, dir))
 }
 
 /** DuckDB oracle for [[Sketches]] — same salt, same bucket count, same
@@ -348,6 +460,39 @@ object SketchesSql {
        |  round(CASE WHEN raw <= ${2.5 * m} AND n_zero_buckets > 0
        |    THEN $m.0 * ln($m.0 / n_zero_buckets) ELSE raw END, 6) AS est_distinct
        |FROM e ORDER BY event_type""".stripMargin
+  }
+
+  /** CMS oracle: same compound key, same depth-salted bucket recipe, same
+    * min-over-rows estimate — the grid is rebuilt value-exactly in SQL, so
+    * the driver hash certifies the OVERCOUNTS themselves, not a tolerance.
+    */
+  val cmsUserTypeCountsSql: String = {
+    val w = Sketches.CmsWidth
+    val ds = (0 until Sketches.CmsDepth).mkString("[", ",", "]")
+    def bucket(kExpr: String) =
+      s"${TS.hash60(s"('${Sketches.CmsSalt}' || CAST(d AS VARCHAR) || ':' || $kExpr)")} % $w"
+    s"""WITH keyed AS (
+       |  SELECT user_id, event_type,
+       |    CAST(user_id AS VARCHAR) || ':' || event_type AS k
+       |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |ds AS (SELECT unnest($ds) AS d),
+       |sketch AS (
+       |  SELECT d, ${bucket("k")} AS bucket, count(*) AS cnt
+       |  FROM keyed CROSS JOIN ds GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT user_id, event_type, k, count(*) AS exact_count
+       |  FROM keyed WHERE user_id < ${Sketches.CmsProbeMaxUser}
+       |  GROUP BY 1, 2, 3),
+       |est AS (
+       |  SELECT p.user_id, p.event_type, p.exact_count, min(s.cnt) AS est_count
+       |  FROM (SELECT user_id, event_type, exact_count, d,
+       |          ${bucket("k")} AS bucket
+       |        FROM probes CROSS JOIN ds) p
+       |  JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+       |  GROUP BY 1, 2, 3)
+       |SELECT user_id, event_type, exact_count, est_count,
+       |  est_count - exact_count AS overcount
+       |FROM est ORDER BY user_id, event_type""".stripMargin
   }
 
   val approxQuantilesByTypeSql: String = {
