@@ -47,6 +47,7 @@ object SparkEntry {
     "q_kmv_distinct_streaming", "q_kmv_distinct_streaming_file",
     "q_hll_distinct_streaming", "q_hll_distinct_streaming_file",
     "q_approx_quantiles_streaming", "q_approx_quantiles_streaming_file",
+    "q_cms_counts_streaming", "q_cms_counts_streaming_file",
     "q_heavy_hitters_streaming", "q_heavy_hitters_streaming_file",
     "q_heavy_hitters_bounded_streaming", "q_heavy_hitters_bounded_streaming_file",
     "q_heavy_hitters_bounded_streaming_tws",
@@ -369,6 +370,15 @@ object SparkEntry {
     // the frequency complement of the cardinality sketches above); probe
     // estimates certified as exact overcounts vs the true counts
     "q_cms_counts" -> (Sketches.cmsUserTypeCounts _),
+    // the grid maintained incrementally (update-mode count IS the CMS
+    // increment; state <= depth x width regardless of cardinality),
+    // against the SAME oracle as the batch form
+    "q_cms_counts_streaming" -> ((s, d) =>
+      streaming.StreamingCms.cmsUserTypeCounts(s, d)),
+    // the same grid over distributed file-source micro-batches (no
+    // driver-side input materialization); SAME oracle
+    "q_cms_counts_streaming_file" -> ((s, d) =>
+      streaming.StreamingCms.cmsUserTypeCountsFromFiles(s, d)),
     // exact heavy-hitter skew profile: one key-partitioned agg over data,
     // ranking/share on key-cardinality rows (integer ppm — no float ranks)
     "q_heavy_hitters" -> (HeavyHitters.hotCustomers _),
@@ -649,6 +659,8 @@ object SparkEntry {
     "q_hll_distinct_streaming" -> SketchesSql.hllDistinctUsersSql,
     "q_hll_distinct_streaming_file" -> SketchesSql.hllDistinctUsersSql,
     "q_cms_counts" -> SketchesSql.cmsUserTypeCountsSql,
+    "q_cms_counts_streaming" -> SketchesSql.cmsUserTypeCountsSql,
+    "q_cms_counts_streaming_file" -> SketchesSql.cmsUserTypeCountsSql,
     "q_heavy_hitters" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_streaming" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_streaming_file" -> HeavyHitters.hotCustomersSql,

@@ -375,12 +375,19 @@ object Sketches {
     * estimate join broadcasts the KB-sized grid. Nothing downstream of the
     * scans is data-sized.
     */
-  def cmsCounts(df: DataFrame, probeMaxUser: Long = CmsProbeMaxUser): DataFrame = {
-    val keyed = cmsKeyed(df)
-    val probes = keyed.filter(col("user_id") < probeMaxUser)
+  /** Exact counts for the probe keys — a PUSHED-DOWN aggregation (the
+    * `user_id < bound` predicate reaches the scan). Shared by the batch
+    * operator and the streaming twins' estimation tails.
+    */
+  private[graft] def cmsProbes(keyed: DataFrame,
+      probeMaxUser: Long = CmsProbeMaxUser): DataFrame =
+    keyed.filter(col("user_id") < probeMaxUser)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("exact_count"))
-    cmsEstimate(cmsSketch(keyed), probes)
+
+  def cmsCounts(df: DataFrame, probeMaxUser: Long = CmsProbeMaxUser): DataFrame = {
+    val keyed = cmsKeyed(df)
+    cmsEstimate(cmsSketch(keyed), cmsProbes(keyed, probeMaxUser))
   }
 
   def cmsUserTypeCounts(spark: SparkSession, dir: String): DataFrame =
