@@ -309,6 +309,11 @@ object SparkEntry {
     // token shares, content-addressed coin, all-integer ppm — two narrow
     // passes, both aggs map-side-combined to |langs| rows
     "pipeline_mixture_sample" -> (Mixture.rebalanceDocs _),
+    // deterministic global training shuffle: salted-hash permutation with
+    // contiguous 1..N positions via the range+zipWithIndex id assigner (no
+    // single-partition window) and hash-derived writer shards — the whole
+    // permutation is oracle-certified, not a sample
+    "pipeline_global_shuffle" -> (GlobalShuffle.shuffledDocuments _),
     // concat-and-chunk sequence packing (sharded running sum, integer math)
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -645,6 +650,7 @@ object SparkEntry {
     "text_bigram_novelty" -> TextAnalysisSql.bigramNoveltySql(),
     "pipeline_token_budget" -> TextAnalysisSql.tokenBudgetSql,
     "pipeline_mixture_sample" -> Mixture.rebalanceDocsSql,
+    "pipeline_global_shuffle" -> GlobalShuffleSql.shuffledDocumentsSql,
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,
     "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,

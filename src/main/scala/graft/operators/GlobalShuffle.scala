@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, TextSql => TS}
+import graft.sources.Tables
+
+/** Deterministic global shuffle of a training corpus: the "shuffle once
+  * before training" step every large-scale LLM data pipeline ends with.
+  * Orders the corpus by a salted content-independent hash of the document
+  * id — a reproducible pseudo-random permutation with NO RNG state (the
+  * same content-addressed-coin discipline as [[Mixture]]) — and assigns
+  * each document its contiguous 1..N training position plus a hash-derived
+  * shard for the downstream sharded writer.
+  *
+  * Scale shape: ONE range shuffle. `orderBy(hash)` alone would still need
+  * a global sort, and a `row_number()` window over it would force every
+  * row through a single partition — the [[ContiguousId]] scaladoc's
+  * pathology. Instead the hash order feeds ContiguousId's three-step
+  * (range-repartition + per-partition zipWithIndex + driver-side offsets:
+  * one Long per partition crosses the driver, never rows), so position
+  * assignment scales exactly like the engine's history-id assignment. The
+  * shard column is a pure projection (hash mod shards) — the sharded
+  * writer downstream is `partitionBy(shard)` with no extra exchange
+  * because shard is a function of the range key already in hand.
+  *
+  * Determinism: (hv, doc_id) is a TOTAL order (doc_id breaks hash
+  * collisions), so the permutation is unique and the oracle reproduces it
+  * byte-for-byte — certifying the entire permutation, not a sample.
+  */
+object GlobalShuffle {
+
+  /** Shards for the downstream writer: 16 is a stand-in for the real
+    * deployment's file-count target; the certified property (shard =
+    * hash mod shards, consistent with the position order) is shard-count
+    * independent.
+    */
+  val NumShards = 16L
+
+  val ShuffleSalt = "shuf:"
+
+  private def hashOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    TF.hash60(concat(lit(ShuffleSalt), docId.cast("string")))
+
+  /** (doc_id, shard, pos): the permutation over any frame with a doc_id. */
+  def shuffled(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), hashOf(col("doc_id")).as("__hv"))
+    ContiguousId.assign(hashed, "pos", Seq(col("__hv"), col("doc_id")))
+      .select(col("doc_id"), (col("__hv") % NumShards).as("shard"), col("pos"))
+  }
+
+  /** Driver query: the training-order permutation of the documents table. */
+  def shuffledDocuments(spark: SparkSession, dir: String): DataFrame =
+    shuffled(Tables.documents(spark, dir)).orderBy(col("pos"))
+}
+
+/** DuckDB oracle for [[GlobalShuffle]] — same salt, same shard modulus,
+  * same (hash, doc_id) total order.
+  */
+object GlobalShuffleSql {
+
+  val shuffledDocumentsSql: String = {
+    val hv = TS.hash60(s"('${GlobalShuffle.ShuffleSalt}' || CAST(doc_id AS VARCHAR))")
+    s"""WITH h AS (SELECT doc_id, $hv AS hv FROM documents)
+       |SELECT doc_id, hv % ${GlobalShuffle.NumShards} AS shard,
+       |       row_number() OVER (ORDER BY hv, doc_id) AS pos
+       |FROM h ORDER BY pos""".stripMargin
+  }
+}
