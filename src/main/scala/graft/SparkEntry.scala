@@ -492,6 +492,10 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(
       Dedup.probeAugmented(sources.Tables.embeddings(s, d)))
       .orderBy(col("vec_a"), col("vec_b"))),
+    // SemDeDup: cluster-scoped pairwise (quadratic only within a broadcast-
+    // codebook cluster, cap observed-not-silent), keep-lowest-id per
+    // near-dup neighborhood — full keep/drop decision oracle-certified
+    "dedup_semantic" -> (SemanticDedup.semanticDedupDocs _),
     // --- similarity search extensions ---
     "ann_brute_force" -> ((s, d) => Similarity.bruteForceTopK(sources.Tables.embeddings(s, d))
       .orderBy(col("query_id"), col("rank"))),
@@ -692,6 +696,7 @@ object SparkEntry {
     "dedup_simhash" -> DedupSql.simhashPairsSql(),
     "dedup_clusters" -> DedupClustersSql.componentsSql(DedupSql.simhashPairsCte()),
     "dedup_embedding" -> DedupSql.embeddingNearDupSql(),
+    "dedup_semantic" -> SemanticDedupSql.semanticDedupDocsSql(),
     "ann_brute_force" -> SimilaritySql.bruteForceTopKSql(),
     "ann_lsh" -> SimilaritySql.lshTopKSql(),
     "ann_ivf" -> SimilaritySql.ivfTopKSql(),
