@@ -314,6 +314,10 @@ object SparkEntry {
     // single-partition window) and hash-derived writer shards — the whole
     // permutation is oracle-certified, not a sample
     "pipeline_global_shuffle" -> (GlobalShuffle.shuffledDocuments _),
+    // incremental-recrawl snapshot diff: hash rows below the full-outer
+    // join (text never shuffles), every status branch exercised by the
+    // deterministic carve — the corpus-to-corpus form of the CDC predicate
+    "pipeline_corpus_diff" -> (CorpusDiff.diffDocuments _),
     // concat-and-chunk sequence packing (sharded running sum, integer math)
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -655,6 +659,7 @@ object SparkEntry {
     "pipeline_token_budget" -> TextAnalysisSql.tokenBudgetSql,
     "pipeline_mixture_sample" -> Mixture.rebalanceDocsSql,
     "pipeline_global_shuffle" -> GlobalShuffleSql.shuffledDocumentsSql,
+    "pipeline_corpus_diff" -> CorpusDiffSql.diffDocumentsSql,
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,
     "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,
