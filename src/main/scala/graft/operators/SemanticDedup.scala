@@ -66,8 +66,13 @@ object SemanticDedup {
     val centroids = Similarity.centroidsOf(withNorm, k)
     // broadcast-codebook argmax, collapsed by partial max_by BEFORE the
     // shuffle (the kmeansStep form); embedding+norm ride along so the
-    // pairwise stage needs no second corpus join
-    val assigned = withNorm.join(broadcast(centroids))
+    // pairwise stage needs no second corpus join. CACHED: the assignment
+    // feeds the size census, the output membership, and both self-join
+    // sides — uncached, Spark recomputes the corpus-sized argmax pass once
+    // per consumer (observed: 6 codebook scans in one plan). Materializing
+    // the one-pass assignment before the quadratic stage is what the
+    // deployment pipeline does too (SemDeDup clusters once, then prunes).
+    val assigned = Caching.cached(withNorm.join(broadcast(centroids))
       .withColumn("nn", col("nrm") * col("cnrm"))
       .withColumn("ccos", when(col("nn") === 0.0, 0.0)
         .otherwise(VF.dot(col("embedding"), col("cvec")) / col("nn")))
@@ -75,7 +80,7 @@ object SemanticDedup {
       .agg(max_by(struct(col("cid"), col("embedding"), col("nrm")),
         struct(col("ccos"), (-col("cid")).as("neg_cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"),
-        col("best.embedding").as("embedding"), col("best.nrm").as("nrm"))
+        col("best.embedding").as("embedding"), col("best.nrm").as("nrm")))
     val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
     // sizes is K rows — broadcast; capped is a per-member flag from it
     val members = assigned.join(broadcast(sizes), Seq("cid"))

@@ -28,11 +28,14 @@ class PlanAuditSpec extends SparkSpec {
   // (assign + probe); the residual training pass is broadcast-hash only (2).
   // ann_ivf_trained: ann_ivf's two coarse-codebook scans plus the Lloyd
   // training assignment (emb_kmeans_step's scan) over the SAME constant-size
-  // broadcast codebook (3).
+  // broadcast codebook (3). dedup_semantic: one emb_kmeans_step-style
+  // argmax over the constant-size broadcast codebook (1); the pairwise
+  // stage itself is an equi-join on cid.
   private val allowedNestedLoops = Map("ann_brute_force" -> 1, "ann_ivf" -> 2,
     "ann_ivf_pq" -> 2, "ann_ivf_pq_res" -> 2, "ann_ivf_pq_res_trained" -> 2,
     "ann_ivf_trained" -> 3,
-    "emb_kmeans_step" -> 1, "text_tfidf" -> 1, "q_bloom_join" -> 1)
+    "emb_kmeans_step" -> 1, "text_tfidf" -> 1, "q_bloom_join" -> 1,
+    "dedup_semantic" -> 1)
   test("no driver query plans a cartesian or nested-loop join") {
     // eager (streaming/iterative) queries are skipped via the ONE shared
     // exclusion set — see SparkEntry.eagerQueries for the rationale
