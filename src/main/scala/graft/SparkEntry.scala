@@ -318,6 +318,10 @@ object SparkEntry {
     // join (text never shuffles), every status branch exercised by the
     // deterministic carve — the corpus-to-corpus form of the CDC predicate
     "pipeline_corpus_diff" -> (CorpusDiff.diffDocuments _),
+    // linear model-based quality classifier (the fastText-linear shape):
+    // exploded tokens x broadcast weight-TABLE join, matched hits only to
+    // the doc-keyed shuffle, integer cross-multiplied accept decision
+    "text_quality_model" -> (QualityModel.scoreDocuments _),
     // concat-and-chunk sequence packing (sharded running sum, integer math)
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -660,6 +664,7 @@ object SparkEntry {
     "pipeline_mixture_sample" -> Mixture.rebalanceDocsSql,
     "pipeline_global_shuffle" -> GlobalShuffleSql.shuffledDocumentsSql,
     "pipeline_corpus_diff" -> CorpusDiffSql.diffDocumentsSql,
+    "text_quality_model" -> QualityModelSql.scoreDocumentsSql,
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,
     "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,
