@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.Sketches
 import graft.sources.Tables
 
-/** One (depth-row, bucket) hit entering the streaming counter grid. */
-final case class CmsHit(d: Int, bucket: Long)
+/** One raw keyed fact row entering the streaming counter grid — the
+  * depth-explode happens INSIDE the stream (narrow), so the ingest seam
+  * carries each input row once, not once per depth row.
+  */
+final case class CmsRow(user_id: Long, event_type: String)
 
 /** Streaming twin of [[Sketches.cmsCounts]]: the Count-Min counter grid
   * maintained incrementally as a plain update-mode streaming
@@ -51,11 +54,12 @@ object StreamingCms {
   def cmsUserTypeCounts(spark: SparkSession, dir: String,
       chunks: Int = 3): DataFrame = {
     import spark.implicits._
-    val rows = Sketches.cmsEntries(Sketches.cmsKeyedEvents(spark, dir))
-      .select(col("d").cast("int").as("d"), col("bucket")).as[CmsHit].collect()
+    val rows = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type")).as[CmsRow].collect()
     val emissions = ReplayHarness.updateModeEmissions(
       spark, rows.toIndexedSeq, chunks, statePartitions = 4, prefix = "cms_stream")(
-      _.groupBy(col("d"), col("bucket")).count())
+      ds => gridCounts(ds.toDF()))
     estimateTail(spark, dir, foldEmissions(emissions))
   }
 
