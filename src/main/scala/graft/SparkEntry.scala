@@ -378,6 +378,10 @@ object SparkEntry {
     // driver-side input materialization); SAME oracle
     "q_hll_distinct_streaming_file" -> ((s, d) =>
       streaming.StreamingHll.hllDistinctUsersFromFiles(s, d)),
+    // sketch MERGEABILITY certificate: per-group register tables collapse
+    // by bucket-max into the union's sketch (the 1000-executor merge
+    // path), proven equal to sketching the union directly
+    "q_hll_merged" -> (Sketches.hllMergedDistinctUsers _),
     // Count-Min sketch: bounded-state per-key FREQUENCY estimation — a
     // depth x width counter grid (state independent of key cardinality,
     // the frequency complement of the cardinality sketches above); probe
@@ -678,6 +682,7 @@ object SparkEntry {
     "q_hll_distinct" -> SketchesSql.hllDistinctUsersSql,
     "q_hll_distinct_streaming" -> SketchesSql.hllDistinctUsersSql,
     "q_hll_distinct_streaming_file" -> SketchesSql.hllDistinctUsersSql,
+    "q_hll_merged" -> SketchesSql.hllMergedDistinctUsersSql,
     "q_cms_counts" -> SketchesSql.cmsUserTypeCountsSql,
     "q_cms_counts_streaming" -> SketchesSql.cmsUserTypeCountsSql,
     "q_cms_counts_streaming_file" -> SketchesSql.cmsUserTypeCountsSql,

@@ -274,6 +274,24 @@ object Sketches {
     hllDistinct(Tables.events(spark, dir), "user_id", "event_type")
       .orderBy(col("event_type"))
 
+  /** Register-table MERGE — the property that makes HLL the at-scale
+    * distinct sketch: per-shard/per-group register tables union by plain
+    * bucket-max into the sketch of the union, with no re-scan of data. A
+    * 1000-executor ingest maintains per-partition registers and merges
+    * m-row tables at the end; this query certifies that path end-to-end by
+    * building PER-GROUP registers first and collapsing them (two
+    * register-table-sized steps), against an oracle that sketches the
+    * union DIRECTLY — equality IS the mergeability proof, value-exact
+    * through the integer (n_zero_buckets, sum_pow) core.
+    */
+  def hllMergedDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val perGroup = hllObservations(
+      Tables.events(spark, dir), "user_id", "event_type")
+      .groupBy(col("event_type"), col("__bucket")).agg(max(col("__rho")).as("__M"))
+    val merged = perGroup.groupBy(col("__bucket")).agg(max(col("__M")).as("__M"))
+    hllFromRegisters(merged)
+  }
+
   // --------------------------------------------------------------------
   // Count-Min sketch [Cormode & Muthukrishnan 2005] — the FREQUENCY
   // complement to the cardinality sketches above: estimate per-key counts
@@ -467,6 +485,35 @@ object SketchesSql {
        |  round(CASE WHEN raw <= ${2.5 * m} AND n_zero_buckets > 0
        |    THEN $m.0 * ln($m.0 / n_zero_buckets) ELSE raw END, 6) AS est_distinct
        |FROM e ORDER BY event_type""".stripMargin
+  }
+
+  /** Mergeability oracle: the sketch of the UNION, built directly — the
+    * merged per-group registers must equal it exactly (bucket-max is
+    * associative), so the comparison certifies the merge path.
+    */
+  val hllMergedDistinctUsersSql: String = {
+    val m = Sketches.HllBuckets
+    val remBits = Sketches.HllRemBits
+    val mask = (1L << remBits) - 1
+    val pow55 = 1L << (remBits + 1)
+    val hv = TS.hash60(s"('${Sketches.HllSalt}' || CAST(user_id AS VARCHAR))")
+    s"""WITH h AS (SELECT $hv AS hv FROM events WHERE user_id IS NOT NULL),
+       |b AS (SELECT hv >> $remBits AS bucket,
+       |        CASE WHEN (hv & $mask) = 0 THEN ${remBits + 1}
+       |          ELSE ${remBits + 1} - length(bin(hv & $mask)) END AS rho
+       |      FROM h),
+       |r AS (SELECT bucket, max(rho) AS M FROM b GROUP BY 1),
+       |s AS (SELECT CAST($m - count(*) AS INT) AS n_zero_buckets,
+       |        CAST(sum(CAST(1 AS BIGINT) << (${remBits + 1} - M)) +
+       |             ($m - count(*)) * CAST($pow55 AS BIGINT) AS BIGINT) AS sum_pow
+       |      FROM r),
+       |e AS (SELECT n_zero_buckets, sum_pow,
+       |        ${Sketches.HllNumerator} / CAST(sum_pow AS DOUBLE) AS raw
+       |      FROM s)
+       |SELECT n_zero_buckets, sum_pow,
+       |  round(CASE WHEN raw <= ${2.5 * m} AND n_zero_buckets > 0
+       |    THEN $m.0 * ln($m.0 / n_zero_buckets) ELSE raw END, 6) AS est_distinct
+       |FROM e""".stripMargin
   }
 
   /** CMS oracle: same compound key, same depth-salted bucket recipe, same

@@ -80,4 +80,20 @@ class HllSpec extends SparkSpec {
       assert(streamed == batch, s"chunks=$chunks")
     }
   }
+
+  test("mergeability: per-group registers collapse to the union's sketch") {
+    // overlapping values across groups — the merge must not double-count
+    val rows = (0L until 300L).map(v => ("a", v)) ++
+      (150L until 450L).map(v => ("b", v)) ++
+      (0L until 50L).map(v => ("c", v))
+    val df = frame(rows: _*)
+    val perGroup = Sketches.hllObservations(df, "v", "grp")
+      .groupBy($"grp", $"__bucket").agg(org.apache.spark.sql.functions.max($"__rho").as("__M"))
+    val merged = Sketches.hllFromRegisters(
+      perGroup.groupBy($"__bucket").agg(org.apache.spark.sql.functions.max($"__M").as("__M")))
+      .select($"n_zero_buckets", $"sum_pow").as[(Int, Long)].head()
+    val direct = Sketches.hllDistinct(df, "v")
+      .select($"n_zero_buckets", $"sum_pow").as[(Int, Long)].head()
+    assert(merged == direct)
+  }
 }
