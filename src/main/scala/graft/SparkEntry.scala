@@ -378,6 +378,11 @@ object SparkEntry {
     // driver-side input materialization); SAME oracle
     "q_hll_distinct_streaming_file" -> ((s, d) =>
       streaming.StreamingHll.hllDistinctUsersFromFiles(s, d)),
+    // theta-sketch-style pairwise set overlap from bottom-k samples:
+    // Jaccard + intersection estimates per group pair, key-cardinality
+    // work only, exact below saturation — integer (n_kept, theta,
+    // n_common) core certified
+    "q_kmv_overlap" -> (Sketches.kmvOverlapByType _),
     // sketch MERGEABILITY certificate: per-group register tables collapse
     // by bucket-max into the union's sketch (the 1000-executor merge
     // path), proven equal to sketching the union directly
@@ -682,6 +687,7 @@ object SparkEntry {
     "q_hll_distinct" -> SketchesSql.hllDistinctUsersSql,
     "q_hll_distinct_streaming" -> SketchesSql.hllDistinctUsersSql,
     "q_hll_distinct_streaming_file" -> SketchesSql.hllDistinctUsersSql,
+    "q_kmv_overlap" -> SketchesSql.kmvOverlapByTypeSql,
     "q_hll_merged" -> SketchesSql.hllMergedDistinctUsersSql,
     "q_cms_counts" -> SketchesSql.cmsUserTypeCountsSql,
     "q_cms_counts_streaming" -> SketchesSql.cmsUserTypeCountsSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, TextSql => TS}
@@ -274,6 +275,84 @@ object Sketches {
     hllDistinct(Tables.events(spark, dir), "user_id", "event_type")
       .orderBy(col("event_type"))
 
+  /** Pairwise set-overlap estimation from bottom-k sketches — the
+    * theta-sketch workhorse: estimate the Jaccard similarity and
+    * intersection cardinality of every pair of per-group key SETS from
+    * their bottom-k hash samples alone. The KMV identity: the bottom-k of
+    * the UNION is a uniform sample of the union, so the fraction of it
+    * present in both sets estimates Jaccard, and intersection ~= J x |A∪B|
+    * with |A∪B| from the union's k-th minimum ([[kmvEstimate]]'s formula,
+    * same constants/salt as `q_kmv_distinct`).
+    *
+    * Scale shape: everything runs on KEY-CARDINALITY rows — distinct
+    * (group, hash) pairs (one map-side-combined dedup over data, the only
+    * data-sized step), then group-pair expansion over the TINY group
+    * domain and per-pair ranking of at most |A∪B| hashes. At deployment
+    * scale the per-group bottom-k sets come straight out of the KMV UDAF
+    * state (O(k) per group); this spelling IS the oracle-exact contract
+    * for the pairwise math on top.
+    *
+    * Below saturation (union < k) the sample is the whole union and both
+    * jaccard and intersection are EXACT — the branch both engines mirror,
+    * like [[kmvEstimate]]'s own.
+    */
+  /** The pairwise machinery over a prepared distinct (event_type, hv)
+    * frame — shared by the driver query and the spec's synthetic sets.
+    */
+  private[graft] def kmvOverlapOf(hashes: DataFrame): DataFrame = {
+    val k = KmvK
+    val types = hashes.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .join(types.select(col("event_type").as("type_b")),
+        col("type_a") < col("type_b"))
+    val sideA = pairs.join(hashes, col("event_type") === col("type_a"))
+      .select(col("type_a"), col("type_b"), col("hv"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val sideB = pairs.join(hashes, col("event_type") === col("type_b"))
+      .select(col("type_a"), col("type_b"), col("hv"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val unioned = sideA.unionAll(sideB)
+      .groupBy(col("type_a"), col("type_b"), col("hv"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("hv"))
+    val ranked = unioned.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val agg = ranked.groupBy(col("type_a"), col("type_b")).agg(
+      count(lit(1)).as("n_kept"),
+      max(col("hv")).as("theta"),
+      sum((col("in_a") * col("in_b")).cast("long")).as("n_common"))
+    val jRaw = col("n_common").cast("double") / col("n_kept").cast("double")
+    val unionRaw = when(col("n_kept") < k, col("n_kept").cast("double"))
+      .otherwise(lit((k - 1).toDouble * (1L << 60).toDouble) / col("theta").cast("double"))
+    agg.select(col("type_a"), col("type_b"), col("n_kept"), col("theta"),
+        col("n_common"),
+        round(jRaw, 6).as("est_jaccard"),
+        round(jRaw * unionRaw, 6).as("est_intersection"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Driver query: overlap estimates for every event-type pair's user set.
+    * The raw corpus is degenerate for this purpose — every type sees every
+    * user, so all pairs report jaccard 1.0 — so two DERIVED groups with
+    * arithmetic partial overlap (`__even`: user_id % 2 = 0, `__third`:
+    * user_id % 3 = 0, intersection = the %6 users) are unioned in, making
+    * the fractional-overlap branch non-vacuous at every scale (the
+    * [[Dedup.probeAugmented]] discipline).
+    */
+  def kmvOverlapByType(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"))
+    val derived = users.select(col("user_id")).distinct()
+    val even = derived.filter(col("user_id") % 2 === 0)
+      .select(lit("__even").as("event_type"), col("user_id"))
+    val third = derived.filter(col("user_id") % 3 === 0)
+      .select(lit("__third").as("event_type"), col("user_id"))
+    kmvOverlapOf(users.unionAll(even).unionAll(third)
+      .select(col("event_type"), kmvHashOf(col("user_id")).as("hv"))
+      .distinct())
+  }
+
   /** Register-table MERGE — the property that makes HLL the at-scale
     * distinct sketch: per-shard/per-group register tables union by plain
     * bucket-max into the sketch of the union, with no re-scan of data. A
@@ -485,6 +564,56 @@ object SketchesSql {
        |  round(CASE WHEN raw <= ${2.5 * m} AND n_zero_buckets > 0
        |    THEN $m.0 * ln($m.0 / n_zero_buckets) ELSE raw END, 6) AS est_distinct
        |FROM e ORDER BY event_type""".stripMargin
+  }
+
+  /** Overlap oracle: same distinct-hash construction, same union ranking,
+    * same exact-below-saturation branch and estimate arithmetic.
+    */
+  val kmvOverlapByTypeSql: String = {
+    val k = Sketches.KmvK
+    val hv = TS.hash60(s"('${Sketches.KmvSalt}' || CAST(user_id AS VARCHAR))")
+    s"""WITH keyed AS (
+       |  SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL
+       |  UNION ALL
+       |  SELECT '__even', user_id FROM
+       |    (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+       |  WHERE user_id % 2 = 0
+       |  UNION ALL
+       |  SELECT '__third', user_id FROM
+       |    (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+       |  WHERE user_id % 3 = 0),
+       |hashes AS (
+       |  SELECT DISTINCT event_type, $hv AS hv FROM keyed),
+       |types AS (SELECT DISTINCT event_type FROM hashes),
+       |pairs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b
+       |  FROM types a JOIN types b ON a.event_type < b.event_type),
+       |unioned AS (
+       |  SELECT type_a, type_b, hv,
+       |    max(in_a) AS in_a, max(in_b) AS in_b
+       |  FROM (
+       |    SELECT p.type_a, p.type_b, h.hv, 1 AS in_a, 0 AS in_b
+       |    FROM pairs p JOIN hashes h ON h.event_type = p.type_a
+       |    UNION ALL
+       |    SELECT p.type_a, p.type_b, h.hv, 0 AS in_a, 1 AS in_b
+       |    FROM pairs p JOIN hashes h ON h.event_type = p.type_b)
+       |  GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+       |    ORDER BY hv) AS rn
+       |  FROM unioned),
+       |agg AS (
+       |  SELECT type_a, type_b, count(*) AS n_kept, max(hv) AS theta,
+       |    CAST(sum(in_a * in_b) AS BIGINT) AS n_common
+       |  FROM ranked WHERE rn <= $k GROUP BY 1, 2)
+       |SELECT type_a, type_b, n_kept, theta, n_common,
+       |  round(CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE), 6)
+       |    AS est_jaccard,
+       |  round(CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE) *
+       |    (CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |      ELSE ${(k - 1).toDouble} * 1152921504606846976.0 /
+       |        CAST(theta AS DOUBLE) END), 6) AS est_intersection
+       |FROM agg ORDER BY type_a, type_b""".stripMargin
   }
 
   /** Mergeability oracle: the sketch of the UNION, built directly — the
