@@ -392,6 +392,10 @@ object SparkEntry {
     // the frequency complement of the cardinality sketches above); probe
     // estimates certified as exact overcounts vs the true counts
     "q_cms_counts" -> (Sketches.cmsUserTypeCounts _),
+    // CMS inner-product join-size estimation (the CBO primitive): two
+    // grid-sized sketches size the join the optimizer would otherwise
+    // have to run; certified as an exact overestimate vs the true count
+    "q_cms_join_size" -> (Sketches.cmsJoinSizeEvents _),
     // the grid maintained incrementally (update-mode count IS the CMS
     // increment; state <= depth x width regardless of cardinality),
     // against the SAME oracle as the batch form
@@ -690,6 +694,7 @@ object SparkEntry {
     "q_kmv_overlap" -> SketchesSql.kmvOverlapByTypeSql,
     "q_hll_merged" -> SketchesSql.hllMergedDistinctUsersSql,
     "q_cms_counts" -> SketchesSql.cmsUserTypeCountsSql,
+    "q_cms_join_size" -> SketchesSql.cmsJoinSizeEventsSql,
     "q_cms_counts_streaming" -> SketchesSql.cmsUserTypeCountsSql,
     "q_cms_counts_streaming_file" -> SketchesSql.cmsUserTypeCountsSql,
     "q_heavy_hitters" -> HeavyHitters.hotCustomersSql,

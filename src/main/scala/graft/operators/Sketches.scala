@@ -482,6 +482,50 @@ object Sketches {
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("exact_count"))
 
+  /** CMS inner-product JOIN-SIZE estimation [Cormode & Muthukrishnan 2005,
+    * §4.2] — the cost-based-optimizer primitive: |R ⋈ S| on a key equals
+    * the inner product of the two frequency vectors, and the min over
+    * depth rows of the grids' per-row inner products is a provable
+    * OVERestimate of it. Two grid-sized sketches replace any look at the
+    * join itself: at 100 TB the optimizer reads 2 x depth x width counters
+    * where the true answer costs the very shuffle it is trying to size.
+    *
+    * The certified query reports est vs the true join size (one exact
+    * pushed-down-count equi-join at certification scale) so the oracle
+    * certifies the defining inequality value-exactly, like [[cmsCounts]].
+    */
+  def cmsJoinSize(left: DataFrame, right: DataFrame): DataFrame = {
+    val lg = cmsSketch(left).withColumnRenamed("cnt", "lcnt")
+    val rg = cmsSketch(right).withColumnRenamed("cnt", "rcnt")
+    // grids are <= depth x width rows: the join and the fold are
+    // constant-size work regardless of input
+    val est = lg.join(rg, Seq("d", "bucket"))
+      .groupBy(col("d"))
+      .agg(sum(col("lcnt") * col("rcnt")).as("row_est"))
+      .agg(min(col("row_est")).as("est_join_size"))
+    val truth = left.select(col("__cms_key").as("k"))
+      .join(right.select(col("__cms_key").as("k")), "k")
+      .agg(count(lit(1)).as("true_join_size"))
+    est.crossJoin(truth)
+      .select(col("est_join_size"), col("true_join_size"),
+        (col("est_join_size") - col("true_join_size")).as("overcount"))
+  }
+
+  /** Driver query: estimated vs true size of the events-history self-join
+    * on the compound (user, event_type) key across the time-split halves —
+    * a realistic "how big is this join" question (early events x late
+    * events per key) whose two sides have genuinely different frequency
+    * vectors. The split is on event_id parity: deterministic, mirrored.
+    */
+  def cmsJoinSizeEvents(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        cmsKeyOf(col("user_id"), col("event_type")).as("__cms_key"))
+    cmsJoinSize(base.filter(col("event_id") % 2 === 0),
+      base.filter(col("event_id") % 2 =!= 0))
+  }
+
   def cmsCounts(df: DataFrame, probeMaxUser: Long = CmsProbeMaxUser): DataFrame = {
     val keyed = cmsKeyed(df)
     cmsEstimate(cmsSketch(keyed), cmsProbes(keyed, probeMaxUser))
@@ -643,6 +687,40 @@ object SketchesSql {
        |  round(CASE WHEN raw <= ${2.5 * m} AND n_zero_buckets > 0
        |    THEN $m.0 * ln($m.0 / n_zero_buckets) ELSE raw END, 6) AS est_distinct
        |FROM e""".stripMargin
+  }
+
+  /** Join-size oracle: same parity split, same grids, same min-over-rows
+    * inner product, and the exact join count — the defining overestimate
+    * inequality certified value-exactly.
+    */
+  val cmsJoinSizeEventsSql: String = {
+    val w = Sketches.CmsWidth
+    val ds = (0 until Sketches.CmsDepth).mkString("[", ",", "]")
+    val bucket =
+      s"${TS.hash60(s"('${Sketches.CmsSalt}' || CAST(d AS VARCHAR) || ':' || k)")} % $w"
+    s"""WITH keyed AS (
+       |  SELECT event_id,
+       |    CAST(user_id AS VARCHAR) || ':' || event_type AS k
+       |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |ds AS (SELECT unnest($ds) AS d),
+       |lg AS (
+       |  SELECT d, $bucket AS bucket, count(*) AS lcnt
+       |  FROM keyed CROSS JOIN ds WHERE event_id % 2 = 0 GROUP BY 1, 2),
+       |rg AS (
+       |  SELECT d, $bucket AS bucket, count(*) AS rcnt
+       |  FROM keyed CROSS JOIN ds WHERE event_id % 2 <> 0 GROUP BY 1, 2),
+       |est AS (
+       |  SELECT min(row_est) AS est_join_size FROM (
+       |    SELECT l.d, CAST(sum(l.lcnt * r.rcnt) AS BIGINT) AS row_est
+       |    FROM lg l JOIN rg r ON l.d = r.d AND l.bucket = r.bucket
+       |    GROUP BY 1)),
+       |truth AS (
+       |  SELECT count(*) AS true_join_size
+       |  FROM (SELECT k FROM keyed WHERE event_id % 2 = 0) a
+       |  JOIN (SELECT k FROM keyed WHERE event_id % 2 <> 0) b ON a.k = b.k)
+       |SELECT est_join_size, true_join_size,
+       |  est_join_size - true_join_size AS overcount
+       |FROM est, truth""".stripMargin
   }
 
   /** CMS oracle: same compound key, same depth-salted bucket recipe, same

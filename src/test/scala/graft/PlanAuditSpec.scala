@@ -30,12 +30,17 @@ class PlanAuditSpec extends SparkSpec {
   // training assignment (emb_kmeans_step's scan) over the SAME constant-size
   // broadcast codebook (3). dedup_semantic: one emb_kmeans_step-style
   // argmax over the constant-size broadcast codebook (1); the pairwise
-  // stage itself is an equi-join on cid.
+  // stage itself is an equi-join on cid. q_cms_join_size: the SINGLE-ROW
+  // estimate and truth aggregates combine via a broadcast single-row
+  // cross join (the text_tfidf shape) (1). q_kmv_overlap: the group-PAIR
+  // expansion (type_a < type_b over the distinct-group domain — pairs is
+  // the operator's output domain, quadratic in GROUPS by definition,
+  // never in data) appears once per union side (2).
   private val allowedNestedLoops = Map("ann_brute_force" -> 1, "ann_ivf" -> 2,
     "ann_ivf_pq" -> 2, "ann_ivf_pq_res" -> 2, "ann_ivf_pq_res_trained" -> 2,
     "ann_ivf_trained" -> 3,
     "emb_kmeans_step" -> 1, "text_tfidf" -> 1, "q_bloom_join" -> 1,
-    "dedup_semantic" -> 1)
+    "dedup_semantic" -> 1, "q_cms_join_size" -> 1, "q_kmv_overlap" -> 2)
   test("no driver query plans a cartesian or nested-loop join") {
     // eager (streaming/iterative) queries are skipped via the ONE shared
     // exclusion set — see SparkEntry.eagerQueries for the rationale

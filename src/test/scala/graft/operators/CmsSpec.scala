@@ -57,6 +57,23 @@ class CmsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("join-size estimate never undercounts and is exact without collisions") {
+    // tiny key domain (8 keys << width 64): no collisions, est == true
+    val l = Sketches.cmsKeyed(frame(8, copies = 3))
+    val r = Sketches.cmsKeyed(frame(8, copies = 2))
+    val exact = Sketches.cmsJoinSize(l, r)
+      .select($"est_join_size", $"true_join_size", $"overcount")
+      .as[(Long, Long, Long)].head()
+    // true = sum over keys of 3*2 = 8*6 = 48
+    assert(exact == ((48L, 48L, 0L)), exact)
+    // wide key domain (600 keys >> width): collisions force est > true
+    val lw = Sketches.cmsKeyed(frame(600))
+    val rw = Sketches.cmsKeyed(frame(600))
+    val over = Sketches.cmsJoinSize(lw, rw)
+      .select($"overcount").as[Long].head()
+    assert(over > 0L, s"no collision overcount at 600 keys")
+  }
+
   test("null keys are dropped, not hashed as the string 'null'") {
     val withNulls = Seq((Some(1L), Some("a")), (None, Some("a")), (Some(2L), None))
       .toDF("user_id", "event_type")
