@@ -517,6 +517,10 @@ object SparkEntry {
     // codebook cluster, cap observed-not-silent), keep-lowest-id per
     // near-dup neighborhood — full keep/drop decision oracle-certified
     "dedup_semantic" -> (SemanticDedup.semanticDedupDocs _),
+    // the paper's actual shape: k-means-TRAINED clusters (one exact-
+    // integer Lloyd step, the trained-IVF codebook chain), same scoping
+    // and keep rule
+    "dedup_semantic_trained" -> (SemanticDedup.semanticDedupDocsTrained _),
     // --- similarity search extensions ---
     "ann_brute_force" -> ((s, d) => Similarity.bruteForceTopK(sources.Tables.embeddings(s, d))
       .orderBy(col("query_id"), col("rank"))),
@@ -723,6 +727,7 @@ object SparkEntry {
     "dedup_clusters" -> DedupClustersSql.componentsSql(DedupSql.simhashPairsCte()),
     "dedup_embedding" -> DedupSql.embeddingNearDupSql(),
     "dedup_semantic" -> SemanticDedupSql.semanticDedupDocsSql(),
+    "dedup_semantic_trained" -> SemanticDedupSql.semanticDedupDocsTrainedSql(),
     "ann_brute_force" -> SimilaritySql.bruteForceTopKSql(),
     "ann_lsh" -> SimilaritySql.lshTopKSql(),
     "ann_ivf" -> SimilaritySql.ivfTopKSql(),

@@ -61,9 +61,14 @@ object SemanticDedup {
     */
   def semanticDedup(emb: DataFrame, k: Int = SemanticK,
       threshold: Double = SemanticThreshold,
-      cap: Long = SemanticClusterCap): DataFrame = {
+      cap: Long = SemanticClusterCap, trained: Boolean = false): DataFrame = {
     val withNorm = Similarity.withNormOf(emb)
-    val centroids = Similarity.centroidsOf(withNorm, k)
+    // trained = the paper's actual shape (k-means clusters, not an init
+    // slice): one exact-integer Lloyd step over the corpus, the same
+    // cached KB-sized codebook the trained IVF family shares
+    val centroids =
+      if (trained) Similarity.trainedCentroidsOf(emb, k)
+      else Similarity.centroidsOf(withNorm, k)
     // broadcast-codebook argmax, collapsed by partial max_by BEFORE the
     // shuffle (the kmeansStep form); embedding+norm ride along so the
     // pairwise stage needs no second corpus join. CACHED: the assignment
@@ -108,6 +113,15 @@ object SemanticDedup {
   def semanticDedupDocs(spark: SparkSession, dir: String): DataFrame =
     semanticDedup(Dedup.probeAugmented(Tables.embeddings(spark, dir)))
       .orderBy(col("vec_id"))
+
+  /** The trained form on the same augmented corpus — cluster boundaries
+    * move to the Lloyd-step centroids (assignments and therefore the
+    * scoping can differ from the init form; both are certified).
+    */
+  def semanticDedupDocsTrained(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(Dedup.probeAugmented(Tables.embeddings(spark, dir)),
+      trained = true)
+      .orderBy(col("vec_id"))
 }
 
 /** DuckDB oracle for [[SemanticDedup]] — same codebook init, same argmax
@@ -124,6 +138,61 @@ object SemanticDedupSql {
        |cents AS (
        |  SELECT vec_id AS cid, embedding AS cvec FROM emb_aug
        |  WHERE vec_id < $k),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${VS.cosine("e.embedding", "c.cvec")} DESC, c.cid) AS crn
+       |    FROM emb_aug e CROSS JOIN cents c)
+       |  WHERE crn = 1),
+       |sizes AS (SELECT cid, count(*) AS n FROM assigned GROUP BY 1),
+       |members AS (
+       |  SELECT a.vec_id, a.cid, (s.n > $cap) AS capped
+       |  FROM assigned a JOIN sizes s USING (cid)),
+       |dominated AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM members a
+       |  JOIN members b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |    AND NOT a.capped AND NOT b.capped
+       |  JOIN emb_aug ea ON ea.vec_id = a.vec_id
+       |  JOIN emb_aug eb ON eb.vec_id = b.vec_id
+       |  WHERE ${VS.cosine("ea.embedding", "eb.embedding")} >= $threshold)
+       |SELECT m.vec_id, m.cid, m.capped,
+       |  (m.capped OR d.vec_id IS NULL) AS kept
+       |FROM members m LEFT JOIN dominated d ON m.vec_id = d.vec_id
+       |ORDER BY m.vec_id""".stripMargin
+
+  /** Trained-codebook mirror: the exact-integer Lloyd-step CTE chain (the
+    * trained-IVF oracle's spelling) over the SAME augmented corpus, then
+    * the identical scoping/keep machinery.
+    */
+  def semanticDedupDocsTrainedSql(k: Int = SemanticK,
+      threshold: Double = SemanticThreshold,
+      cap: Long = SemanticClusterCap): String =
+    s"""WITH emb_aug AS (
+       |  ${DedupSql.probeAugmentedSql()}),
+       |cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM emb_aug
+       |  WHERE vec_id < $k),
+       |assigned0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${VS.cosine("e.embedding", "c.cvec")} DESC, c.cid) AS crn
+       |    FROM emb_aug e CROSS JOIN cents0 c)
+       |  WHERE crn = 1),
+       |ex AS (
+       |  SELECT a.cid,
+       |    generate_subscripts(e.embedding, 1) - 1 AS pos,
+       |    CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1000000) AS BIGINT) AS sv
+       |  FROM assigned0 a JOIN emb_aug e USING (vec_id)),
+       |km AS (
+       |  SELECT cid, pos,
+       |    CAST(floor(CAST(sum(sv) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+       |  FROM ex GROUP BY cid, pos),
+       |cents AS (
+       |  SELECT cid, list(CAST(cm AS DOUBLE) / 1000000 ORDER BY pos) AS cvec
+       |  FROM km GROUP BY cid),
        |assigned AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c.cid,

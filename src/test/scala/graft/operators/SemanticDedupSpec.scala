@@ -61,6 +61,13 @@ class SemanticDedupSpec extends SparkSpec {
     assert(!got(1L)._2 && got(1L)._3, got)
   }
 
+  test("trained codebook: the keep rule is unchanged under Lloyd-moved clusters") {
+    val got = SemanticDedup.semanticDedup(
+      frame(0L -> c0, 1L -> c1, 5L -> c0, 9L -> c0), k = 2, trained = true)
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(got(0L) && !got(5L) && !got(9L) && got(1L), got)
+  }
+
   test("partitioning invariance: same decisions under any input split") {
     val rows = (0L until 40L).map { i =>
       val base = if (i % 2 == 0) c0 else c1
