@@ -57,6 +57,7 @@ object SparkEntry {
     "q_stream_stream_join", "q_stream_stream_join_outer",
     "q_bucketed_join",
     "pipeline_clean_corpus_streaming", "pipeline_clean_corpus_streaming_file",
+    "pipeline_corpus_diff_streaming_file",
     "pipeline_group_sample_streaming_file",
     "dedup_exact_streaming", "dedup_exact_streaming_file",
     "dedup_normalized_streaming", "dedup_normalized_streaming_file",
@@ -318,6 +319,11 @@ object SparkEntry {
     // join (text never shuffles), every status branch exercised by the
     // deterministic carve — the corpus-to-corpus form of the CDC predicate
     "pipeline_corpus_diff" -> (CorpusDiff.diffDocuments _),
+    // the composition an incremental recrawl runs: new crawl streamed
+    // against the static previous snapshot (stateless stream-static left
+    // join per micro-batch), deletions via one batch anti-pass; SAME oracle
+    "pipeline_corpus_diff_streaming_file" -> ((s, d) =>
+      streaming.StreamingCorpusDiff.diffDocumentsFromFiles(s, d)),
     // linear model-based quality classifier (the fastText-linear shape):
     // exploded tokens x broadcast weight-TABLE join, matched hits only to
     // the doc-keyed shuffle, integer cross-multiplied accept decision
@@ -681,6 +687,7 @@ object SparkEntry {
     "pipeline_mixture_sample" -> Mixture.rebalanceDocsSql,
     "pipeline_global_shuffle" -> GlobalShuffleSql.shuffledDocumentsSql,
     "pipeline_corpus_diff" -> CorpusDiffSql.diffDocumentsSql,
+    "pipeline_corpus_diff_streaming_file" -> CorpusDiffSql.diffDocumentsSql,
     "text_quality_model" -> QualityModelSql.scoreDocumentsSql,
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,
