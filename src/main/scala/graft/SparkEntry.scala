@@ -310,6 +310,10 @@ object SparkEntry {
     // token shares, content-addressed coin, all-integer ppm — two narrow
     // passes, both aggs map-side-combined to |langs| rows
     "pipeline_mixture_sample" -> (Mixture.rebalanceDocs _),
+    // deterministic weighted sampling without replacement (hash
+    // replication — the integer-exact cousin of priority sampling):
+    // min-of-w salted hashes per row, all narrow, bottom-k TakeOrdered
+    "pipeline_weighted_sample" -> (WeightedSample.sampleDocuments _),
     // deterministic global training shuffle: salted-hash permutation with
     // contiguous 1..N positions via the range+zipWithIndex id assigner (no
     // single-partition window) and hash-derived writer shards — the whole
@@ -686,6 +690,7 @@ object SparkEntry {
     "pipeline_token_budget" -> TextAnalysisSql.tokenBudgetSql,
     "pipeline_mixture_sample" -> Mixture.rebalanceDocsSql,
     "pipeline_global_shuffle" -> GlobalShuffleSql.shuffledDocumentsSql,
+    "pipeline_weighted_sample" -> WeightedSampleSql.sampleDocumentsSql,
     "pipeline_corpus_diff" -> CorpusDiffSql.diffDocumentsSql,
     "pipeline_corpus_diff_streaming_file" -> CorpusDiffSql.diffDocumentsSql,
     "text_quality_model" -> QualityModelSql.scoreDocumentsSql,
