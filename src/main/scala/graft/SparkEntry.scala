@@ -42,6 +42,7 @@ object SparkEntry {
     "mqtt_windowed_streaming_file",
     "mqtt_state_streaming", "mqtt_state_streaming_file",
     "dedup_clusters",
+    "emb_kmeans_step_streaming_file",
     "q_approx_distinct_streaming", "q_approx_distinct_streaming_file",
     "q_approx_distinct_streaming_tws",
     "q_kmv_distinct_streaming", "q_kmv_distinct_streaming_file",
@@ -565,6 +566,12 @@ object SparkEntry {
     // integer centroid update, so partial-agg order can't shift the result)
     "emb_kmeans_step" -> ((s, d) => Similarity.kmeansStep(sources.Tables.embeddings(s, d))
       .orderBy(col("cid"), col("pos"))),
+    // the Lloyd update maintained incrementally over streamed embedding
+    // ingest: stateless literal-codebook argmax per row, ONE grid-sized
+    // (K x Dim) update-mode aggregation with monotone-decomposed signed
+    // sums; SAME oracle as the batch step
+    "emb_kmeans_step_streaming_file" -> ((s, d) =>
+      streaming.StreamingKmeans.lloydStepFromFiles(s, d)),
     // symmetric int8 vector quantization, payload hash-checked exactly
     "emb_quantize" -> ((s, d) => Quantize.int8(sources.Tables.embeddings(s, d))
       .orderBy(col("vec_id"))),
@@ -751,6 +758,7 @@ object SparkEntry {
     "ann_ivf_pq_res_trained" -> ProductQuantizationSql.annIvfPqResSql(trained = true),
     "emb_pq_codes" -> ProductQuantizationSql.pqCodesSql,
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),
+    "emb_kmeans_step_streaming_file" -> SimilaritySql.kmeansStepSql(),
     "emb_quantize" -> QuantizeSql.int8Sql,
     "emb_power_iteration" -> SimilaritySql.powerIterationSql,
     "emb_outliers" -> SimilaritySql.labelOutliersSql(),

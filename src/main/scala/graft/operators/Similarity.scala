@@ -154,7 +154,7 @@ object Similarity {
     * `side` (cosine, ties on cid) — shared by the IVF probe/assignment and
     * the k-means step. The centroid frame must carry (cid, cvec, cnrm).
     */
-  private[operators] def nearestCentroids(side: DataFrame, centroids: DataFrame,
+  private[graft] def nearestCentroids(side: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, nrmCol: String, keep: Int): DataFrame = {
     val scored = side.join(broadcast(centroids))
       .withColumn("nn", col(nrmCol) * col("cnrm"))
@@ -165,10 +165,10 @@ object Similarity {
       .select(col(idCol), col("cid"))
   }
 
-  private[operators] def withNormOf(emb: DataFrame): DataFrame =
+  private[graft] def withNormOf(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
 
-  private[operators] def centroidsOf(withNorm: DataFrame, nCentroids: Int): DataFrame =
+  private[graft] def centroidsOf(withNorm: DataFrame, nCentroids: Int): DataFrame =
     withNorm.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
 
