@@ -527,6 +527,12 @@ object SparkEntry {
     // SemDeDup: cluster-scoped pairwise (quadratic only within a broadcast-
     // codebook cluster, cap observed-not-silent), keep-lowest-id per
     // near-dup neighborhood — full keep/drop decision oracle-certified
+    // radius (range) search: every vector within a cosine radius of each
+    // query — data-dependent answer sets through the same LSH candidate
+    // machinery as ann_lsh, no ranking window; probe-augmented so hits
+    // exist at every scale
+    "ann_range" -> ((s, d) => Similarity.lshRange(
+      Dedup.probeAugmented(sources.Tables.embeddings(s, d)))),
     "dedup_semantic" -> (SemanticDedup.semanticDedupDocs _),
     // the paper's actual shape: k-means-TRAINED clusters (one exact-
     // integer Lloyd step, the trained-IVF codebook chain), same scoping
@@ -745,6 +751,7 @@ object SparkEntry {
     "dedup_simhash" -> DedupSql.simhashPairsSql(),
     "dedup_clusters" -> DedupClustersSql.componentsSql(DedupSql.simhashPairsCte()),
     "dedup_embedding" -> DedupSql.embeddingNearDupSql(),
+    "ann_range" -> SimilaritySql.lshRangeSql(),
     "dedup_semantic" -> SemanticDedupSql.semanticDedupDocsSql(),
     "dedup_semantic_trained" -> SemanticDedupSql.semanticDedupDocsTrainedSql(),
     "ann_brute_force" -> SimilaritySql.bruteForceTopKSql(),

@@ -110,8 +110,31 @@ object Similarity {
     * buckets are sparse — that residual approximation is identically
     * reproduced by the oracle.
     */
-  def lshTopK(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5,
-      tables: Int = TopKTables, planes: Int = TopKPlanes): DataFrame = {
+  /** RANGE (radius) search — the query-directed complement of top-k: every
+    * corpus vector within a cosine radius of each query, through the same
+    * LSH candidate generation as [[lshTopK]]. The answer-set size is
+    * data-dependent (top-k's is fixed), which is what dedup-adjacent
+    * retrieval ("everything basically identical to this") actually wants.
+    * Same scale shape as lshTopK: bucket-equi-join candidates, broadcast
+    * queries, no all-pairs; the radius filter replaces the ranking window
+    * (one fewer shuffle — no per-query sort at all).
+    */
+  val RangeThreshold = 0.9
+
+  def lshRange(emb: DataFrame, queryMaxId: Long = 8,
+      threshold: Double = RangeThreshold,
+      tables: Int = TopKTables, planes: Int = TopKPlanes): DataFrame =
+    lshScored(emb, queryMaxId, tables, planes)
+      .filter(col("cos") >= threshold)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("vec_id"))
+
+  /** Shared LSH candidate generation + exact scoring: (query_id, vec_id,
+    * cos) for every bucket-sharing candidate pair — the common trunk of
+    * [[lshTopK]] and [[lshRange]].
+    */
+  private def lshScored(emb: DataFrame, queryMaxId: Long,
+      tables: Int, planes: Int): DataFrame = {
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       VF.norm(col("embedding")).as("nrm"))
     // bk encodes (table, bucket) so buckets never collide across tables
@@ -134,8 +157,12 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         when(col("nn") === 0.0, 0.0)
           .otherwise(VF.dot(col("qv"), col("c.embedding")) / col("nn")).as("cos"))
-    rankTopK(scored, k)
+    scored
   }
+
+  def lshTopK(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5,
+      tables: Int = TopKTables, planes: Int = TopKPlanes): DataFrame =
+    rankTopK(lshScored(emb, queryMaxId, tables, planes), k)
 
   /** IVF-flat ANN: a coarse codebook partitions the corpus into inverted
     * lists; a query probes only its `nProbe` nearest centroids' lists.
@@ -508,6 +535,36 @@ object SimilaritySql {
        |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirror of [[Similarity.lshRange]] over the probe-augmented corpus —
+    * same buckets, same scoring, radius filter instead of ranking.
+    */
+  def lshRangeSql(queryMaxId: Long = 8,
+      threshold: Double = RangeThreshold,
+      tables: Int = TopKTables, planes: Int = TopKPlanes): String = {
+    val bucketList = (0 until tables)
+      .map(t => s"${tableBucketSql("embedding", t, planes)} + ${t.toLong << 32}")
+      .mkString("[", ",\n  ", "]")
+    s"""WITH emb_aug AS (
+       |  ${DedupSql.probeAugmentedSql()}),
+       |b AS (
+       |  SELECT vec_id, unnest($bucketList) AS bk FROM emb_aug),
+       |qb AS (SELECT vec_id AS query_id, bk FROM b WHERE vec_id < $queryMaxId),
+       |cand AS (
+       |  SELECT DISTINCT qb.query_id, c.vec_id
+       |  FROM b c JOIN qb ON c.bk = qb.bk AND c.vec_id <> qb.query_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM emb_aug
+       |      WHERE vec_id < $queryMaxId),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |         ${VS.cosine("q.qv", "e.embedding")} AS cos
+       |  FROM cand
+       |  JOIN q ON cand.query_id = q.query_id
+       |  JOIN emb_aug e ON cand.vec_id = e.vec_id)
+       |SELECT query_id, vec_id, round(cos, 6) AS cos
+       |FROM scored WHERE cos >= $threshold
+       |ORDER BY query_id, vec_id""".stripMargin
   }
 
   /** Mirror of [[Similarity.powerIterationStep]]: the same milli-scaled
