@@ -109,4 +109,25 @@ class AnnRecallSpec extends SparkSpec {
     assert(r5resTr >= 0.25, f"trained residual recall@5 degenerated: $r5resTr%.3f")
     assert(r20resTr >= 0.6, f"trained residual top-5 are not good neighbors: $r20resTr%.3f")
   }
+  test("range search recovers the radius neighborhood the buckets can see") {
+    import org.apache.spark.sql.functions._
+    val emb = Dedup.probeAugmented(graft.sources.Tables.embeddings(spark, sf0001))
+    // exact radius ground truth (brute force, same threshold)
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.norm(col("embedding")).as("nrm"))
+    val q = withNorm.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val exact = pairs(withNorm.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("nn", col("qn") * col("nrm"))
+      .filter(when(col("nn") === 0.0, lit(0.0))
+        .otherwise(graft.functions.VectorFunctions.dot(col("qv"), col("embedding")) / col("nn"))
+        >= Similarity.RangeThreshold))
+    assert(exact.nonEmpty)
+    val got = pairs(Similarity.lshRange(emb))
+    // no false positives: every returned pair really is inside the radius
+    assert((got -- exact).isEmpty, s"range search returned out-of-radius pairs")
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"range recall = $recall%.3f (${got.size} of ${exact.size})")
+    assert(recall >= 0.5, f"range recall degenerated: $recall%.3f")
+  }
 }
