@@ -36,14 +36,19 @@ import graft.sources.Tables
   */
 object StreamingKmeans {
 
-  def lloydStepFromFiles(spark: SparkSession, dir: String,
-      chunks: Int = 3): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-    // the codebook: same init slice as the batch step, KB-sized (the
-    // broadcast side of every batch sibling), collected ONCE — the only
-    // rows that ever visit the driver
-    val cents = Similarity.centroidsOf(Similarity.withNormOf(emb), 16)
+  /** The raw (vec_id, embedding) replay frame. */
+  private[streaming] def embRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+
+  /** The streaming plan: stateless literal-codebook argmax + the grid
+    * aggregation with monotone-decomposed signed sums. The codebook —
+    * KB-sized by construction, the broadcast side of every batch sibling —
+    * is collected ONCE; no input row ever touches the driver.
+    */
+  private[streaming] def gridAgg(spark: SparkSession,
+      dir: String): DataFrame => DataFrame = {
+    val cents = Similarity
+      .centroidsOf(Similarity.withNormOf(embRows(spark, dir)), 16)
       .orderBy(col("cid")).collect()
     val cids = cents.map(_.getLong(0))
     val scoreCols: Array[Column] = cents.map { r =>
@@ -56,9 +61,7 @@ object StreamingKmeans {
     // max_by's (ccos desc, cid asc) order, per-row and stateless
     val bestCid = element_at(typedlit(cids.toSeq),
       array_position(scores, array_max(scores)).cast("int"))
-    val emissions = ReplayHarness.emissionsFromFiles(
-      spark, emb, chunks, statePartitions = 4, prefix = "kmeans_file",
-      outputMode = "update", col("vec_id"))(stream =>
+    stream =>
       stream
         .select(bestCid.as("cid"),
           posexplode(transform(col("embedding"),
@@ -66,8 +69,13 @@ object StreamingKmeans {
         .groupBy(col("cid"), col("pos"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("sv") > 0, col("sv")).otherwise(0L)).as("sum_pos"),
-          sum(when(col("sv") < 0, -col("sv")).otherwise(0L)).as("sum_neg")))
-    // cumulative non-negative sums are monotone: final = per-key row max
+          sum(when(col("sv") < 0, -col("sv")).otherwise(0L)).as("sum_neg"))
+  }
+
+  /** Cumulative non-negative sums are monotone: final = per-key row max,
+    * then reassemble the signed sum and the floored integer mean.
+    */
+  private[streaming] def foldGrid(emissions: DataFrame): DataFrame =
     emissions.groupBy(col("cid"), col("pos"))
       .agg(max(col("n")).as("n_members"),
         (max(col("sum_pos")) - max(col("sum_neg"))).as("s"))
@@ -75,5 +83,11 @@ object StreamingKmeans {
         floor(col("s").cast("double") / col("n_members")).cast("long")
           .as("centroid_micro"))
       .orderBy(col("cid"), col("pos"))
-  }
+
+  def lloydStepFromFiles(spark: SparkSession, dir: String,
+      chunks: Int = 3): DataFrame =
+    foldGrid(ReplayHarness.emissionsFromFiles(
+      spark, embRows(spark, dir), chunks, statePartitions = 4,
+      prefix = "kmeans_file", outputMode = "update",
+      col("vec_id"))(gridAgg(spark, dir)))
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
-import graft.operators.{BoundedTopK, HeavyHitters, Sketches}
+import graft.operators.{BoundedTopK, HeavyHitters, Similarity, Sketches}
 import graft.sources.Tables
 
 /** Checkpoint-RESTART certification for the UPDATE-MODE aggregation class —
@@ -304,5 +304,19 @@ class FileReplayUpdateRestartSpec extends SparkSpec {
     assert(preCrash.join(docsPerLang, "lang")
       .filter(col("s") < col("n_docs")).count() > 0,
       "file 3 added nothing — carry check vacuous")
+  }
+  test("the Lloyd grid's monotone-decomposed signed sums resume from " +
+      "checkpoint (streaming k-means state across the crash boundary)") {
+    // staging ranges on vec_id — uncorrelated with the (cid, pos) grid
+    // keys, so every grid cell accumulates across ALL files and the
+    // post-restart fold can only equal the batch step if the pre-crash
+    // positive/negative partial sums were restored
+    val staged = StreamingKmeans.embRows(spark, sf0001)
+    val log = crashAndResume(staged, "vec_id", "update", "kmeans_restart")(
+      StreamingKmeans.gridAgg(spark, sf0001))
+    assert(log.select(col("batch_id")).distinct().count() == 3)
+    assert(rows(StreamingKmeans.foldGrid(log.drop("batch_id")))
+      == rows(Similarity.kmeansStep(Tables.embeddings(spark, sf0001))
+        .orderBy(col("cid"), col("pos"))))
   }
 }
