@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 
 import graft.SparkSpec
-import graft.operators.{BoundedTopK, HeavyHitters, Sketches}
+import graft.operators.{BoundedTopK, HeavyHitters, Similarity, Sketches}
 
 /** Provider-swap certification for the UPDATE-MODE aggregation class on the
   * RocksDB state store — completing the matrix the CDC path (r11,
@@ -75,6 +75,17 @@ class UpdateModeRocksDbSpec extends SparkSpec {
     withRocksDb {
       assert(rows(StreamingGroupSample.sampleDocsPerLangFromFiles(spark, sf0001))
         == batch)
+    }
+  }
+  test("the streaming Lloyd grid (built-in agg, decomposed signed sums) on " +
+      "RocksDB equals the batch k-means step") {
+    import org.apache.spark.sql.functions.col
+    val batch = rows(Similarity.kmeansStep(
+      graft.sources.Tables.embeddings(spark, sf0001))
+      .orderBy(col("cid"), col("pos")))
+    assert(batch.nonEmpty)
+    withRocksDb {
+      assert(rows(StreamingKmeans.lloydStepFromFiles(spark, sf0001)) == batch)
     }
   }
 }
