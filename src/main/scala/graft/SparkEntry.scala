@@ -333,6 +333,10 @@ object SparkEntry {
     // exploded tokens x broadcast weight-TABLE join, matched hits only to
     // the doc-keyed shuffle, integer cross-multiplied accept decision
     "text_quality_model" -> (QualityModel.scoreDocuments _),
+    // corpus-self unigram surprisal (the LM-perplexity proxy): floored
+    // micro ln once per DISTINCT token, integer sums per doc — no float
+    // crosses an aggregation
+    "text_surprisal" -> (Surprisal.scoreDocuments _),
     // concat-and-chunk sequence packing (sharded running sum, integer math)
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -707,6 +711,7 @@ object SparkEntry {
     "pipeline_corpus_diff" -> CorpusDiffSql.diffDocumentsSql,
     "pipeline_corpus_diff_streaming_file" -> CorpusDiffSql.diffDocumentsSql,
     "text_quality_model" -> QualityModelSql.scoreDocumentsSql,
+    "text_surprisal" -> SurprisalSql.scoreDocumentsSql,
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,
     "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,

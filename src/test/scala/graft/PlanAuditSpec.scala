@@ -40,7 +40,10 @@ class PlanAuditSpec extends SparkSpec {
     "ann_ivf_pq" -> 2, "ann_ivf_pq_res" -> 2, "ann_ivf_pq_res_trained" -> 2,
     "ann_ivf_trained" -> 3,
     "emb_kmeans_step" -> 1, "text_tfidf" -> 1, "q_bloom_join" -> 1,
-    "dedup_semantic" -> 1, "q_cms_join_size" -> 1, "q_kmv_overlap" -> 2)
+    "dedup_semantic" -> 1, "q_cms_join_size" -> 1, "q_kmv_overlap" -> 2,
+    // text_surprisal: the corpus-total single-row broadcast into the vocab
+    // projection (text_tfidf's shape) (1)
+    "text_surprisal" -> 1)
   test("no driver query plans a cartesian or nested-loop join") {
     // eager (streaming/iterative) queries are skipped via the ONE shared
     // exclusion set — see SparkEntry.eagerQueries for the rationale
