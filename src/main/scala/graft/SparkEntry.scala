@@ -173,6 +173,9 @@ object SparkEntry {
     "q_anomaly_mad" -> (Relational.anomalyMad _),
     // NTILE quartile report: total-order window so bucket boundaries pin
     "q_ntile" -> (Relational.ntileQuartiles _),
+    // the remaining §2.5 rank family: percent_rank / cume_dist / running
+    // nth_value over a total-ordered per-type spend window
+    "q_value_ranks" -> (Relational.valueRanks _),
     // bucketed point-in-interval range join (the raw BETWEEN predicate
     // would plan as a nested-loop join)
     "q_range_join" -> (RangeJoin.inTransitCounts _),
@@ -671,6 +674,7 @@ object SparkEntry {
     "q_retention_cohort" -> Relational.retentionCohortSql,
     "q_anomaly_mad" -> Relational.anomalyMadSql,
     "q_ntile" -> Relational.ntileQuartilesSql,
+    "q_value_ranks" -> Relational.valueRanksSql,
     "q_range_join" -> RangeJoin.inTransitCountsSql,
     "q_salted_join" -> SaltedJoin.orderVolumeBySegmentSql,
     "q_bucketed_join" -> BucketedJoin.orderVolumeBySegmentSql,

@@ -638,4 +638,41 @@ object Relational {
       |       CAST(count(*) AS BIGINT) AS n_events
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
+
+  /** Distribution ranks per user within an event type — the §2.5 window
+    * functions NTILE doesn't cover: percent_rank (relative standing),
+    * cume_dist (fraction at-or-above), nth_value (the podium cutoff,
+    * running frame). Spend totals are cent-scaled longs (the exactness
+    * rule); the ratios are exact small-integer divisions, identical
+    * doubles in both engines, rounded for the projection only. The window
+    * orders on (total DESC, user_id) — a total order, so no tie can
+    * reorder ranks across engines.
+    */
+  def valueRanks(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("total_cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("total_cents").desc, col("user_id"))
+    totals.select(col("event_type"), col("user_id"), col("total_cents"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("total_cents"), 3).over(w).as("third_cents"))
+      .orderBy(col("event_type"), col("user_id"))
+  }
+
+  val valueRanksSql: String =
+    """WITH totals AS (
+      |  SELECT event_type, user_id,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |  FROM events WHERE user_id IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT event_type, user_id, total_cents,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  nth_value(total_cents, 3) OVER w AS third_cents
+      |FROM totals
+      |WINDOW w AS (PARTITION BY event_type ORDER BY total_cents DESC, user_id)
+      |ORDER BY event_type, user_id""".stripMargin
 }
