@@ -314,6 +314,10 @@ object SparkEntry {
     // token shares, content-addressed coin, all-integer ppm — two narrow
     // passes, both aggs map-side-combined to |langs| rows
     "pipeline_mixture_sample" -> (Mixture.rebalanceDocs _),
+    // temperature-scaled (alpha = 0.5) language rebalancing — the
+    // multilingual pretraining standard; sqrt is the one IEEE-exact
+    // temperature, so the rates carry no cross-engine libm risk
+    "pipeline_temperature_sample" -> (Mixture.temperatureRebalanceDocs _),
     // deterministic weighted sampling without replacement (hash
     // replication — the integer-exact cousin of priority sampling):
     // min-of-w salted hashes per row, all narrow, bottom-k TakeOrdered
@@ -710,6 +714,7 @@ object SparkEntry {
     "text_bigram_novelty" -> TextAnalysisSql.bigramNoveltySql(),
     "pipeline_token_budget" -> TextAnalysisSql.tokenBudgetSql,
     "pipeline_mixture_sample" -> Mixture.rebalanceDocsSql,
+    "pipeline_temperature_sample" -> Mixture.temperatureRebalanceDocsSql,
     "pipeline_global_shuffle" -> GlobalShuffleSql.shuffledDocumentsSql,
     "pipeline_weighted_sample" -> WeightedSampleSql.sampleDocumentsSql,
     "pipeline_corpus_diff" -> CorpusDiffSql.diffDocumentsSql,

@@ -65,6 +65,77 @@ object Mixture {
   def rebalanceDocs(spark: SparkSession, dir: String): DataFrame =
     rebalance(Tables.documents(spark, dir))
 
+  val TempSalt = "temp:"
+
+  /** TEMPERATURE-scaled rebalancing at α = 0.5 — the multilingual
+    * pretraining standard (target share ∝ n^α compresses the size
+    * spectrum: rare languages upweighted relative to raw frequency,
+    * dominant ones damped). Downsampling-only spelling: the smallest
+    * language keeps everything and language l keeps
+    * `floor(1e6 · sqrt(n_min / n_l))` ppm, so the OUTPUT token shares are
+    * ∝ sqrt(n_l).
+    *
+    * Exactness: α = 0.5 is the one temperature whose pow is IEEE-exact —
+    * `sqrt` is a correctly-rounded operation, so both engines produce the
+    * bit-identical double from the identical integer ratio, and the single
+    * multiply + floor after it are equally deterministic (a general pow(x,
+    * 0.7) would carry a cross-engine libm risk the repo's exactness rule
+    * rejects). Same narrow two-pass, language-cardinality-rate,
+    * content-addressed-coin shape as [[rebalance]].
+    */
+  def temperatureRebalance(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      TF.nTokens(col("text")).cast("long").as("n_tokens"))
+    val rates = toks.groupBy("lang")
+      .agg(sum("n_tokens").as("lang_tokens"))
+      .withColumn("min_tokens", min("lang_tokens")
+        .over(Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("lang"), col("lang_tokens"),
+        floor(lit(1000000.0) *
+          sqrt(col("min_tokens").cast("double") / col("lang_tokens")))
+          .cast("long").as("rate_ppm"))
+    val coin = TF.hash60(concat(lit(TempSalt), col("doc_id").cast("string"))) % 1000000L
+    toks.join(broadcast(rates), Seq("lang"))
+      .withColumn("keep", coin < col("rate_ppm"))
+      .groupBy("lang")
+      .agg(max("lang_tokens").as("lang_tokens"),
+        max("rate_ppm").as("rate_ppm"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("n_tokens_kept"))
+      .orderBy("lang")
+  }
+
+  /** Driver query: temperature-sample the documents corpus at α = 0.5. */
+  def temperatureRebalanceDocs(spark: SparkSession, dir: String): DataFrame =
+    temperatureRebalance(Tables.documents(spark, dir))
+
+  /** Mirror of [[temperatureRebalance]] — same salt, same sqrt spelling. */
+  val temperatureRebalanceDocsSql: String = {
+    val coin =
+      s"${TS.hash60(s"('$TempSalt' || CAST(doc_id AS VARCHAR))")} % 1000000"
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, CAST(${TS.nTokens("text")} AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |langs AS (
+       |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+       |  FROM toks GROUP BY 1),
+       |rates AS (
+       |  SELECT lang, lang_tokens,
+       |    CAST(floor(1000000.0 *
+       |      sqrt(CAST(min(lang_tokens) OVER () AS DOUBLE) / lang_tokens))
+       |      AS BIGINT) AS rate_ppm
+       |  FROM langs)
+       |SELECT t.lang, max(r.lang_tokens) AS lang_tokens,
+       |  max(r.rate_ppm) AS rate_ppm,
+       |  CAST(sum(CASE WHEN $coin < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_kept,
+       |  CAST(sum(CASE WHEN $coin < r.rate_ppm THEN t.n_tokens ELSE 0 END)
+       |    AS BIGINT) AS n_tokens_kept
+       |FROM toks t JOIN rates r USING (lang)
+       |GROUP BY t.lang ORDER BY t.lang""".stripMargin
+  }
+
   /** Mirror of [[rebalance]] — same salt, target, and `//` (= `div`)
     * integer rate arithmetic; DuckDB's HUGEINT sums pinned to BIGINT.
     */

@@ -43,4 +43,23 @@ class MixtureSpec extends SparkSpec {
       assert(r._3 == 1000000L && r._4 == counts(r._1), r)
     }
   }
+  test("temperature sampling: min language keeps all, rates fall with size, " +
+      "output shares compress toward sqrt") {
+    import org.apache.spark.sql.functions.col
+    val rows = Mixture.temperatureRebalanceDocs(spark, sf0001)
+      .select(col("lang"), col("lang_tokens"), col("rate_ppm"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val minLang = rows.minBy(_._2)
+    assert(minLang._3 == 1000000L, s"min language not kept whole: $minLang")
+    // rates are anti-monotone in language size (sqrt(n_min/n) decreases)
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a._3 >= b._3, s"$a then $b")
+      case _ =>
+    }
+    // each rate is exactly floor(1e6 * sqrt(min/n)) — the IEEE-exact claim
+    val minTok = minLang._2.toDouble
+    rows.foreach { case (l, n, r) =>
+      assert(r == math.floor(1e6 * math.sqrt(minTok / n)).toLong, l)
+    }
+  }
 }
