@@ -318,6 +318,10 @@ object SparkEntry {
     // multilingual pretraining standard; sqrt is the one IEEE-exact
     // temperature, so the rates carry no cross-engine libm risk
     "pipeline_temperature_sample" -> (Mixture.temperatureRebalanceDocs _),
+    // the END-TO-END assembly in one plan: clean -> temperature-sample ->
+    // global shuffle, emitting the final training manifest (positions
+    // included) — every stage the standalone operators' exact expressions
+    "pipeline_assemble" -> (Assemble.assembleDocuments _),
     // deterministic weighted sampling without replacement (hash
     // replication — the integer-exact cousin of priority sampling):
     // min-of-w salted hashes per row, all narrow, bottom-k TakeOrdered
@@ -715,6 +719,7 @@ object SparkEntry {
     "pipeline_token_budget" -> TextAnalysisSql.tokenBudgetSql,
     "pipeline_mixture_sample" -> Mixture.rebalanceDocsSql,
     "pipeline_temperature_sample" -> Mixture.temperatureRebalanceDocsSql,
+    "pipeline_assemble" -> AssembleSql.assembleDocumentsSql,
     "pipeline_global_shuffle" -> GlobalShuffleSql.shuffledDocumentsSql,
     "pipeline_weighted_sample" -> WeightedSampleSql.sampleDocumentsSql,
     "pipeline_corpus_diff" -> CorpusDiffSql.diffDocumentsSql,

@@ -54,9 +54,12 @@ object CleanCorpus {
       .withColumn("n_tokens", TF.nTokens(col("text")).cast("long"))
       .withColumn("content_hash", md5(trim(col("text")).cast("binary")))
 
-  def clean(docs: DataFrame): DataFrame = {
-    val gated = gatedDocs(docs)
-    gated
+  /** [[clean]] without the presentation sort — the form downstream
+    * composites ([[Assemble]]) build on, so the sort is not buried under
+    * their joins.
+    */
+  def cleanUnordered(docs: DataFrame): DataFrame =
+    gatedDocs(docs)
       .groupBy(col("content_hash"))
       .agg(
         min_by(
@@ -67,8 +70,9 @@ object CleanCorpus {
         col("keep.quality").as("quality"), col("keep.n_tokens").as("n_tokens"),
         col("n_copies"))
       .withColumn("split", TextAnalysis.splitAssign(col("doc_id")))
-      .orderBy(col("doc_id"))
-  }
+
+  def clean(docs: DataFrame): DataFrame =
+    cleanUnordered(docs).orderBy(col("doc_id"))
 
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame =
     clean(Tables.documents(spark, dir))
