@@ -36,17 +36,17 @@ object Assemble {
 
   /** (pos, shard, doc_id, source, lang, split, n_tokens): the manifest. */
   def assemble(docs: DataFrame): DataFrame = {
+    // source rides the clean chain's scan projection and dedup struct —
+    // no corpus join to re-attach it
     val cleaned = CleanCorpus.cleanUnordered(docs)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
     val rates = cleaned.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
       .withColumn("min_tokens", min(col("src_tokens"))
         .over(Window.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
       .select(col("source"),
-        floor(lit(1000000.0) *
-          sqrt(col("min_tokens").cast("double") / col("src_tokens")))
-          .cast("long").as("rate_ppm"))
+        Mixture.temperatureRatePpm(col("min_tokens"), col("src_tokens"))
+          .as("rate_ppm"))
     val coin = TF.hash60(
       concat(lit(Mixture.TempSalt), col("doc_id").cast("string"))) % 1000000L
     // materialized once: the gate/dedup/sample chain feeds BOTH the
@@ -81,34 +81,30 @@ object AssembleSql {
     val hv = TS.hash60(
       s"('${GlobalShuffle.ShuffleSalt}' || CAST(doc_id AS VARCHAR))")
     s"""WITH scored AS (
-       |  SELECT doc_id, lang, text,
+       |  SELECT doc_id, source, lang, text,
        |    ${TS.langPredict("text")} AS lang_pred,
        |    ${TextAnalysisSql.qualityScoreSql("text")} AS quality,
        |    CAST(${TS.nTokens("text")} AS BIGINT) AS n_tokens
        |  FROM documents),
        |gated AS (
-       |  SELECT doc_id, lang, text, n_tokens FROM scored
+       |  SELECT doc_id, source, lang, text, n_tokens FROM scored
        |  WHERE lang_pred = lang AND quality >= ${CleanCorpus.QualityMin}),
-       |cleaned AS (
-       |  SELECT doc_id, lang, n_tokens,
+       |cleaneds AS (
+       |  SELECT doc_id, source, lang, n_tokens,
        |    ${TextAnalysisSql.splitAssignSql("doc_id")} AS split
        |  FROM (
-       |    SELECT doc_id, lang, n_tokens,
+       |    SELECT doc_id, source, lang, n_tokens,
        |      row_number() OVER (PARTITION BY md5(trim(text))
        |        ORDER BY doc_id) AS rn
        |    FROM gated)
        |  WHERE rn = 1),
-       |cleaneds AS (
-       |  SELECT c.doc_id, d.source, c.lang, c.split, c.n_tokens
-       |  FROM cleaned c JOIN documents d USING (doc_id)),
        |srcs AS (
        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
        |  FROM cleaneds GROUP BY 1),
        |rates AS (
        |  SELECT source,
-       |    CAST(floor(1000000.0 *
-       |      sqrt(CAST(min(src_tokens) OVER () AS DOUBLE) / src_tokens))
-       |      AS BIGINT) AS rate_ppm
+       |    ${Mixture.temperatureRatePpmSql("min(src_tokens) OVER ()", "src_tokens")}
+       |      AS rate_ppm
        |  FROM srcs),
        |sampled AS (
        |  SELECT c.doc_id, c.source, c.lang, c.split, c.n_tokens

@@ -54,25 +54,33 @@ object CleanCorpus {
       .withColumn("n_tokens", TF.nTokens(col("text")).cast("long"))
       .withColumn("content_hash", md5(trim(col("text")).cast("binary")))
 
-  /** [[clean]] without the presentation sort — the form downstream
-    * composites ([[Assemble]]) build on, so the sort is not buried under
-    * their joins.
+  /** [[clean]] without the presentation sort, and — when the input carries
+    * a `source` column — with the winner's source riding the scan
+    * projection and the min_by struct, so a downstream composite's
+    * domain-mixing stage ([[Assemble]]) costs no extra corpus join.
+    * [[clean]]'s certified surface is unchanged (it drops the extra
+    * column); inputs without `source` (the spec's minimal frames) behave
+    * exactly as before.
     */
-  def cleanUnordered(docs: DataFrame): DataFrame =
+  def cleanUnordered(docs: DataFrame): DataFrame = {
+    val withSource = docs.columns.contains("source")
+    val keepCols = Seq(col("doc_id"), col("lang"), col("quality"),
+      col("n_tokens")) ++ (if (withSource) Seq(col("source")) else Nil)
+    val outCols = Seq(col("keep.doc_id").as("doc_id"),
+      col("keep.lang").as("lang"), col("keep.quality").as("quality"),
+      col("keep.n_tokens").as("n_tokens")) ++
+      (if (withSource) Seq(col("keep.source").as("source")) else Nil) :+
+      col("n_copies")
     gatedDocs(docs)
       .groupBy(col("content_hash"))
-      .agg(
-        min_by(
-          struct(col("doc_id"), col("lang"), col("quality"), col("n_tokens")),
-          col("doc_id")).as("keep"),
+      .agg(min_by(struct(keepCols: _*), col("doc_id")).as("keep"),
         count(lit(1)).as("n_copies"))
-      .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"),
-        col("keep.quality").as("quality"), col("keep.n_tokens").as("n_tokens"),
-        col("n_copies"))
+      .select(outCols: _*)
       .withColumn("split", TextAnalysis.splitAssign(col("doc_id")))
+  }
 
   def clean(docs: DataFrame): DataFrame =
-    cleanUnordered(docs).orderBy(col("doc_id"))
+    cleanUnordered(docs).drop("source").orderBy(col("doc_id"))
 
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame =
     clean(Tables.documents(spark, dir))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,6 +67,17 @@ object Mixture {
 
   val TempSalt = "temp:"
 
+  /** The alpha-0.5 rate: floor(1e6 · sqrt(min/n)) ppm — ONE spelling
+    * shared by [[temperatureRebalance]] and the [[Assemble]] composite
+    * (Scala and SQL), so the temperature recipe cannot drift between the
+    * standalone operator and the pipeline that embeds it.
+    */
+  private[graft] def temperatureRatePpm(minTokens: Column, tokens: Column): Column =
+    floor(lit(1000000.0) * sqrt(minTokens.cast("double") / tokens)).cast("long")
+
+  private[graft] def temperatureRatePpmSql(minExpr: String, nExpr: String): String =
+    s"CAST(floor(1000000.0 * sqrt(CAST($minExpr AS DOUBLE) / $nExpr)) AS BIGINT)"
+
   /** TEMPERATURE-scaled rebalancing at α = 0.5 — the multilingual
     * pretraining standard (target share ∝ n^α compresses the size
     * spectrum: rare languages upweighted relative to raw frequency,
@@ -92,9 +103,7 @@ object Mixture {
         .over(Window.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
       .select(col("lang"), col("lang_tokens"),
-        floor(lit(1000000.0) *
-          sqrt(col("min_tokens").cast("double") / col("lang_tokens")))
-          .cast("long").as("rate_ppm"))
+        temperatureRatePpm(col("min_tokens"), col("lang_tokens")).as("rate_ppm"))
     val coin = TF.hash60(concat(lit(TempSalt), col("doc_id").cast("string"))) % 1000000L
     toks.join(broadcast(rates), Seq("lang"))
       .withColumn("keep", coin < col("rate_ppm"))
@@ -122,9 +131,8 @@ object Mixture {
        |  FROM toks GROUP BY 1),
        |rates AS (
        |  SELECT lang, lang_tokens,
-       |    CAST(floor(1000000.0 *
-       |      sqrt(CAST(min(lang_tokens) OVER () AS DOUBLE) / lang_tokens))
-       |      AS BIGINT) AS rate_ppm
+       |    ${temperatureRatePpmSql("min(lang_tokens) OVER ()", "lang_tokens")}
+       |      AS rate_ppm
        |  FROM langs)
        |SELECT t.lang, max(r.lang_tokens) AS lang_tokens,
        |  max(r.rate_ppm) AS rate_ppm,

@@ -154,11 +154,22 @@ object Sketches {
     * display residual risk is the documented [[estimate]] one, and the
     * SKETCH itself is certified exactly through (n_kept, kth_hash).
     */
-  def kmvEstimate(nKept: org.apache.spark.sql.Column,
+  /** The estimate WITHOUT the display rounding — the shared arithmetic:
+    * exact count below saturation, (k-1)·2^60/kth above it. Consumed by
+    * [[kmvEstimate]] (rounds the saturated branch for the projection) and
+    * [[kmvOverlapOf]] (folds the raw value into the intersection product),
+    * so the two operators' recipes cannot drift.
+    */
+  private[graft] def kmvEstimateRaw(nKept: org.apache.spark.sql.Column,
       kth: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(nKept < KmvK, nKept.cast("double"))
-      .otherwise(round(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
-        kth.cast("double"), 6))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
+        kth.cast("double"))
+
+  def kmvEstimate(nKept: org.apache.spark.sql.Column,
+      kth: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(nKept < KmvK, kmvEstimateRaw(nKept, kth))
+      .otherwise(round(kmvEstimateRaw(nKept, kth), 6))
 
   /** Per-group KMV approximate distinct count of `valueCol`:
     * (groupCols*, n_kept, kth_hash, est_distinct).
@@ -322,8 +333,7 @@ object Sketches {
       max(col("hv")).as("theta"),
       sum((col("in_a") * col("in_b")).cast("long")).as("n_common"))
     val jRaw = col("n_common").cast("double") / col("n_kept").cast("double")
-    val unionRaw = when(col("n_kept") < k, col("n_kept").cast("double"))
-      .otherwise(lit((k - 1).toDouble * (1L << 60).toDouble) / col("theta").cast("double"))
+    val unionRaw = kmvEstimateRaw(col("n_kept"), col("theta"))
     agg.select(col("type_a"), col("type_b"), col("n_kept"), col("theta"),
         col("n_common"),
         round(jRaw, 6).as("est_jaccard"),

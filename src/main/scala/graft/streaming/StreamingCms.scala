@@ -27,19 +27,19 @@ final case class CmsRow(user_id: Long, event_type: String)
   */
 object StreamingCms {
 
-  /** The grid update every form shares: the depth-exploded bucket hits of
-    * the (user_id, event_type) rows, counted per cell. All upstream ops are
-    * narrow (filter/projection/explode), so the only stateful operator is
-    * the grid-sized count.
+  /** The grid update every form shares — [[Sketches.cmsSketch]] itself
+    * (ONE spelling of the aggregation, so the batch operator and the
+    * streaming twins can never disagree). All upstream ops are narrow
+    * (filter/projection/explode), so the only stateful operator is the
+    * grid-sized count.
     */
   private def gridCounts(rows: DataFrame): DataFrame =
-    Sketches.cmsEntries(Sketches.cmsKeyed(rows))
-      .groupBy(col("d"), col("bucket")).count()
+    Sketches.cmsSketch(Sketches.cmsKeyed(rows))
 
   /** Cumulative counts are monotone: the final cell value is the row max. */
   private def foldEmissions(emissions: DataFrame): DataFrame =
     emissions.groupBy(col("d"), col("bucket"))
-      .agg(max(col("count")).as("cnt"))
+      .agg(max(col("cnt")).as("cnt"))
 
   private def estimateTail(spark: SparkSession, dir: String,
       sketch: DataFrame): DataFrame =
