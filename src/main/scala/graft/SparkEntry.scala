@@ -340,6 +340,10 @@ object SparkEntry {
     // join per micro-batch), deletions via one batch anti-pass; SAME oracle
     "pipeline_corpus_diff_streaming_file" -> ((s, d) =>
       streaming.StreamingCorpusDiff.diffDocumentsFromFiles(s, d)),
+    // the step after the diff: dedup the delta against the WHOLE previous
+    // snapshot's content (a new page duplicating a different existing
+    // page); hash rows only past the md5 projections
+    "pipeline_delta_dedup" -> (CorpusDiff.deltaDedupDocuments _),
     // linear model-based quality classifier (the fastText-linear shape):
     // exploded tokens x broadcast weight-TABLE join, matched hits only to
     // the doc-keyed shuffle, integer cross-multiplied accept decision
@@ -724,6 +728,7 @@ object SparkEntry {
     "pipeline_weighted_sample" -> WeightedSampleSql.sampleDocumentsSql,
     "pipeline_corpus_diff" -> CorpusDiffSql.diffDocumentsSql,
     "pipeline_corpus_diff_streaming_file" -> CorpusDiffSql.diffDocumentsSql,
+    "pipeline_delta_dedup" -> CorpusDiffSql.deltaDedupDocumentsSql,
     "text_quality_model" -> QualityModelSql.scoreDocumentsSql,
     "text_surprisal" -> SurprisalSql.scoreDocumentsSql,
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,

@@ -30,6 +30,20 @@ class CorpusDiffSpec extends SparkSpec {
     assert(got == Map(1L -> "changed", 2L -> "changed"), got)
   }
 
+  test("delta dedup flags new content that duplicates a DIFFERENT old doc") {
+    val old = snap(1L -> "alpha", 2L -> "beta")
+    // 10 is added with old doc 1's content (mirror); 11 added novel;
+    // 2 changed to old doc 1's content (cross-doc dup via change)
+    val neu = snap(1L -> "alpha", 2L -> "alpha", 10L -> "alpha", 11L -> "new!")
+    val got = CorpusDiff.deltaDedup(old, neu)
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      2L -> (("changed", false)),
+      10L -> (("added", false)),
+      11L -> (("added", true))), got)
+  }
+
   test("the carved snapshots exercise every branch on a dense id range") {
     val docs = (0L until 600L).map(i => i -> s"doc $i").toDF("doc_id", "text")
     val got = CorpusDiff
