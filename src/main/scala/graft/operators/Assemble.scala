@@ -38,7 +38,10 @@ object Assemble {
   def assemble(docs: DataFrame): DataFrame = {
     // source rides the clean chain's scan projection and dedup struct —
     // no corpus join to re-attach it
-    val cleaned = CleanCorpus.cleanUnordered(docs)
+    // cached FIRST: the gate/dedup chain feeds BOTH the rate aggregation
+    // and the sample filter below — uncached, the corpus-sized clean pass
+    // would run twice (r14's advisor caught exactly that)
+    val cleaned = Caching.cached(CleanCorpus.cleanUnordered(docs))
     val rates = cleaned.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
       .withColumn("min_tokens", min(col("src_tokens"))
@@ -49,10 +52,9 @@ object Assemble {
           .as("rate_ppm"))
     val coin = TF.hash60(
       concat(lit(Mixture.TempSalt), col("doc_id").cast("string"))) % 1000000L
-    // materialized once: the gate/dedup/sample chain feeds BOTH the
-    // position assignment and the manifest rejoin (the semantic-dedup
-    // lesson — uncached, Spark recomputes the corpus chain per consumer);
-    // a deployment materializes the sampled survivor set here anyway
+    // materialized once as well: the sampled survivor set feeds BOTH the
+    // position assignment and the manifest rejoin; a deployment
+    // materializes it here anyway
     val sampled = Caching.cached(cleaned.join(broadcast(rates), Seq("source"))
       .filter(coin < col("rate_ppm"))
       .select(col("doc_id"), col("source"), col("lang"), col("split"),

@@ -100,9 +100,13 @@ object CorpusDiff {
 
   def deltaDedupDocuments(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // mirror ids NEGATED: real doc_ids are non-negative (and the mirror
+    // carve excludes 0), so -doc_id is disjoint from the live id space at
+    // ANY corpus size — a fixed offset would collide once the corpus
+    // outgrew it
     val mirrors = docs.filter(col("doc_id") % MirrorMod === 2 &&
         col("doc_id") % AddedMod =!= 0 && col("doc_id") % ChangedMod =!= 0)
-      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      .select((-col("doc_id")).as("doc_id"), col("text"))
     deltaDedup(oldSnapshot(docs), newSnapshot(docs).unionAll(mirrors))
       .orderBy(col("doc_id"))
   }
@@ -140,7 +144,7 @@ object CorpusDiffSql {
        |  SELECT doc_id, text
        |  FROM documents WHERE doc_id % $RemovedMod <> 1
        |  UNION ALL
-       |  SELECT doc_id + 3000000, text FROM documents
+       |  SELECT -doc_id, text FROM documents
        |  WHERE doc_id % ${CorpusDiff.MirrorMod} = 2
        |    AND doc_id % $AddedMod <> 0 AND doc_id % $ChangedMod <> 0),
        |statuses AS (

@@ -35,7 +35,9 @@ object WeightedSample {
 
   /** (doc_id, weight, priority): the k winners by (priority, doc_id). */
   def sample(docs: DataFrame, k: Int = SampleK): DataFrame = {
-    val w = (lit(1L) + least(floor(col("n_chars") / lit(WeightDivisor)).cast("long"),
+    // integer `div` (n_chars is non-negative), spelled the same way the
+    // oracle's BIGINT `//` floors — no float op in the weight at all
+    val w = (lit(1L) + least(expr(s"n_chars div $WeightDivisor").cast("long"),
       lit(MaxExtraWeight))).as("weight")
     val priority = array_min(transform(
       sequence(lit(1L), col("weight")),
