@@ -617,26 +617,24 @@ object SparkEntry {
     // audio window/hop chunking in exact sample-integer math (full oracle)
     "mm_audio_chunk" -> ((s, d) => Multimodal.audioChunks(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"), col("chunk_idx"))),
-    // --- multimodal decode plumbing (mapPartitions batch stub) ---
-    // partial oracle: (doc_id, width, height) hash-checked; the `features`
-    // array is the declared-stub half and is dropped from the checked surface
-    "mm_decode_stub" -> ((s, d) => Multimodal.decodeStub(
+    // --- multimodal decode plumbing (mapPartitions batched codec seam) ---
+    // FULL oracle: dimensions and every per-chunk milli-mean byte feature
+    // hash-checked (integer-exact byte arithmetic end to end)
+    "mm_decode" -> ((s, d) => Multimodal.decode(
       Multimodal.asMedia(sources.Tables.documents(s, d)))
-      .orderBy(col("doc_id"))
-      .drop("features")),
-    // resize plumbing, same batched contract as decode but ALL-integer fit
+      .orderBy(col("doc_id"), col("chunk"))),
+    // resize plumbing, same batched contract as decode, ALL-integer fit
     // arithmetic — the entire output is oracle-checked, plumbing included
-    "mm_resize_stub" -> ((s, d) => Multimodal.resizeStub(
+    "mm_resize" -> ((s, d) => Multimodal.resize(
       Multimodal.asMedia(sources.Tables.documents(s, d)))
       .orderBy(col("doc_id"))),
-    // fake per-chunk feature extraction with a FULL oracle (long form)
-    "mm_embed_stub" -> ((s, d) => Multimodal.embedStub(sources.Tables.documents(s, d))
+    // per-chunk feature extraction with a FULL oracle (long form)
+    "mm_embed" -> ((s, d) => Multimodal.embed(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"), col("dim")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Every query is oracle-checked; mm_decode_stub's
-    * oracle covers the SQL-expressible (doc_id, width, height) projection.
+    * the same parquet tables. Every query is oracle-checked in full.
     */
   def oracleSql: Map[String, String] = Map(
     "mqtt_messages" -> MqttQueries.messagesSql,
@@ -796,8 +794,8 @@ object SparkEntry {
     "mm_metadata" -> MultimodalSql.metadataSql,
     "mm_frame_sample" -> MultimodalSql.frameSampleSql,
     "mm_audio_chunk" -> MultimodalSql.audioChunksSql(),
-    "mm_decode_stub" -> MultimodalSql.decodeStubSql,
-    "mm_resize_stub" -> MultimodalSql.resizeStubSql(),
-    "mm_embed_stub" -> MultimodalSql.embedStubSql()
+    "mm_decode" -> MultimodalSql.decodeSql,
+    "mm_resize" -> MultimodalSql.resizeSql(),
+    "mm_embed" -> MultimodalSql.embedSql()
   )
 }

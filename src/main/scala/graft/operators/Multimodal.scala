@@ -7,10 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: media payloads as opaque `binary` columns with
   * typed metadata, plus decode / feature-extraction / frame-sampling plumbing.
   *
-  * The real decode step (image/audio codecs) is STUBBED — the container has no
-  * media libraries — with a clearly-marked deterministic fake. Everything
-  * around it is real Spark plumbing: schema, batched per-partition execution,
-  * column pruning (binary column only touched by the stages that need it).
+  * The codec/model calls themselves are deterministic byte-arithmetic
+  * stand-ins — the container has no media libraries; each operator's scaladoc
+  * marks the exact swap point — but EVERYTHING the operators emit is
+  * integer-exact and fully oracle-certified, and everything around them is
+  * real Spark plumbing: schema, batched per-partition execution, column
+  * pruning (binary column only touched by the stages that need it).
   *
   * This mirrors the reference's own stance on payloads: the MQTT `value` is an
   * opaque LONGBLOB the engine stores and moves but never interprets
@@ -83,23 +85,33 @@ object Multimodal {
         expr(s"chunk_idx * ${hop}L * 1000L div ${rate}L").as("start_ms"))
   }
 
-  /** Output schema of the decode stage. */
+  /** Output schema of the decode stage: long-form, one row per (media row,
+    * feature chunk) so EVERY emitted value is hash-comparable row-wise.
+    */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    StructField("chunk", IntegerType, nullable = false),
+    StructField("feat_milli", LongType, nullable = false)))
+
+  /** Number of feature chunks the decode emits per media row. */
+  val DecodeChunks = 8
 
   /** Batched per-partition decode — the Scala analog of `mapInPandas`: rows
     * are pulled in batches of `batchSize` so a real codec could amortize
     * library/model setup per batch instead of per row.
     *
-    * STUB: the "decode" is a deterministic fake (dimensions and an 8-float
-    * feature vector derived from payload bytes). Swap `decodeBatch` for a real
-    * codec; the plumbing (schema, batching, partition-locality) is the real
-    * contract.
+    * The codec itself is a deterministic byte-arithmetic stand-in (no media
+    * libraries in this container — swap `decodeBatch` for a real one), but
+    * unlike the former `decodeStub` its ENTIRE output is integer-exact and
+    * oracle-certified: dimensions from the payload byte length, and per-chunk
+    * features as the milli-scaled mean byte value over exact-division chunk
+    * boundaries (`[i·len/8, (i+1)·len/8)`, the same boundary model as
+    * [[embed]]). All math is integral — byte sums, `sum*1000 div len` — so no
+    * float crosses the engine boundary.
     */
-  def decodeStub(media: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decode(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     val out = media.select(col("doc_id"), col("media")).rdd.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch => decodeBatch(batch) }
@@ -115,14 +127,13 @@ object Multimodal {
     StructField("out_width", IntegerType, nullable = false),
     StructField("out_height", IntegerType, nullable = false)))
 
-  /** Batched per-partition resize — same plumbing contract as [[decodeStub]]
-    * (a real implementation swaps `resizeBatch` for an image library), but
-    * the stub's aspect-preserving fit-into-(maxW x maxH) arithmetic is ALL
-    * integer (micro-scaled), so unlike the decode features the ENTIRE
-    * output is oracle-checkable: the driver certifies the batching plumbing
-    * end-to-end, not just its shape.
+  /** Batched per-partition resize — same plumbing contract as [[decode]]
+    * (a real implementation swaps `resizeBatch` for an image library); the
+    * aspect-preserving fit-into-(maxW x maxH) arithmetic is ALL integer
+    * (micro-scaled), so the ENTIRE output is oracle-checked: the driver
+    * certifies the batching plumbing end-to-end, not just its shape.
     */
-  def resizeStub(media: DataFrame, maxW: Int = 224, maxH: Int = 224,
+  def resize(media: DataFrame, maxW: Int = 224, maxH: Int = 224,
       batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     val out = media.select(col("doc_id"), col("media")).rdd.mapPartitions { rows =>
@@ -143,13 +154,14 @@ object Multimodal {
       Row(id, w, h, (w * scale / 1000000L).toInt, (h * scale / 1000000L).toInt)
     }
 
-  /** Fake feature extraction with a FULL oracle: an 8-dim embedding where
-    * dim i hashes the i-th character chunk of the text (boundaries by exact
-    * integer division) — the deterministic stand-in for a per-chunk model
-    * embedding, emitted in long form (doc, dim, feat) so the oracle compares
-    * rows, not arrays. Narrow: explode + codegen'd hash, no shuffle.
+  /** Per-chunk feature extraction, fully oracle-certified: an 8-dim
+    * embedding where dim i hashes the i-th character chunk of the text
+    * (boundaries by exact integer division) — the deterministic stand-in
+    * for a per-chunk model embedding (swap the hash for a model call),
+    * emitted in long form (doc, dim, feat) so the oracle compares rows,
+    * not arrays. Narrow: explode + codegen'd hash, no shuffle.
     */
-  def embedStub(docs: DataFrame, dims: Int = 8): DataFrame = {
+  def embed(docs: DataFrame, dims: Int = 8): DataFrame = {
     import graft.functions.{TextFunctions => TF}
     docs
       .select(col("doc_id"), col("text"),
@@ -161,26 +173,34 @@ object Multimodal {
           lit(256L)).as("feat"))
   }
 
-  /** The stubbed batch decode: one call per batch, like a vectorized UDF. */
+  /** The batch decode: one call per batch, like a vectorized UDF. ALL
+    * integer: per-chunk byte sums over exact-division boundaries, milli-mean
+    * by integer division (operands non-negative, so truncation ≡ floor ≡ the
+    * oracle's BIGINT `//`). Empty chunks (payload shorter than
+    * [[DecodeChunks]] bytes) emit 0.
+    */
   private def decodeBatch(batch: Seq[Row]): Seq[Row] =
-    batch.map { r =>
+    batch.flatMap { r =>
       val id = r.getLong(0)
       val bytes = r.getAs[Array[Byte]](1)
-      val w = bytes.length % 640 + 16
-      val h = bytes.length % 480 + 16
-      // deterministic fake features: mean byte value per 1/8th chunk
-      val features = (0 until 8).map { i =>
-        val lo = i * bytes.length / 8
-        val hi = math.max(lo + 1, (i + 1) * bytes.length / 8)
-        val slice = bytes.slice(lo, hi)
-        if (slice.isEmpty) 0f else slice.map(_ & 0xff).sum.toFloat / slice.length
-      }.toArray
-      Row(id, w, h, features)
+      val len = bytes.length
+      val w = len % 640 + 16
+      val h = len % 480 + 16
+      (0 until DecodeChunks).map { i =>
+        val lo = i * len / DecodeChunks
+        val hi = (i + 1) * len / DecodeChunks
+        var sum = 0L
+        var p = lo
+        while (p < hi) { sum += (bytes(p) & 0xff); p += 1 }
+        val feat = if (hi > lo) sum * 1000L / (hi - lo) else 0L
+        Row(id, w, h, i, feat)
+      }
     }
 }
 
 /** DuckDB oracle SQL for the expression-level multimodal queries. */
 object MultimodalSql {
+  import Multimodal.DecodeChunks
 
   val metadataSql: String =
     """SELECT doc_id,
@@ -221,21 +241,41 @@ object MultimodalSql {
        |       CAST(chunk_idx * $hop * 1000 // $rate AS BIGINT) AS start_ms
        |FROM chunked ORDER BY doc_id, chunk_idx""".stripMargin
 
-  /** Partial oracle for the decode stub: the deterministic fake dimensions are
-    * a pure function of payload byte length, so (doc_id, width, height) is
-    * SQL-expressible; only the `features` array (per-chunk byte means) stays
-    * outside the oracle and is dropped from the driver-checked projection.
+  /** FULL oracle for [[Multimodal.decode]] — dimensions AND every per-chunk
+    * milli-mean feature. Expressed in character space (per-position `ascii`
+    * sums), which is byte-identical on this corpus: `MultimodalSpec` asserts
+    * the documents are pure ASCII at gate scales, so char positions ≡ UTF-8
+    * byte positions and `ascii(c)` ≡ the byte value the Spark side sums.
+    * The chunk of position p inverts the exact-division boundaries
+    * algebraically: p ∈ [⌊i·len/8⌋, ⌊(i+1)·len/8⌋) ⟺ i = ⌈(p+1)·8/len⌉-1.
+    * A chunk spine LEFT JOIN keeps empty chunks (len < 8) at feat 0, the
+    * Spark side's guard.
     */
-  val decodeStubSql: String =
-    """SELECT doc_id,
-      |  octet_length(encode(text)) % 640 + 16 AS width,
-      |  octet_length(encode(text)) % 480 + 16 AS height
-      |FROM documents ORDER BY doc_id""".stripMargin
+  val decodeSql: String =
+    s"""WITH d AS (SELECT doc_id, text,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents),
+       |pos AS (SELECT doc_id, text, len,
+       |  CAST(unnest(range(len)) AS BIGINT) AS p FROM d),
+       |sums AS (
+       |  SELECT doc_id,
+       |    CAST(((p + 1) * $DecodeChunks + len - 1) // len - 1 AS INT) AS chunk,
+       |    CAST(sum(ascii(substring(text, CAST(p AS INT) + 1, 1))) AS BIGINT) AS s,
+       |    count(*) AS n
+       |  FROM pos GROUP BY 1, 2),
+       |spine AS (SELECT doc_id, len,
+       |  CAST(unnest(range($DecodeChunks)) AS INT) AS chunk FROM d)
+       |SELECT sp.doc_id,
+       |  CAST(sp.len % 640 + 16 AS INT) AS width,
+       |  CAST(sp.len % 480 + 16 AS INT) AS height,
+       |  sp.chunk,
+       |  CAST(coalesce(s.s * 1000 // s.n, 0) AS BIGINT) AS feat_milli
+       |FROM spine sp LEFT JOIN sums s USING (doc_id, chunk)
+       |ORDER BY doc_id, chunk""".stripMargin
 
-  /** Full oracle for [[Multimodal.resizeStub]] — the same micro-scaled
+  /** Full oracle for [[Multimodal.resize]] — the same micro-scaled
     * integer fit arithmetic.
     */
-  def resizeStubSql(maxW: Int = 224, maxH: Int = 224): String =
+  def resizeSql(maxW: Int = 224, maxH: Int = 224): String =
     s"""WITH d AS (SELECT doc_id,
        |  CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
        |  CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height
@@ -247,10 +287,10 @@ object MultimodalSql {
        |       ($maxH * 1000000) // height) // 1000000 AS INT) AS out_height
        |FROM d ORDER BY doc_id""".stripMargin
 
-  /** Full oracle for [[Multimodal.embedStub]] — same chunk boundaries
+  /** Full oracle for [[Multimodal.embed]] — same chunk boundaries
     * (exact integer division), same hash32 % 256 per chunk.
     */
-  def embedStubSql(dims: Int = 8): String = {
+  def embedSql(dims: Int = 8): String = {
     import graft.functions.{TextSql => TS}
     val chunk = s"substring(text, CAST((dim * length(text)) // $dims + 1 AS INT), " +
       s"CAST(((dim + 1) * length(text)) // $dims - (dim * length(text)) // $dims AS INT))"
