@@ -37,32 +37,32 @@ object SparkEntry {
     * union-find's by the DedupClusters scaladoc.
     */
   val eagerQueries: Set[String] = Set(
-    "mqtt_history_streaming", "mqtt_history_streaming_file",
+    "mqtt_history_streaming_file",
     "mqtt_history_streaming_tws", "mqtt_history_handoff",
     "mqtt_windowed_streaming_file",
     "mqtt_state_streaming", "mqtt_state_streaming_file",
     "dedup_clusters",
     "emb_kmeans_step_streaming_file",
-    "q_approx_distinct_streaming", "q_approx_distinct_streaming_file",
+    "q_approx_distinct_streaming_file",
     "q_approx_distinct_streaming_tws",
-    "q_kmv_distinct_streaming", "q_kmv_distinct_streaming_file",
-    "q_hll_distinct_streaming", "q_hll_distinct_streaming_file",
-    "q_approx_quantiles_streaming", "q_approx_quantiles_streaming_file",
-    "q_cms_counts_streaming", "q_cms_counts_streaming_file",
-    "q_heavy_hitters_streaming", "q_heavy_hitters_streaming_file",
-    "q_heavy_hitters_bounded_streaming", "q_heavy_hitters_bounded_streaming_file",
+    "q_kmv_distinct_streaming_file",
+    "q_hll_distinct_streaming_file",
+    "q_approx_quantiles_streaming_file",
+    "q_cms_counts_streaming_file",
+    "q_heavy_hitters_streaming_file",
+    "q_heavy_hitters_bounded_streaming_file",
     "q_heavy_hitters_bounded_streaming_tws",
-    "q_session_windows_streaming", "q_session_windows_streaming_file",
+    "q_session_windows_streaming_file",
     "q_session_windows_streaming_tws",
     "q_stream_static_join", "q_stream_static_join_file",
     "q_stream_stream_join", "q_stream_stream_join_outer",
     "q_bucketed_join",
-    "pipeline_clean_corpus_streaming", "pipeline_clean_corpus_streaming_file",
+    "pipeline_clean_corpus_streaming_file",
     "pipeline_corpus_diff_streaming_file",
     "pipeline_group_sample_streaming_file",
-    "dedup_exact_streaming", "dedup_exact_streaming_file",
-    "dedup_normalized_streaming", "dedup_normalized_streaming_file",
-    "dedup_winnow_streaming", "dedup_winnow_streaming_file")
+    "dedup_exact_streaming_file",
+    "dedup_normalized_streaming_file",
+    "dedup_winnow_streaming_file")
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -75,10 +75,6 @@ object SparkEntry {
     "mqtt_topic_filter" -> (MqttQueries.topicFilter _),
     "mqtt_localtime" -> (MqttQueries.localtime _),
     "mqtt_payload_json" -> (MqttQueries.payloadJson _),
-    // the streaming CDC path end-to-end (MemoryStream micro-batches through
-    // flatMapGroupsWithState), checked against the SAME oracle as the batch
-    // mqtt_history — the incremental-equals-batch property, driver-verified
-    "mqtt_history_streaming" -> ((s, d) => streaming.StreamingHistory.history(s, d)),
     // the same streaming CDC certified through the built-in FILE stream
     // source (range-ordered parquet chunks, maxFilesPerTrigger=1): no
     // driver-side input materialization anywhere on the ingest path, so
@@ -101,7 +97,18 @@ object SparkEntry {
     "mqtt_history_handoff" -> ((s, d) =>
       streaming.TwsBootstrapCdc.history(s, d)),
     // the keyed upsert sink end-to-end (source -> micro-batches -> foreachBatch
-    // merge), against the SAME oracle as the batch state table
+    // merge), against the SAME oracle as the batch state table.
+    //
+    // This is the ONE remaining broker-replay (driver-collect ingest)
+    // exemplar in the driver set: it alone certifies the DSv2 MqttSource
+    // read path (S1: pattern pushdown, ReadLimit chunking) composed with
+    // the UpsertSink merge (S3) end-to-end. The other 13 broker-replay
+    // twins were demoted in round 15 — their certification value is
+    // duplicated by the `*_file`/`*_tws` forms (same oracles, distributed
+    // ingest), they were the noisiest ~18% of bench (driver-collect
+    // ingest swings with machine load), and every demoted harness stays
+    // exercised by its spec (StreamingHistorySpec, StreamingDedupSpec,
+    // StreamingCmsSpec, ...).
     "mqtt_state_streaming" -> ((s, d) => streaming.StreamingState.state(s, d)),
     // the same keyed upsert certified through the built-in FILE stream
     // source: distributed range-ordered staging, one real micro-batch per
@@ -190,11 +197,6 @@ object SparkEntry {
     // runtime-filter pattern: broadcast bloom bitmap pre-filters the fact
     // side before the exact semi-join; oracle is the plain semi-join
     "q_bloom_join" -> (BloomJoin.urgentLineitems _),
-    // merging-window streaming state: sessionization across micro-batches
-    // with watermark eviction, against the SAME oracle as the batch
-    // q_session_windows (incremental-equals-batch for merging windows)
-    "q_session_windows_streaming" -> ((s, d) =>
-      streaming.StreamingSessions.userSessions(s, d)),
     // the same merging-window certificate with NO driver-side input
     // materialization: distributed file-source staging, one real
     // micro-batch per range-ordered chunk, flush sentinels finalize the
@@ -243,11 +245,6 @@ object SparkEntry {
     // composite corpus clean: lang gate -> quality gate -> exact dedup ->
     // split, fused so only the dedup agg is wide (one shuffle total)
     "pipeline_clean_corpus" -> (CleanCorpus.cleanCorpus _),
-    // the composite's streaming twin: stateless gates inside the micro-batch
-    // projection, dedup as an update-mode keyed agg; certified surface is
-    // the (content_hash, keep_id, n_copies) ledger
-    "pipeline_clean_corpus_streaming" -> ((s, d) =>
-      streaming.StreamingCleanCorpus.cleanLedger(s, d)),
     // the same gated ledger over distributed file-source micro-batches
     // (no driver-side input materialization); SAME oracle
     "pipeline_clean_corpus_streaming_file" -> ((s, d) =>
@@ -273,10 +270,6 @@ object SparkEntry {
     "text_winnow" -> (Winnow.winnowDocs _),
     // unaligned shared-passage dedup over the winnow fingerprint index
     "dedup_winnow" -> (Winnow.winnowDups _),
-    // streaming passage-novelty filter: first-seen winnow fingerprints,
-    // state keyed by the 8-byte fp (O(distinct passages/horizon))
-    "dedup_winnow_streaming" -> ((s, d) =>
-      streaming.StreamingWinnow.firstSeenPassages(s, d)),
     // the same first-seen passage state over distributed file-source
     // micro-batches (no driver-side input materialization); SAME oracle
     "dedup_winnow_streaming_file" -> ((s, d) =>
@@ -360,10 +353,6 @@ object SparkEntry {
     // fixed-width histogram quantile sketch (groups x bins shuffle, never a
     // per-group sort); the deterministic bin math is oracle-verified exactly
     "q_approx_quantiles" -> (Sketches.approxQuantilesByType _),
-    // the sketch maintained incrementally across micro-batches (bounded
-    // 128-byte state per group), against the SAME oracle as the batch form
-    "q_approx_distinct_streaming" -> ((s, d) =>
-      streaming.StreamingSketch.approxDistinctUsers(s, d)),
     // the same sketch over distributed file-source micro-batches (no
     // driver-side input materialization); SAME oracle
     "q_approx_distinct_streaming_file" -> ((s, d) =>
@@ -374,11 +363,6 @@ object SparkEntry {
     // state API + provider swap for the update-mode aggregation class
     "q_approx_distinct_streaming_tws" -> ((s, d) =>
       streaming.TwsSketch.approxDistinctUsersFromFiles(s, d)),
-    // the histogram sketch maintained incrementally (built-in update-mode
-    // streaming agg IS the sketch update; O(groups x bins) state), against
-    // the SAME oracle as the batch q_approx_quantiles
-    "q_approx_quantiles_streaming" -> ((s, d) =>
-      streaming.StreamingQuantiles.quantilesByType(s, d)),
     // the same histogram over distributed file-source micro-batches (no
     // driver-side input materialization); SAME oracle
     "q_approx_quantiles_streaming_file" -> ((s, d) =>
@@ -387,11 +371,6 @@ object SparkEntry {
     // (the custom-UDAF surface): O(k) state per group at ANY cardinality,
     // oracle-verified through its exact integer (n_kept, kth_hash) core
     "q_kmv_distinct" -> (Sketches.kmvDistinctUsers _),
-    // the same custom aggregate maintained incrementally by Spark's
-    // built-in update-mode streaming aggregation (state = the serialized
-    // sketch buffer), against the SAME oracle as the batch form
-    "q_kmv_distinct_streaming" -> ((s, d) =>
-      streaming.StreamingKmv.kmvDistinctUsers(s, d)),
     // the same custom aggregate over distributed file-source micro-batches
     // (no driver-side input materialization); SAME oracle
     "q_kmv_distinct_streaming_file" -> ((s, d) =>
@@ -400,10 +379,6 @@ object SparkEntry {
     // cardinality), certified through the exact integer (n_zero_buckets,
     // sum_pow) core; small-range correction included
     "q_hll_distinct" -> (Sketches.hllDistinctUsers _),
-    // the registers maintained incrementally (update-mode max IS the HLL
-    // register update), against the SAME oracle as the batch form
-    "q_hll_distinct_streaming" -> ((s, d) =>
-      streaming.StreamingHll.hllDistinctUsers(s, d)),
     // the same registers over distributed file-source micro-batches (no
     // driver-side input materialization); SAME oracle
     "q_hll_distinct_streaming_file" -> ((s, d) =>
@@ -426,11 +401,6 @@ object SparkEntry {
     // grid-sized sketches size the join the optimizer would otherwise
     // have to run; certified as an exact overestimate vs the true count
     "q_cms_join_size" -> (Sketches.cmsJoinSizeEvents _),
-    // the grid maintained incrementally (update-mode count IS the CMS
-    // increment; state <= depth x width regardless of cardinality),
-    // against the SAME oracle as the batch form
-    "q_cms_counts_streaming" -> ((s, d) =>
-      streaming.StreamingCms.cmsUserTypeCounts(s, d)),
     // the same grid over distributed file-source micro-batches (no
     // driver-side input materialization); SAME oracle
     "q_cms_counts_streaming_file" -> ((s, d) =>
@@ -438,10 +408,6 @@ object SparkEntry {
     // exact heavy-hitter skew profile: one key-partitioned agg over data,
     // ranking/share on key-cardinality rows (integer ppm — no float ranks)
     "q_heavy_hitters" -> (HeavyHitters.hotCustomers _),
-    // the per-key counters maintained incrementally (update-mode agg),
-    // ranked by the SAME tail against the SAME oracle as the batch form
-    "q_heavy_hitters_streaming" -> ((s, d) =>
-      streaming.StreamingHeavyHitters.hotCustomers(s, d)),
     // the update-mode counter certificate with NO driver-side input
     // materialization: file-source staged fact rows, real micro-batches;
     // order-free (counters are monotone), SAME oracle as the batch form
@@ -452,12 +418,6 @@ object SparkEntry {
     // in the provably-exact regime (capacity > distinct keys) against the
     // SAME oracle as the exact profile
     "q_heavy_hitters_bounded" -> (HeavyHitters.hotCustomersBounded _),
-    // the bounded sketch maintained incrementally: groups x capacity
-    // Misra-Gries counters in flatMapGroupsWithState — state independent of
-    // the key universe (the exact streaming twin holds one counter per
-    // distinct key); same exact-regime certification, same oracle
-    "q_heavy_hitters_bounded_streaming" -> ((s, d) =>
-      streaming.StreamingBoundedHeavyHitters.hotCustomers(s, d)),
     // the same hashed-group Misra-Gries state over distributed
     // file-source micro-batches (no driver-side input materialization);
     // SAME oracle
@@ -492,20 +452,11 @@ object SparkEntry {
     // aggregatable struct-max (bodies never shuffle)
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(
       sources.Tables.documents(s, d))),
-    // ingest-time horizon-scoped dedup (dropDuplicatesWithinWatermark over
-    // micro-batches), against the batch exact-dedup key set — the
-    // incremental-equals-batch property for the dedup operator class
-    "dedup_exact_streaming" -> ((s, d) =>
-      streaming.StreamingDedup.exactWithinHorizon(s, d)),
     // the same horizon-scoped drop over distributed file-source
     // micro-batches (no driver-side input materialization, span-derived
     // horizon); SAME oracle
     "dedup_exact_streaming_file" -> ((s, d) =>
       streaming.StreamingDedup.exactWithinHorizonFromFiles(s, d)),
-    // canonical-form dedup at ingest: horizon-scoped drop keyed by the
-    // normalized hash, over the probe-augmented corpus so the drop fires
-    "dedup_normalized_streaming" -> ((s, d) =>
-      streaming.StreamingDedup.normalizedWithinHorizon(s, d)),
     // the same canonical-hash drop over distributed file-source
     // micro-batches (no driver-side input materialization); SAME oracle
     "dedup_normalized_streaming_file" -> ((s, d) =>
@@ -645,7 +596,6 @@ object SparkEntry {
     "mqtt_topic_filter" -> MqttQueries.topicFilterSql,
     "mqtt_localtime" -> MqttQueries.localtimeSql,
     "mqtt_payload_json" -> MqttQueries.payloadJsonSql,
-    "mqtt_history_streaming" -> MqttQueries.historySql,
     "mqtt_history_streaming_file" -> MqttQueries.historySql,
     "mqtt_history_streaming_tws" -> MqttQueries.historySql,
     "mqtt_history_handoff" -> MqttQueries.historySql,
@@ -689,7 +639,6 @@ object SparkEntry {
     "q_salted_join" -> SaltedJoin.orderVolumeBySegmentSql,
     "q_bucketed_join" -> BucketedJoin.orderVolumeBySegmentSql,
     "q_bloom_join" -> BloomJoin.urgentLineitemsSql,
-    "q_session_windows_streaming" -> Relational.sessionWindowsSql,
     "q_session_windows_streaming_file" -> Relational.sessionWindowsSql,
     "q_session_windows_streaming_tws" -> Relational.sessionWindowsSql,
     "q_stream_stream_join" -> streaming.StreamStreamJoin.signupPurchasesSql,
@@ -697,7 +646,6 @@ object SparkEntry {
     "q_outer_join" -> Relational.outerJoinYearsSql,
     "q_funnel" -> Funnel.funnelSql,
     "pipeline_clean_corpus" -> CleanCorpusSql.cleanSql,
-    "pipeline_clean_corpus_streaming" -> CleanCorpusSql.cleanLedgerSql,
     "pipeline_clean_corpus_streaming_file" -> CleanCorpusSql.cleanLedgerSql,
     "text_token_stats" -> TextAnalysisSql.tokenStatsSql,
     "text_token_positions" -> TextAnalysisSql.tokenPositionsSql,
@@ -707,7 +655,6 @@ object SparkEntry {
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,
     "text_winnow" -> Winnow.winnowDocsSql,
     "dedup_winnow" -> Winnow.winnowDupsSql,
-    "dedup_winnow_streaming" -> Winnow.distinctFpsSql,
     "dedup_winnow_streaming_file" -> Winnow.distinctFpsSql,
     "text_split" -> TextAnalysisSql.splitSql,
     "text_redact" -> TextAnalysisSql.redactEmailsSql,
@@ -731,28 +678,21 @@ object SparkEntry {
     "text_surprisal" -> SurprisalSql.scoreDocumentsSql,
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,
-    "q_approx_distinct_streaming" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_distinct_streaming_file" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_distinct_streaming_tws" -> SketchesSql.approxDistinctUsersSql,
-    "q_approx_quantiles_streaming" -> SketchesSql.approxQuantilesByTypeSql,
     "q_approx_quantiles_streaming_file" -> SketchesSql.approxQuantilesByTypeSql,
     "q_kmv_distinct" -> SketchesSql.kmvDistinctUsersSql,
-    "q_kmv_distinct_streaming" -> SketchesSql.kmvDistinctUsersSql,
     "q_kmv_distinct_streaming_file" -> SketchesSql.kmvDistinctUsersSql,
     "q_hll_distinct" -> SketchesSql.hllDistinctUsersSql,
-    "q_hll_distinct_streaming" -> SketchesSql.hllDistinctUsersSql,
     "q_hll_distinct_streaming_file" -> SketchesSql.hllDistinctUsersSql,
     "q_kmv_overlap" -> SketchesSql.kmvOverlapByTypeSql,
     "q_hll_merged" -> SketchesSql.hllMergedDistinctUsersSql,
     "q_cms_counts" -> SketchesSql.cmsUserTypeCountsSql,
     "q_cms_join_size" -> SketchesSql.cmsJoinSizeEventsSql,
-    "q_cms_counts_streaming" -> SketchesSql.cmsUserTypeCountsSql,
     "q_cms_counts_streaming_file" -> SketchesSql.cmsUserTypeCountsSql,
     "q_heavy_hitters" -> HeavyHitters.hotCustomersSql,
-    "q_heavy_hitters_streaming" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_streaming_file" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_bounded" -> HeavyHitters.hotCustomersSql,
-    "q_heavy_hitters_bounded_streaming" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_bounded_streaming_file" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_bounded_streaming_tws" -> HeavyHitters.hotCustomersSql,
     "q_skew_profile" -> SkewReport.orderCustomerSkewSql,
@@ -760,9 +700,7 @@ object SparkEntry {
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_normalized" -> DedupSql.normalizedDupsSql,
     "dedup_keep_best" -> DedupSql.keepBestSql,
-    "dedup_exact_streaming" -> DedupSql.exactKeySetSql,
     "dedup_exact_streaming_file" -> DedupSql.exactKeySetSql,
-    "dedup_normalized_streaming" -> DedupSql.normalizedKeySetSql,
     "dedup_normalized_streaming_file" -> DedupSql.normalizedKeySetSql,
     "dedup_passage" -> DedupSql.passageDupsSql,
     "dedup_fingerprint" -> DedupSql.fingerprintSql,
