@@ -59,16 +59,45 @@ object StreamStreamJoin {
         col("ts").cast("timestamp").as("ts"))
       .filter(col("event_type").isin("signup", "purchase"))
 
-  def signupPurchases(spark: SparkSession, dir: String, chunks: Int = 3,
-      watermarkDelay: String = "30 minutes"): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_ssj").toFile
-    try {
+  /** ONE staged log per (dir, chunks) per JVM, shared by the inner and
+    * outer forms: r14's SsjProfile showed per-pair fixed cost dominated by
+    * the DUPLICATED staging write + max-ts scan, so the pair now stages
+    * once (sentinel included — see below) and replays twice. The sentinel
+    * rows are harmless to the inner form (their user ids differ, so they
+    * can never match each other, and both readbacks drop them anyway).
+    * The temp dir lives until JVM exit (shutdown hook), not per-call.
+    */
+  private val stagedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  private def ensureStaged(spark: SparkSession, dir: String,
+      chunks: Int): String =
+    stagedCache.getOrElseUpdate((dir, chunks), {
+      import spark.implicits._
+      val work = java.nio.file.Files.createTempDirectory("graft_ssj").toFile
+      sys.addShutdownHook(org.apache.commons.io.FileUtils.deleteQuietly(work))
       val inDir = new java.io.File(work, "in").getAbsolutePath
       val staged = stagedEvents(spark, dir)
       FileStage.stage(staged, inDir, chunks, col("ts"), col("event_id"))
-      joinStaged(spark, inDir, staged.schema, watermarkDelay)
-        .orderBy(col("user_id"), col("signup_event"), col("purchase_event"))
-    } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
+      val maxTs = staged.agg(max(col("ts"))).head().getTimestamp(0)
+      // 25 h past the real max: clears window + delay for every real signup
+      val t = new java.sql.Timestamp(maxTs.getTime + 25L * 3600 * 1000)
+      FileStage.appendSentinel(
+        Seq((-1L, -1L, "signup", t), (-2L, -2L, "purchase", t))
+          .toDF("event_id", "user_id", "event_type", "ts"),
+        inDir, chunks, 0)
+      inDir
+    })
+
+  def signupPurchases(spark: SparkSession, dir: String, chunks: Int = 3,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val inDir = ensureStaged(spark, dir, chunks)
+    joinStaged(spark, inDir, stagedEvents(spark, dir).schema, watermarkDelay)
+      // the shared staging carries the outer form's flush sentinels; they
+      // cannot produce an inner match (distinct negative user ids), but
+      // drop them defensively like the outer readback does
+      .filter(!col("user_id").eqNullSafe(-1L) && !col("user_id").eqNullSafe(-2L))
+      .orderBy(col("user_id"), col("signup_event"), col("purchase_event"))
   }
 
   /** LEFT-OUTER form — the hard mode of the stream-stream join: matched
@@ -97,26 +126,14 @@ object StreamStreamJoin {
     */
   def signupPurchasesOuter(spark: SparkSession, dir: String, chunks: Int = 3,
       watermarkDelay: String = "30 minutes"): DataFrame = {
-    import spark.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft_ssj_outer").toFile
-    try {
-      val inDir = new java.io.File(work, "in").getAbsolutePath
-      val staged = stagedEvents(spark, dir)
-      FileStage.stage(staged, inDir, chunks, col("ts"), col("event_id"))
-      val maxTs = staged.agg(max(col("ts"))).head().getTimestamp(0)
-      // 25 h past the real max: clears window + delay for every real signup
-      val t = new java.sql.Timestamp(maxTs.getTime + 25L * 3600 * 1000)
-      FileStage.appendSentinel(
-        Seq((-1L, -1L, "signup", t), (-2L, -2L, "purchase", t))
-          .toDF("event_id", "user_id", "event_type", "ts"),
-        inDir, chunks, 0)
-      joinStaged(spark, inDir, staged.schema, watermarkDelay, "left_outer")
-        // drop the flush sentinels (negative user ids), null-safely: a plain
-        // >= 0 would also drop a NULL-user signup the batch oracle keeps
-        .filter(!col("user_id").eqNullSafe(-1L) && !col("user_id").eqNullSafe(-2L))
-        .orderBy(col("user_id"), col("signup_event"),
-          coalesce(col("purchase_event"), lit(-1L)))
-    } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
+    val inDir = ensureStaged(spark, dir, chunks)
+    joinStaged(spark, inDir, stagedEvents(spark, dir).schema, watermarkDelay,
+        "left_outer")
+      // drop the flush sentinels (negative user ids), null-safely: a plain
+      // >= 0 would also drop a NULL-user signup the batch oracle keeps
+      .filter(!col("user_id").eqNullSafe(-1L) && !col("user_id").eqNullSafe(-2L))
+      .orderBy(col("user_id"), col("signup_event"),
+        coalesce(col("purchase_event"), lit(-1L)))
   }
 
   /** The join topology over an already-staged event log (one micro-batch
