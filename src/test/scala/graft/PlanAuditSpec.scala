@@ -59,20 +59,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"scale-killer joins in: $offenders")
   }
 
-  test("parquet scans prune columns: no query reads full events/documents rows") {
-    // ReadSchema in every scan must be narrower than the full table schema
-    // (documents carries ~10 columns incl. text+media; events carries props)
-    val widest = Seq("mqtt_messages", "text_token_stats", "mm_metadata")
-    widest.foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, sf0001)
-        .queryExecution.executedPlan.toString
-      val readSchemas = "ReadSchema: struct<([^>]*)>".r
-        .findAllMatchIn(plan).map(_.group(1)).toSeq
-      assert(readSchemas.nonEmpty, s"$name: no file scan found\n$plan")
-      readSchemas.foreach { s =>
-        val cols = s.split(",").length
-        assert(cols <= 6, s"$name reads $cols columns: $s")
-      }
+  // Per-table ceilings on how many columns ANY driver query's parquet scan
+  // may read — the suite-enforced projection-pushdown bound over every
+  // non-eager plan. Small dims allow their full width (pruning them is
+  // immaterial); the fact tables sit at the widest LEGITIMATE current
+  // reader, so a query that suddenly drags an extra column (e.g. `text` or
+  // `props`) through a scan fails here before it ships. Raising a ceiling
+  // is a conscious act, with the new reader named in this comment.
+  // lineitem (11 cols): q1_pricing_summary aggregates 7. events (6 incl.
+  // the props map): mqtt_messages materializes 5; nothing reads all 6.
+  // documents (5): pipeline_clean_corpus needs doc_id+text+lang+source (4);
+  // weighted/priority samplers read n_chars INSTEAD of text, never both
+  // beyond 4. embeddings/region/nation/supplier/customer: full width.
+  private val maxScanCols = Map(
+    "lineitem" -> 7, "orders" -> 4, "events" -> 5, "documents" -> 4,
+    "part" -> 6, "customer" -> 5, "supplier" -> 4, "nation" -> 3,
+    "region" -> 2, "embeddings" -> 3)
+
+  /** Top-level field count of a ReadSchema struct body (fields like
+    * `props:map<string,string>` carry commas inside angle brackets).
+    */
+  private def topLevelCols(s: String): Int = {
+    if (s.isEmpty) return 0
+    var depth = 0; var n = 1
+    s.foreach {
+      case '<' => depth += 1
+      case '>' => depth -= 1
+      case ',' if depth == 0 => n += 1
+      case _ => ()
     }
+    n
+  }
+
+  test("parquet scans prune columns in EVERY driver query plan") {
+    val scanRe = "FileScan parquet [^\\n]*?/(\\w+)\\.parquet[^\\n]*?ReadSchema: struct<([^\\n]*)>".r
+    var scansSeen = 0
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => SparkEntry.eagerQueries.contains(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        scanRe.findAllMatchIn(plan).flatMap { m =>
+          scansSeen += 1
+          val (table, cols) = (m.group(1), topLevelCols(m.group(2)))
+          val cap = maxScanCols.getOrElse(table, 0)
+          if (cols > cap) Some(s"$name reads $cols cols of $table (cap $cap): ${m.group(2)}")
+          else None
+        }
+      }
+    assert(scansSeen > 100, s"scan extraction broke: only $scansSeen scans matched")
+    assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 }
