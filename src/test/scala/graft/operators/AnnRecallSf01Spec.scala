@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SlowTest, SparkSpec}
+
+/** Recall floors at sf0.1 — the driver's bench scale. The r10/r11 recall
+  * work (trained residual 0.150 → 0.325, trained-vs-absolute parity) was
+  * measured at this scale but recorded only as bench notes; these pins make
+  * the scale-level recall floor regression-proof in the suite. Data and
+  * operators are deterministic, so the measured values are stable; floors
+  * sit below them with margin.
+  */
+class AnnRecallSf01Spec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.1"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("top-k recall floors hold at sf0.1 (lsh, ivf, trained ivf, trained residual)",
+      SlowTest) {
+    val emb = graft.sources.Tables.embeddings(spark, sf01)
+    val exact = pairs(Similarity.bruteForceTopK(emb))
+    assert(exact.nonEmpty)
+    val lsh = (pairs(Similarity.lshTopK(emb)) & exact).size.toDouble / exact.size
+    val ivf = (pairs(Similarity.ivfTopK(emb)) & exact).size.toDouble / exact.size
+    val ivfTr = (pairs(Similarity.ivfTopK(emb, trained = true)) & exact)
+      .size.toDouble / exact.size
+    info(f"sf0.1: lsh = $lsh%.3f, ivf = $ivf%.3f, ivf-trained = $ivfTr%.3f")
+    assert(lsh >= 0.2, f"LSH recall degenerated at sf0.1: $lsh%.3f")
+    assert(ivf >= 0.4, f"IVF recall degenerated at sf0.1: $ivf%.3f")
+    assert(ivfTr >= 0.4, f"trained IVF recall degenerated at sf0.1: $ivfTr%.3f")
+    assert(ivfTr >= ivf - 0.15, f"training regressed recall at sf0.1: $ivf%.3f -> $ivfTr%.3f")
+  }
+
+  test("trained residual PQ keeps its r11 gains at sf0.1", SlowTest) {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.sources.Tables.embeddings(spark, sf01)
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"d", $"vec_id")
+    def exactTop(n: Int): Set[(Long, Long)] = pairs(emb.as("c")
+      .join(broadcast(queries), $"query_id" =!= $"c.vec_id")
+      .select($"query_id", $"c.vec_id".as("vec_id"),
+        graft.functions.VectorFunctions.sqDist($"qv", $"c.embedding").as("d"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= n))
+    val exact5 = exactTop(5)
+    val exact20 = exactTop(20)
+    val res = pairs(ProductQuantization.ivfPqResidualTopK(emb))
+    val resTr = pairs(ProductQuantization.ivfPqResidualTopK(emb, trained = true))
+    val r5res = (res & exact5).size.toDouble / exact5.size
+    val r5resTr = (resTr & exact5).size.toDouble / exact5.size
+    val r20resTr = (resTr & exact20).size.toDouble / resTr.size
+    info(f"sf0.1: residual recall@5 = $r5res%.3f, trained = $r5resTr%.3f " +
+      f"(top-5-in-top-20 = $r20resTr%.3f)")
+    // Measured at sf0.1: 0.050 untrained -> 0.125 trained (top-5-in-top-20
+    // 0.275). The QUALITATIVE r11 claim — one Lloyd step over the residual
+    // distribution more than doubles recall — holds at this scale; the
+    // ABSOLUTE values sit well below the sf0.001 figures (0.150 -> 0.325)
+    // because distance concentration worsens with N: 5000 near-equidistant
+    // 64-d points make the exact top-5 boundary noise-dominated for ANY
+    // fixed-resolution 8x8 codebook. Floors pin the measured values with
+    // margin; the >= untrained pin keeps the qualitative claim from
+    // silently inverting.
+    assert(r5resTr >= r5res, f"training made residual recall WORSE at sf0.1: " +
+      f"$r5resTr%.3f < $r5res%.3f")
+    assert(r5resTr >= 0.1, f"trained residual recall@5 degenerated at sf0.1: $r5resTr%.3f")
+    assert(r20resTr >= 0.2, f"trained residual top-5 are not good neighbors " +
+      f"at sf0.1: $r20resTr%.3f")
+  }
+
+  test("range search keeps no-false-positives and its recall floor at sf0.1",
+      SlowTest) {
+    val emb = Dedup.probeAugmented(graft.sources.Tables.embeddings(spark, sf01))
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.norm(col("embedding")).as("nrm"))
+    val q = withNorm.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val exact = pairs(withNorm.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("nn", col("qn") * col("nrm"))
+      .filter(when(col("nn") === 0.0, lit(0.0))
+        .otherwise(graft.functions.VectorFunctions.dot(col("qv"), col("embedding")) / col("nn"))
+        >= Similarity.RangeThreshold))
+    assert(exact.nonEmpty)
+    val got = pairs(Similarity.lshRange(emb))
+    assert((got -- exact).isEmpty, "range search returned out-of-radius pairs at sf0.1")
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"sf0.1 range recall = $recall%.3f (${got.size} of ${exact.size})")
+    assert(recall >= 0.4, f"range recall degenerated at sf0.1: $recall%.3f")
+  }
+}

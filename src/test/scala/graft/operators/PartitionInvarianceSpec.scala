@@ -75,3 +75,59 @@ class PartitionInvarianceSpec extends SparkSpec {
     }
   }
 }
+
+/** Input-LAYOUT invariance for the round-14 composites: the manifest /
+  * sample / permutation claims are content-addressed ("deterministic for
+  * the same corpus"), but the driver certifies them only on its fixed
+  * parquet layout. These re-run each composite on a repartitioned AND
+  * key-clustered (co-residence-scrambled) input at a different shuffle
+  * partition count, and assert byte-identical output — the claim's actual
+  * content: at 1000 executors the input layout is whatever the upstream
+  * job left behind.
+  */
+class LayoutInvarianceSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def docs = graft.sources.Tables.documents(spark, sf0001)
+
+  /** Three adversarial relayouts of the same rows: round-robin, clustered
+    * by a content key, and single-partition.
+    */
+  private def layouts = {
+    val d = docs
+    Seq(d.repartition(7), d.repartition(5, col("text")), d.coalesce(1))
+  }
+
+  private def assertInvariant(name: String)(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    val base = build(docs).collect().map(_.toString).toSeq
+    assert(base.nonEmpty, s"$name returned nothing — vacuous")
+    layouts.zipWithIndex.foreach { case (in, i) =>
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", if (i == 1) "3" else prev)
+        val got = build(in).collect().map(_.toString).toSeq
+        assert(got == base, s"$name output depends on input layout (layout $i)")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
+  test("pipeline_assemble emits a byte-identical manifest on any input layout") {
+    assertInvariant("pipeline_assemble")(Assemble.assemble)
+  }
+
+  test("pipeline_global_shuffle assigns identical positions on any input layout") {
+    assertInvariant("pipeline_global_shuffle") { d =>
+      GlobalShuffle.shuffled(d.select(col("doc_id"))).orderBy(col("pos"))
+    }
+  }
+
+  test("pipeline_weighted_sample picks identical winners on any input layout") {
+    assertInvariant("pipeline_weighted_sample")(d => WeightedSample.sample(d))
+  }
+
+  test("pipeline_temperature_sample keeps identical docs on any input layout") {
+    assertInvariant("pipeline_temperature_sample")(d =>
+      Mixture.temperatureRebalance(d))
+  }
+}
