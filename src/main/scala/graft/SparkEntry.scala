@@ -287,6 +287,10 @@ object SparkEntry {
     // Gopher-style repetition signals (per-row array fold, shuffle-free)
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
+    // C4-style cross-doc boilerplate REWRITE: n-grams recurring in >= 3
+    // distinct docs struck everywhere, kept tokens reassembled in order
+    // (narrow shingling, one df shuffle, broadcast frequent-gram set)
+    "text_boilerplate_strip" -> (Boilerplate.stripDocuments _),
     // deterministic per-language rebalancing sample (content-addressed)
     "text_sample_stratified" -> ((s, d) => TextAnalysis.sampleStratified(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -660,6 +664,7 @@ object SparkEntry {
     "text_redact" -> TextAnalysisSql.redactEmailsSql,
     "text_tfidf" -> TextAnalysisSql.tfidfTopTermsSql(),
     "text_repetition" -> TextAnalysisSql.repetitionSql,
+    "text_boilerplate_strip" -> BoilerplateSql.stripDocumentsSql,
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,
     "text_pack_sequences" -> TextAnalysisSql.packSequencesSql,
     "text_vocab_topk" -> TextAnalysisSql.vocabTopKSql,

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, TextSql => TS}
+import graft.sources.Tables
+
+/** C4/RefinedWeb-style cross-document boilerplate removal: token n-gram
+  * windows that recur across many DISTINCT documents (navigation chrome,
+  * license blurbs, templated headers) are struck from every document, and
+  * the surviving tokens are reassembled IN ORDER — the corpus-level
+  * complement of the per-document repetition screen ([[TextAnalysis]]'s
+  * `text_repetition`), and the REWRITE cousin of the flag-only passage
+  * dedup (`dedup_passage`): this one edits the text a trainer would
+  * actually consume.
+  *
+  * Scale shape: shingling and token positions are narrow projections of
+  * the tokens array (no per-document window functions — the array index
+  * IS the position). The gram document-frequency aggregation is the one
+  * corpus-sized shuffle (map-side combined); grams at df ≥ [[MinDocs]]
+  * are a tiny set (91 of 24.5k at sf0.001) that BROADCASTS back, so
+  * marking covered windows costs no second data shuffle. Reassembly
+  * groups by doc_id — the output's own key — with the covered-position
+  * anti-join riding the same hash partitioning.
+  *
+  * Exactness: counts and positions are integers; the reassembled string
+  * is a deterministic space-join of the kept tokens in position order on
+  * both engines.
+  */
+object Boilerplate {
+
+  /** Window length of the struck n-grams. */
+  val Gram = 5
+
+  /** A gram is boilerplate when it appears in at least this many DISTINCT
+    * documents.
+    */
+  val MinDocs = 3
+
+  /** (doc_id, n_kept, n_stripped, text_stripped): every document, its
+    * token counts after/removed, and the order-preserving rewrite (empty
+    * string when fully struck). Documents shorter than [[Gram]] tokens
+    * cannot carry a window and pass through whole (modulo whitespace
+    * normalization — output text is always the single-space token join).
+    */
+  def strip(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), TF.tokens(col("text")).as("__t"))
+    val grams = base.filter(size(col("__t")) >= Gram)
+      .select(col("doc_id"),
+        posexplode(TF.shingles(concat_ws(" ", col("__t")), Gram)))
+      .select(col("doc_id"), col("pos").as("pos0"), col("col").as("gram"))
+    val frequent = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= MinDocs)
+      .select(col("gram"))
+    val covered = grams.join(broadcast(frequent), Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos0"), col("pos0") + lit(Gram - 1))).as("pos"))
+      .distinct()
+    val toks = base.select(col("doc_id"), posexplode(col("__t")))
+      .select(col("doc_id"), col("pos"), col("col").as("token"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ").as("text_stripped"))
+    base.select(col("doc_id"), size(col("__t")).cast("long").as("__n"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_stripped"),
+        coalesce(col("text_stripped"), lit("")).as("text_stripped"))
+  }
+
+  /** Driver query: the stripped documents table. */
+  def stripDocuments(spark: SparkSession, dir: String): DataFrame =
+    strip(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+}
+
+/** DuckDB oracle for [[Boilerplate]] — same tokenization, same 0-based
+  * shingle start positions (multiple `unnest`s of equal-length lists zip
+  * positionally), same df floor, same ordered reassembly.
+  */
+object BoilerplateSql {
+  import Boilerplate.{Gram, MinDocs}
+
+  val stripDocumentsSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest(range(len(__t) - ${Gram - 1})) AS pos0,
+       |    unnest(${TS.shingles("text", Gram)}) AS gram
+       |  FROM toks WHERE len(__t) >= $Gram),
+       |frequent AS (
+       |  SELECT gram FROM grams GROUP BY 1
+       |  HAVING count(DISTINCT doc_id) >= $MinDocs),
+       |covered AS (
+       |  SELECT DISTINCT g.doc_id, g.pos0 + k.k AS pos
+       |  FROM grams g JOIN frequent USING (gram)
+       |  CROSS JOIN (SELECT unnest(range($Gram)) AS k) k),
+       |tok AS (
+       |  SELECT doc_id, unnest(range(len(__t))) AS pos, unnest(__t) AS token
+       |  FROM toks),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.token FROM tok t
+       |  ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+       |rebuilt AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(token, ' ' ORDER BY pos) AS text_stripped
+       |  FROM kept GROUP BY 1)
+       |SELECT t.doc_id,
+       |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(len(t.__t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_stripped,
+       |  coalesce(r.text_stripped, '') AS text_stripped
+       |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+}
