@@ -328,6 +328,10 @@ object SparkEntry {
     // single-partition window) and hash-derived writer shards — the whole
     // permutation is oracle-certified, not a sample
     "pipeline_global_shuffle" -> (GlobalShuffle.shuffledDocuments _),
+    // multi-epoch training orders: 3 independent permutations, per-epoch
+    // contiguous positions, still ONE range shuffle (epoch inside both the
+    // salt and the range key; N as a broadcast single-row count)
+    "pipeline_epoch_shuffle" -> (GlobalShuffle.epochShuffledDocuments _),
     // incremental-recrawl snapshot diff: hash rows below the full-outer
     // join (text never shuffles), every status branch exercised by the
     // deterministic carve — the corpus-to-corpus form of the CDC predicate
@@ -675,6 +679,7 @@ object SparkEntry {
     "pipeline_temperature_sample" -> Mixture.temperatureRebalanceDocsSql,
     "pipeline_assemble" -> AssembleSql.assembleDocumentsSql,
     "pipeline_global_shuffle" -> GlobalShuffleSql.shuffledDocumentsSql,
+    "pipeline_epoch_shuffle" -> GlobalShuffleSql.epochShuffledDocumentsSql,
     "pipeline_weighted_sample" -> WeightedSampleSql.sampleDocumentsSql,
     "pipeline_corpus_diff" -> CorpusDiffSql.diffDocumentsSql,
     "pipeline_corpus_diff_streaming_file" -> CorpusDiffSql.diffDocumentsSql,

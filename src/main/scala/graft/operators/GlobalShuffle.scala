@@ -53,6 +53,45 @@ object GlobalShuffle {
   /** Driver query: the training-order permutation of the documents table. */
   def shuffledDocuments(spark: SparkSession, dir: String): DataFrame =
     shuffled(Tables.documents(spark, dir)).orderBy(col("pos"))
+
+  /** Epochs emitted by the multi-epoch form. */
+  val NumEpochs = 3
+
+  /** Per-epoch salt prefix — the epoch index INSIDE the salt gives each
+    * epoch an independent permutation from the same content-addressed
+    * coin family (multi-epoch training wants a different order each pass,
+    * reproducibly).
+    */
+  val EpochSaltPrefix = "shuf:e"
+
+  /** (epoch, doc_id, shard, pos): [[NumEpochs]] independent permutations
+    * of the same corpus, each with contiguous per-epoch positions 1..N.
+    *
+    * Scale shape: STILL one range shuffle for all epochs — rows explode
+    * ×epochs (narrow), the range order (epoch, hv, doc_id) makes epochs
+    * contiguous, and the per-epoch position is the global contiguous id
+    * minus (epoch-1)·N, with N a broadcast single-row count (the
+    * text_tfidf shape). E range-shuffles of N rows would do the same
+    * work in E exchanges.
+    */
+  def epochShuffled(docs: DataFrame, epochs: Int = NumEpochs): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val n = ids.agg(count(lit(1)).as("__n"))
+    val exploded = ids.join(broadcast(n))
+      .select(col("doc_id"), col("__n"),
+        explode(sequence(lit(1), lit(epochs))).as("epoch"))
+      .withColumn("__hv", TF.hash60(concat(lit(EpochSaltPrefix),
+        col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+    ContiguousId.assign(exploded, "gpos",
+        Seq(col("epoch"), col("__hv"), col("doc_id")))
+      .select(col("epoch").cast("int").as("epoch"), col("doc_id"),
+        (col("__hv") % NumShards).as("shard"),
+        (col("gpos") - (col("epoch") - 1).cast("long") * col("__n")).as("pos"))
+  }
+
+  /** Driver query: the multi-epoch training orders of the documents table. */
+  def epochShuffledDocuments(spark: SparkSession, dir: String): DataFrame =
+    epochShuffled(Tables.documents(spark, dir)).orderBy(col("epoch"), col("pos"))
 }
 
 /** DuckDB oracle for [[GlobalShuffle]] — same salt, same shard modulus,
@@ -66,5 +105,19 @@ object GlobalShuffleSql {
        |SELECT doc_id, hv % ${GlobalShuffle.NumShards} AS shard,
        |       row_number() OVER (ORDER BY hv, doc_id) AS pos
        |FROM h ORDER BY pos""".stripMargin
+  }
+
+  /** Mirror of [[GlobalShuffle.epochShuffled]] — same per-epoch salt, same
+    * shard modulus, same (hv, doc_id) total order per epoch.
+    */
+  val epochShuffledDocumentsSql: String = {
+    val hv = TS.hash60(s"('${GlobalShuffle.EpochSaltPrefix}' || " +
+      "CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))")
+    s"""WITH e AS (SELECT unnest(range(1, ${GlobalShuffle.NumEpochs + 1})) AS epoch),
+       |h AS (SELECT epoch, doc_id, $hv AS hv FROM documents CROSS JOIN e)
+       |SELECT CAST(epoch AS INT) AS epoch, doc_id,
+       |       hv % ${GlobalShuffle.NumShards} AS shard,
+       |       row_number() OVER (PARTITION BY epoch ORDER BY hv, doc_id) AS pos
+       |FROM h ORDER BY epoch, pos""".stripMargin
   }
 }

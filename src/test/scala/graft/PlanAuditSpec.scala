@@ -43,7 +43,10 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_semantic" -> 1, "q_cms_join_size" -> 1, "q_kmv_overlap" -> 2,
     // text_surprisal: the corpus-total single-row broadcast into the vocab
     // projection (text_tfidf's shape) (1)
-    "text_surprisal" -> 1)
+    "text_surprisal" -> 1,
+    // pipeline_epoch_shuffle: the corpus count N joins in as a broadcast
+    // SINGLE-ROW aggregate for the per-epoch position fold (1)
+    "pipeline_epoch_shuffle" -> 1)
   test("no driver query plans a cartesian or nested-loop join") {
     // eager (streaming/iterative) queries are skipped via the ONE shared
     // exclusion set — see SparkEntry.eagerQueries for the rationale

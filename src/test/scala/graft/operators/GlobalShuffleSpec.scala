@@ -42,4 +42,19 @@ class GlobalShuffleSpec extends SparkSpec {
     // 400 docs over 16 shards: every shard should be hit
     assert(shards.distinct.length == GlobalShuffle.NumShards)
   }
+
+  test("epoch shuffles: each epoch is a full contiguous permutation, and they differ") {
+    val out = GlobalShuffle.epochShuffled(docs(150))
+      .select($"epoch", $"doc_id", $"pos").as[(Int, Long, Long)].collect()
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(1, 2, 3))
+    val perms = (1 to 3).map { e =>
+      val rows = byEpoch(e)
+      assert(rows.map(_._3).sorted.toSeq == (1L to 150L), s"epoch $e positions not 1..N")
+      assert(rows.map(_._2).sorted.toSeq == (0L until 150L), s"epoch $e doc set wrong")
+      rows.sortBy(_._3).map(_._2).toSeq
+    }
+    assert(perms(0) != perms(1) && perms(1) != perms(2) && perms(0) != perms(2),
+      "epoch permutations are not independent")
+  }
 }
