@@ -263,6 +263,9 @@ object SparkEntry {
       .orderBy(col("doc_id"))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
+    // per-domain top-30% quality gate via the skew-free histogram cutoff
+    // (no per-source window over the data; boundary ties rank by doc_id)
+    "pipeline_quality_filter" -> (QualityFilter.filterDocuments _),
     "text_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
     // winnowing (MOSS) rolling-hash passage fingerprints: any shared run of
@@ -660,6 +663,7 @@ object SparkEntry {
     "text_phrase_search" -> TextAnalysisSql.phraseSearchSql(),
     "text_langid" -> TextAnalysisSql.langIdSql,
     "text_quality" -> TextAnalysisSql.qualitySql,
+    "pipeline_quality_filter" -> QualityFilterSql.filterDocumentsSql,
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,
     "text_winnow" -> Winnow.winnowDocsSql,
     "dedup_winnow" -> Winnow.winnowDupsSql,
