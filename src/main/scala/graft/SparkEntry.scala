@@ -339,6 +339,10 @@ object SparkEntry {
     // join (text never shuffles), every status branch exercised by the
     // deterministic carve — the corpus-to-corpus form of the CDC predicate
     "pipeline_corpus_diff" -> (CorpusDiff.diffDocuments _),
+    // per-source token-distribution drift between the SAME carved
+    // snapshots: integer TV numerator, ppm by exact integer division; one
+    // data shuffle (side-flagged union, conditional sums), vocab-sized rest
+    "pipeline_corpus_drift" -> (CorpusDrift.driftDocuments _),
     // the composition an incremental recrawl runs: new crawl streamed
     // against the static previous snapshot (stateless stream-static left
     // join per micro-batch), deletions via one batch anti-pass; SAME oracle
@@ -686,6 +690,7 @@ object SparkEntry {
     "pipeline_epoch_shuffle" -> GlobalShuffleSql.epochShuffledDocumentsSql,
     "pipeline_weighted_sample" -> WeightedSampleSql.sampleDocumentsSql,
     "pipeline_corpus_diff" -> CorpusDiffSql.diffDocumentsSql,
+    "pipeline_corpus_drift" -> CorpusDriftSql.driftDocumentsSql,
     "pipeline_corpus_diff_streaming_file" -> CorpusDiffSql.diffDocumentsSql,
     "pipeline_delta_dedup" -> CorpusDiffSql.deltaDedupDocumentsSql,
     "text_quality_model" -> QualityModelSql.scoreDocumentsSql,
