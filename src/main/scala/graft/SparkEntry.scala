@@ -294,6 +294,10 @@ object SparkEntry {
     // distinct docs struck everywhere, kept tokens reassembled in order
     // (narrow shingling, one df shuffle, broadcast frequent-gram set)
     "text_boilerplate_strip" -> (Boilerplate.stripDocuments _),
+    // one BPE training step: adjacent char-pair frequencies on the
+    // DISTINCT-WORD table (corpus-sized pass = one word count), top merge
+    // candidates by TakeOrdered under a total order
+    "text_bpe_pairs" -> (BpePairs.mergeCandidatesDocuments _),
     // deterministic per-language rebalancing sample (content-addressed)
     "text_sample_stratified" -> ((s, d) => TextAnalysis.sampleStratified(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -677,6 +681,7 @@ object SparkEntry {
     "text_tfidf" -> TextAnalysisSql.tfidfTopTermsSql(),
     "text_repetition" -> TextAnalysisSql.repetitionSql,
     "text_boilerplate_strip" -> BoilerplateSql.stripDocumentsSql,
+    "text_bpe_pairs" -> BpePairsSql.mergeCandidatesDocumentsSql(),
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,
     "text_pack_sequences" -> TextAnalysisSql.packSequencesSql,
     "text_vocab_topk" -> TextAnalysisSql.vocabTopKSql,
