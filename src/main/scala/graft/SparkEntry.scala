@@ -568,6 +568,9 @@ object SparkEntry {
     "emb_kmeans_step_streaming_file" -> ((s, d) =>
       streaming.StreamingKmeans.lloydStepFromFiles(s, d)),
     // symmetric int8 vector quantization, payload hash-checked exactly
+    // per-dimension normalization stats: integer micro-floor aggregates,
+    // one map-side-combined shuffle to |dims| rows (power-iteration shape)
+    "emb_dim_stats" -> (EmbDimStats.statsEmbeddings _),
     "emb_quantize" -> ((s, d) => Quantize.int8(sources.Tables.embeddings(s, d))
       .orderBy(col("vec_id"))),
     // one exact-integer power-iteration matvec toward the top principal
@@ -750,6 +753,7 @@ object SparkEntry {
     "emb_pq_codes" -> ProductQuantizationSql.pqCodesSql,
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),
     "emb_kmeans_step_streaming_file" -> SimilaritySql.kmeansStepSql(),
+    "emb_dim_stats" -> EmbDimStatsSql.statsEmbeddingsSql,
     "emb_quantize" -> QuantizeSql.int8Sql,
     "emb_power_iteration" -> SimilaritySql.powerIterationSql,
     "emb_outliers" -> SimilaritySql.labelOutliersSql(),
