@@ -15,14 +15,19 @@ import graft.sources.Tables
   * dedup (`dedup_passage`): this one edits the text a trainer would
   * actually consume.
   *
-  * Scale shape: shingling and token positions are narrow projections of
-  * the tokens array (no per-document window functions — the array index
-  * IS the position). The gram document-frequency aggregation is the one
-  * corpus-sized shuffle (map-side combined); grams at df ≥ [[MinDocs]]
-  * are a tiny set (91 of 24.5k at sf0.001) that BROADCASTS back, so
-  * marking covered windows costs no second data shuffle. Reassembly
-  * groups by doc_id — the output's own key — with the covered-position
-  * anti-join riding the same hash partitioning.
+  * Scale shape: grams build from the exploded token positions with four
+  * `lead()`s over the per-document window — codegen'd, O(len) per doc,
+  * and the doc-keyed exchange it costs is the SAME partitioning the
+  * covered-position anti-join and reassembly reuse downstream. (The
+  * array-lambda shingle helper is deliberately NOT used here: projection
+  * collapse re-inlines the tokens `split` into every lambda element —
+  * 5 re-evaluations per position made the first cut of this operator
+  * O(len²) per document, 36.8 s at sf0.1 vs ~3 s for this form — the
+  * RepetitionStats lesson again.) The gram document-frequency
+  * aggregation is the one corpus-sized shuffle (map-side combined);
+  * grams at df ≥ [[MinDocs]] are a tiny set (91 of 24.5k at sf0.001)
+  * that BROADCASTS back, so marking covered windows costs no second
+  * data-sized exchange.
   *
   * Exactness: counts and positions are integers; the reassembled string
   * is a deterministic space-join of the kept tokens in position order on
@@ -46,10 +51,17 @@ object Boilerplate {
     */
   def strip(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), TF.tokens(col("text")).as("__t"))
-    val grams = base.filter(size(col("__t")) >= Gram)
-      .select(col("doc_id"),
-        posexplode(TF.shingles(concat_ws(" ", col("__t")), Gram)))
-      .select(col("doc_id"), col("pos").as("pos0"), col("col").as("gram"))
+    val toks = base.select(col("doc_id"), posexplode(col("__t")))
+      .select(col("doc_id"), col("pos"), col("col").as("token"))
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until Gram).map(k => lead(col("token"), k).over(wdoc))
+    val grams = toks
+      .withColumn("__tail", leads.last)
+      .withColumn("gram", concat_ws(" ", col("token") +: leads: _*))
+      // the last lead is null exactly for the len-Gram+1 .. len-1 tails
+      .filter(col("__tail").isNotNull)
+      .select(col("doc_id"), col("pos").as("pos0"), col("gram"))
     val frequent = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= MinDocs)
@@ -58,8 +70,6 @@ object Boilerplate {
       .select(col("doc_id"),
         explode(sequence(col("pos0"), col("pos0") + lit(Gram - 1))).as("pos"))
       .distinct()
-    val toks = base.select(col("doc_id"), posexplode(col("__t")))
-      .select(col("doc_id"), col("pos"), col("col").as("token"))
     val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
