@@ -59,6 +59,7 @@ object SparkEntry {
     "q_bucketed_join",
     "pipeline_clean_corpus_streaming_file",
     "pipeline_corpus_diff_streaming_file",
+    "pipeline_corpus_drift_streaming_file",
     "pipeline_group_sample_streaming_file",
     "dedup_exact_streaming_file",
     "dedup_normalized_streaming_file",
@@ -347,6 +348,11 @@ object SparkEntry {
     // snapshots: integer TV numerator, ppm by exact integer division; one
     // data shuffle (side-flagged union, conditional sums), vocab-sized rest
     "pipeline_corpus_drift" -> (CorpusDrift.driftDocuments _),
+    // the same drift with the NEW snapshot ingested as real file-source
+    // micro-batches (update-mode exact counters, monotone max-fold; the
+    // old side static; shared sideToks/tvTail spelling), SAME oracle
+    "pipeline_corpus_drift_streaming_file" -> ((s, d) =>
+      streaming.StreamingCorpusDrift.driftFromFiles(s, d)),
     // the composition an incremental recrawl runs: new crawl streamed
     // against the static previous snapshot (stateless stream-static left
     // join per micro-batch), deletions via one batch anti-pass; SAME oracle
@@ -699,6 +705,7 @@ object SparkEntry {
     "pipeline_weighted_sample" -> WeightedSampleSql.sampleDocumentsSql,
     "pipeline_corpus_diff" -> CorpusDiffSql.diffDocumentsSql,
     "pipeline_corpus_drift" -> CorpusDriftSql.driftDocumentsSql,
+    "pipeline_corpus_drift_streaming_file" -> CorpusDriftSql.driftDocumentsSql,
     "pipeline_corpus_diff_streaming_file" -> CorpusDiffSql.diffDocumentsSql,
     "pipeline_delta_dedup" -> CorpusDiffSql.deltaDedupDocumentsSql,
     "text_quality_model" -> QualityModelSql.scoreDocumentsSql,

@@ -30,17 +30,19 @@ import graft.sources.Tables
   */
 object CorpusDrift {
 
-  /** (source, o_total, n_total, drift_num, tv_ppm) per source. */
-  def drift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    def toks(docs: DataFrame, side: Int): DataFrame = docs
-      .select(col("source"), explode(TF.tokens(col("text"))).as("__raw"))
-      .select(col("source"), lower(col("__raw")).as("token"),
-        lit(side.toLong).as("__side"))
-      .filter(length(col("token")) > 0)
-    val counts = toks(oldDocs, 0).unionAll(toks(newDocs, 1))
-      .groupBy(col("source"), col("token"))
-      .agg(sum(when(col("__side") === 0L, 1L).otherwise(0L)).as("o"),
-        sum(when(col("__side") === 1L, 1L).otherwise(0L)).as("n"))
+  /** One snapshot side tokenized to (source, token) rows — the one
+    * tokenization spelling every form shares.
+    */
+  private[graft] def sideToks(docs: DataFrame): DataFrame = docs
+    .select(col("source"), explode(TF.tokens(col("text"))).as("__raw"))
+    .select(col("source"), lower(col("__raw")).as("token"))
+    .filter(length(col("token")) > 0)
+
+  /** The TV tail over merged per-(source, token) count pairs (o, n) —
+    * ONE spelling shared by the batch form and the streaming twin, so the
+    * drift arithmetic cannot drift between them. Vocabulary-sized input.
+    */
+  private[graft] def tvTail(counts: DataFrame): DataFrame = {
     val totals = counts.groupBy(col("source"))
       .agg(sum(col("o")).as("o_total"), sum(col("n")).as("n_total"))
     counts.join(broadcast(totals), Seq("source"))
@@ -52,16 +54,33 @@ object CorpusDrift {
         expr("(drift_num * 1000000) div (2 * o_total * n_total)"))
   }
 
-  /** Driver query: drift between the carved snapshots of documents. */
-  def driftDocuments(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val old = docs.filter(col("doc_id") % CorpusDiff.AddedMod =!= 0)
+  /** (source, o_total, n_total, drift_num, tv_ppm) per source. */
+  def drift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val counts = sideToks(oldDocs).withColumn("__side", lit(0L))
+      .unionAll(sideToks(newDocs).withColumn("__side", lit(1L)))
+      .groupBy(col("source"), col("token"))
+      .agg(sum(when(col("__side") === 0L, 1L).otherwise(0L)).as("o"),
+        sum(when(col("__side") === 1L, 1L).otherwise(0L)).as("n"))
+    tvTail(counts)
+  }
+
+  /** The carved snapshots WITH source (the [[CorpusDiff]] carve keeps only
+    * doc_id/text) — shared by the batch and streaming driver queries.
+    */
+  private[graft] def oldCarve(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % CorpusDiff.AddedMod =!= 0)
       .select(col("source"),
         when(col("doc_id") % CorpusDiff.ChangedMod === 0,
           concat(col("text"), lit(" [stale]"))).otherwise(col("text")).as("text"))
-    val neu = docs.filter(col("doc_id") % CorpusDiff.RemovedMod =!= 1)
-      .select(col("source"), col("text"))
-    drift(old, neu).orderBy(col("source"))
+
+  private[graft] def newCarve(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % CorpusDiff.RemovedMod =!= 1)
+      .select(col("doc_id"), col("source"), col("text"))
+
+  /** Driver query: drift between the carved snapshots of documents. */
+  def driftDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    drift(oldCarve(docs), newCarve(docs)).orderBy(col("source"))
   }
 }
 
