@@ -267,6 +267,10 @@ object SparkEntry {
     // per-domain top-30% quality gate via the skew-free histogram cutoff
     // (no per-source window over the data; boundary ties rank by doc_id)
     "pipeline_quality_filter" -> (QualityFilter.filterDocuments _),
+    // EXACT-count per-source 80/10/10 split: one range shuffle, per-source
+    // ranks as contiguous-id minus broadcast source offsets (no per-source
+    // data window), cross-multiplied integer boundaries
+    "pipeline_stratified_split" -> (StratifiedSplit.splitDocuments _),
     "text_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
     // winnowing (MOSS) rolling-hash passage fingerprints: any shared run of
@@ -681,6 +685,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysisSql.langIdSql,
     "text_quality" -> TextAnalysisSql.qualitySql,
     "pipeline_quality_filter" -> QualityFilterSql.filterDocumentsSql,
+    "pipeline_stratified_split" -> StratifiedSplitSql.splitDocumentsSql,
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,
     "text_winnow" -> Winnow.winnowDocsSql,
     "dedup_winnow" -> Winnow.winnowDupsSql,
