@@ -271,6 +271,9 @@ object SparkEntry {
     // ranks as contiguous-id minus broadcast source offsets (no per-source
     // data window), cross-multiplied integer boundaries
     "pipeline_stratified_split" -> (StratifiedSplit.splitDocuments _),
+    // per-source stage-survival funnel over the certified clean chain
+    // (one conditional-count pass + the chain's own dedup shuffle)
+    "pipeline_curation_funnel" -> (CurationFunnel.funnelDocuments _),
     "text_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
     // winnowing (MOSS) rolling-hash passage fingerprints: any shared run of
@@ -686,6 +689,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysisSql.qualitySql,
     "pipeline_quality_filter" -> QualityFilterSql.filterDocumentsSql,
     "pipeline_stratified_split" -> StratifiedSplitSql.splitDocumentsSql,
+    "pipeline_curation_funnel" -> CurationFunnelSql.funnelDocumentsSql,
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,
     "text_winnow" -> Winnow.winnowDocsSql,
     "dedup_winnow" -> Winnow.winnowDupsSql,

@@ -43,8 +43,13 @@ object QualityFilter {
 
   /** The cutoff over an already-scored (doc_id, source, q) frame — the seam
     * the model-check spec drives with adversarial tie layouts.
+    *
+    * The scored frame has THREE consumers (the histogram and both kept
+    * branches) — materialized once so the quality-scoring scan pass runs
+    * once, not three times (the Assemble lesson).
     */
-  private[operators] def filterScored(scored: DataFrame): DataFrame = {
+  private[operators] def filterScored(scoredIn: DataFrame): DataFrame = {
+    val scored = Caching.cached(scoredIn)
     val hist = scored.groupBy(col("source"), col("q"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("source")).orderBy(col("q").desc)
