@@ -262,6 +262,9 @@ object SparkEntry {
       sources.Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
+    // lang-ID confidence margin (best minus second-best integer marker
+    // score) — the route-to-heavy-model gate; narrow codegen projection
+    "text_langid_margin" -> (LangIdMargin.marginsDocuments _),
     "text_quality" -> ((s, d) => TextAnalysis.quality(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
     // per-domain top-30% quality gate via the skew-free histogram cutoff
@@ -686,6 +689,7 @@ object SparkEntry {
     "text_token_positions" -> TextAnalysisSql.tokenPositionsSql,
     "text_phrase_search" -> TextAnalysisSql.phraseSearchSql(),
     "text_langid" -> TextAnalysisSql.langIdSql,
+    "text_langid_margin" -> LangIdMarginSql.marginsDocumentsSql,
     "text_quality" -> TextAnalysisSql.qualitySql,
     "pipeline_quality_filter" -> QualityFilterSql.filterDocumentsSql,
     "pipeline_stratified_split" -> StratifiedSplitSql.splitDocumentsSql,
