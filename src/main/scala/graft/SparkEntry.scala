@@ -277,6 +277,10 @@ object SparkEntry {
     // per-source stage-survival funnel over the certified clean chain
     // (one conditional-count pass + the chain's own dedup shuffle)
     "pipeline_curation_funnel" -> (CurationFunnel.funnelDocuments _),
+    // deterministic per-source token-budget prefix: order-preserving
+    // hash-range bucket histogram classifies full/boundary buckets; only
+    // the (at most one per source) boundary bucket ranks doc-level
+    "pipeline_budget_sample" -> (BudgetSample.sampleDocuments _),
     "text_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
     // winnowing (MOSS) rolling-hash passage fingerprints: any shared run of
@@ -694,6 +698,7 @@ object SparkEntry {
     "pipeline_quality_filter" -> QualityFilterSql.filterDocumentsSql,
     "pipeline_stratified_split" -> StratifiedSplitSql.splitDocumentsSql,
     "pipeline_curation_funnel" -> CurationFunnelSql.funnelDocumentsSql,
+    "pipeline_budget_sample" -> BudgetSampleSql.sampleDocumentsSql,
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,
     "text_winnow" -> Winnow.winnowDocsSql,
     "dedup_winnow" -> Winnow.winnowDupsSql,
