@@ -313,6 +313,9 @@ object SparkEntry {
     // DISTINCT-WORD table (corpus-sized pass = one word count), top merge
     // candidates by TakeOrdered under a total order
     "text_bpe_pairs" -> (BpePairs.mergeCandidatesDocuments _),
+    // conditional bigram surprisal (fluency proxy): lead()-window bigrams,
+    // ln once per distinct pair on the vocab-sized table, integer doc sums
+    "text_bigram_surprisal" -> (BigramSurprisal.scoreDocuments _),
     // deterministic per-language rebalancing sample (content-addressed)
     "text_sample_stratified" -> ((s, d) => TextAnalysis.sampleStratified(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -709,6 +712,7 @@ object SparkEntry {
     "text_repetition" -> TextAnalysisSql.repetitionSql,
     "text_boilerplate_strip" -> BoilerplateSql.stripDocumentsSql,
     "text_bpe_pairs" -> BpePairsSql.mergeCandidatesDocumentsSql(),
+    "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,
     "text_pack_sequences" -> TextAnalysisSql.packSequencesSql,
     "text_vocab_topk" -> TextAnalysisSql.vocabTopKSql,
