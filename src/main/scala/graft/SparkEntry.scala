@@ -164,6 +164,10 @@ object SparkEntry {
     // bucket agg; grid generation, fill join, and the running total all
     // run on bucket-cardinality rows
     "q_gap_fill_hourly" -> (Resample.hourlyEvents _),
+    // time-weighted telemetry aggregation: per (user, type) series, each
+    // reading weighted by its hold duration (exact micros gaps, integer
+    // cent-ms sums; per-SERIES windows — the high-cardinality key)
+    "q_time_weighted" -> (TimeWeighted.perSeriesEvents _),
     "q_session_windows" -> (Relational.sessionWindows _),
     "q_percentiles" -> (Relational.percentiles _),
     "q_cube" -> (Relational.cubeEvents _),
@@ -668,6 +672,7 @@ object SparkEntry {
     "pipeline_group_sample_streaming_file" -> BoundedTopK.sampleDocsPerLangSql,
     "q_monthly_events" -> Relational.monthlyEventsSql,
     "q_gap_fill_hourly" -> Resample.hourlyEventsSql,
+    "q_time_weighted" -> TimeWeightedSql.perSeriesEventsSql,
     "q_session_windows" -> Relational.sessionWindowsSql,
     "q_percentiles" -> Relational.percentilesSql,
     "q_cube" -> Relational.cubeEventsSql,
