@@ -120,6 +120,9 @@ object SparkEntry {
     // SCD-2 intervalization of the CDC log: [valid_from, valid_to) per
     // change with a null-open current interval, via per-key lead()
     "mqtt_history_scd2" -> (MqttQueries.historyScd2 _),
+    // per-topic change cadence from the SAME CDC kept-row set (sensor
+    // health: change counts, span, mean dwell — exact integer ms)
+    "mqtt_history_stats" -> (MqttQueries.historyStats _),
     // as-of join (single-shuffle union-merge) vs DuckDB's native ASOF JOIN
     "mqtt_asof_change" -> (MqttQueries.asofChange _),
     // event-time tumbling windows (batch form; streaming twin is watermarked)
@@ -651,6 +654,7 @@ object SparkEntry {
     "mqtt_state_streaming" -> MqttQueries.stateSql,
     "mqtt_state_streaming_file" -> MqttQueries.stateSql,
     "mqtt_history_scd2" -> MqttQueries.historyScd2Sql,
+    "mqtt_history_stats" -> MqttQueries.historyStatsSql,
     "mqtt_asof_change" -> MqttQueries.asofChangeSql,
     "mqtt_windowed_counts" -> MqttQueries.windowedCountsSql,
     "mqtt_windowed_streaming_file" -> MqttQueries.windowedCountsSql,

@@ -120,6 +120,42 @@ object MqttQueries {
        |FROM kept k JOIN state s ON k.topic = s.topic
        |ORDER BY k.id""".stripMargin
 
+  /** Per-topic change CADENCE from the CDC history — the sensor-health
+    * dashboard over the reference's own data model: how often each topic's
+    * value actually changes, its observed span, and the mean dwell between
+    * changes (span div (n-1), exact integer ms). The kept-row set is
+    * [[MqttPipeline.historyKept]] itself, so the cadence cannot disagree
+    * with the certified history table. Scale: the CDC window partitions by
+    * topic (high-cardinality telemetry key); the stats fold is one
+    * map-side-combined aggregation to |topics| rows.
+    */
+  def historyStats(spark: SparkSession, dir: String): DataFrame = {
+    val kept = MqttPipeline.historyKept(msgs(spark, dir))
+      .select(col("topic"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    kept.groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_changes"),
+        min(col("us")).as("__f"), max(col("us")).as("__l"))
+      .select(col("topic"), col("n_changes"),
+        expr("(__l - __f) div 1000").as("span_ms"),
+        expr("CASE WHEN n_changes > 1 THEN ((__l - __f) div 1000) div (n_changes - 1) ELSE 0 END")
+          .as("mean_interval_ms"))
+      .orderBy(col("topic"))
+  }
+
+  val historyStatsSql: String =
+    s"""WITH $msgsCte,
+       |$historyCte,
+       |stats AS (
+       |  SELECT topic, CAST(count(*) AS BIGINT) AS n_changes,
+       |    min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+       |  FROM kept GROUP BY 1)
+       |SELECT topic, n_changes,
+       |  (l - f) // 1000 AS span_ms,
+       |  CASE WHEN n_changes > 1 THEN ((l - f) // 1000) // (n_changes - 1)
+       |       ELSE 0 END AS mean_interval_ms
+       |FROM stats ORDER BY topic""".stripMargin
+
   // ---- history view (J1 inner join + F5 projection) ------------------------
 
   def historyView(spark: SparkSession, dir: String): DataFrame = {
