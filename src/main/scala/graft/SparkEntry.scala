@@ -288,6 +288,10 @@ object SparkEntry {
     // hash-range bucket histogram classifies full/boundary buckets; only
     // the (at most one per source) boundary bucket ranks doc-level
     "pipeline_budget_sample" -> (BudgetSample.sampleDocuments _),
+    // the round-15 composite: boilerplate strip -> clean chain ON the
+    // stripped text -> per-source budget prefix over stripped counts —
+    // every stage the standalone operator verbatim
+    "pipeline_curate" -> (Curate.curateDocuments _),
     "text_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
     // winnowing (MOSS) rolling-hash passage fingerprints: any shared run of
@@ -711,6 +715,7 @@ object SparkEntry {
     "pipeline_stratified_split" -> StratifiedSplitSql.splitDocumentsSql,
     "pipeline_curation_funnel" -> CurationFunnelSql.funnelDocumentsSql,
     "pipeline_budget_sample" -> BudgetSampleSql.sampleDocumentsSql,
+    "pipeline_curate" -> CurateSql.curateDocumentsSql,
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,
     "text_winnow" -> Winnow.winnowDocsSql,
     "dedup_winnow" -> Winnow.winnowDupsSql,

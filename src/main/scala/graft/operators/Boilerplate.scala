@@ -95,8 +95,12 @@ object Boilerplate {
 object BoilerplateSql {
   import Boilerplate.{Gram, MinDocs}
 
-  val stripDocumentsSql: String =
-    s"""WITH toks AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM documents),
+  /** The reusable CTE chain: ends with
+    * `stripped(doc_id, n_kept, n_total, text_stripped)` — composites
+    * ([[CurateSql]]) chain their stages after it.
+    */
+  val strippedCtes: String =
+    s"""toks AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM documents),
        |grams AS (
        |  SELECT doc_id,
        |    unnest(range(len(__t) - ${Gram - 1})) AS pos0,
@@ -118,11 +122,16 @@ object BoilerplateSql {
        |rebuilt AS (
        |  SELECT doc_id, count(*) AS n_kept,
        |    string_agg(token, ' ' ORDER BY pos) AS text_stripped
-       |  FROM kept GROUP BY 1)
-       |SELECT t.doc_id,
-       |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
-       |  CAST(len(t.__t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_stripped,
-       |  coalesce(r.text_stripped, '') AS text_stripped
-       |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
-       |ORDER BY t.doc_id""".stripMargin
+       |  FROM kept GROUP BY 1),
+       |stripped AS (
+       |  SELECT t.doc_id,
+       |    CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       |    CAST(len(t.__t) AS BIGINT) AS n_total,
+       |    coalesce(r.text_stripped, '') AS text_stripped
+       |  FROM toks t LEFT JOIN rebuilt r USING (doc_id))""".stripMargin
+
+  val stripDocumentsSql: String =
+    s"""WITH $strippedCtes
+       |SELECT doc_id, n_kept, n_total - n_kept AS n_stripped, text_stripped
+       |FROM stripped ORDER BY doc_id""".stripMargin
 }

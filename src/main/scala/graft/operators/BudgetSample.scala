@@ -40,9 +40,17 @@ object BudgetSample {
   val BudgetSalt = "budget:"
 
   /** (doc_id, source, n_tokens): the kept prefix per source. */
-  def sample(docs: DataFrame): DataFrame = {
-    val hashed = Caching.cached(docs.select(col("doc_id"), col("source"),
-      TF.nTokens(col("text")).cast("long").as("n_tokens"),
+  def sample(docs: DataFrame): DataFrame =
+    samplePreTokenized(docs.select(col("doc_id"), col("source"),
+      TF.nTokens(col("text")).cast("long").as("n_tokens")))
+
+  /** The prefix over an already-tokenized (doc_id, source, n_tokens)
+    * frame — the seam composites with their own token accounting (e.g.
+    * [[Curate]], whose counts come from the clean chain) reuse verbatim.
+    */
+  def samplePreTokenized(toks: DataFrame): DataFrame = {
+    val hashed = Caching.cached(toks.select(col("doc_id"), col("source"),
+      col("n_tokens"),
       TF.hash60(concat(lit(BudgetSalt), col("doc_id").cast("string")))
         .as("__hv"))
       .withColumn("__bucket", expr(s"__hv div ${1L << BucketShift}")))
