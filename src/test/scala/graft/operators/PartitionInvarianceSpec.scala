@@ -126,6 +126,12 @@ class LayoutInvarianceSpec extends SparkSpec {
     assertInvariant("pipeline_weighted_sample")(d => WeightedSample.sample(d))
   }
 
+
+  test("pipeline_curate emits a byte-identical kept set on any input layout") {
+    assertInvariant("pipeline_curate")(d =>
+      Curate.curate(d).orderBy(org.apache.spark.sql.functions.col("doc_id")))
+  }
+
   test("pipeline_temperature_sample keeps identical docs on any input layout") {
     assertInvariant("pipeline_temperature_sample")(d =>
       Mixture.temperatureRebalance(d))
