@@ -171,6 +171,11 @@ object SparkEntry {
     // reading weighted by its hold duration (exact micros gaps, integer
     // cent-ms sums; per-SERIES windows — the high-cardinality key)
     "q_time_weighted" -> (TimeWeighted.perSeriesEvents _),
+    // first/last-touch attribution endpoints per user (per-USER windows —
+    // the high-cardinality key; min_by/max_by on the unique row_number)
+    "q_attribution_touch" -> (Attribution.firstLastTouchEvents _),
+    // the event-type Markov transition matrix with integer-ppm row shares
+    "q_type_transitions" -> (Attribution.transitionsEvents _),
     "q_session_windows" -> (Relational.sessionWindows _),
     "q_percentiles" -> (Relational.percentiles _),
     "q_cube" -> (Relational.cubeEvents _),
@@ -681,6 +686,8 @@ object SparkEntry {
     "q_monthly_events" -> Relational.monthlyEventsSql,
     "q_gap_fill_hourly" -> Resample.hourlyEventsSql,
     "q_time_weighted" -> TimeWeightedSql.perSeriesEventsSql,
+    "q_attribution_touch" -> AttributionSql.firstLastTouchEventsSql,
+    "q_type_transitions" -> AttributionSql.transitionsEventsSql,
     "q_session_windows" -> Relational.sessionWindowsSql,
     "q_percentiles" -> Relational.percentilesSql,
     "q_cube" -> Relational.cubeEventsSql,
