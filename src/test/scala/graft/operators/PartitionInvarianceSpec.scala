@@ -136,4 +136,22 @@ class LayoutInvarianceSpec extends SparkSpec {
     assertInvariant("pipeline_temperature_sample")(d =>
       Mixture.temperatureRebalance(d))
   }
+
+  test("pipeline_quality_filter keeps identical docs on any input layout") {
+    assertInvariant("pipeline_quality_filter") { d =>
+      QualityFilter.filter(d).orderBy(org.apache.spark.sql.functions.col("doc_id"))
+    }
+  }
+
+  test("pipeline_stratified_split assigns identically on any input layout") {
+    assertInvariant("pipeline_stratified_split") { d =>
+      StratifiedSplit.split(d).orderBy(org.apache.spark.sql.functions.col("doc_id"))
+    }
+  }
+
+  test("pipeline_budget_sample keeps identical docs on any input layout") {
+    assertInvariant("pipeline_budget_sample") { d =>
+      BudgetSample.sample(d).orderBy(org.apache.spark.sql.functions.col("doc_id"))
+    }
+  }
 }
