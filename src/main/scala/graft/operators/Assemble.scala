@@ -84,20 +84,17 @@ object AssembleSql {
       s"('${GlobalShuffle.ShuffleSalt}' || CAST(doc_id AS VARCHAR))")
     s"""WITH scored AS (
        |  SELECT doc_id, source, lang, text,
-       |    ${TS.langPredict("text")} AS lang_pred,
-       |    ${TextAnalysisSql.qualityScoreSql("text")} AS quality,
-       |    CAST(${TS.nTokens("text")} AS BIGINT) AS n_tokens
+       |    ${CleanCorpusSql.scoredColsSql}
        |  FROM documents),
        |gated AS (
        |  SELECT doc_id, source, lang, text, n_tokens FROM scored
-       |  WHERE lang_pred = lang AND quality >= ${CleanCorpus.QualityMin}),
+       |  WHERE ${CleanCorpusSql.gateWhereSql}),
        |cleaneds AS (
        |  SELECT doc_id, source, lang, n_tokens,
        |    ${TextAnalysisSql.splitAssignSql("doc_id")} AS split
        |  FROM (
        |    SELECT doc_id, source, lang, n_tokens,
-       |      row_number() OVER (PARTITION BY md5(trim(text))
-       |        ORDER BY doc_id) AS rn
+       |      ${CleanCorpusSql.dedupRnSql} AS rn
        |    FROM gated)
        |  WHERE rn = 1),
        |srcs AS (

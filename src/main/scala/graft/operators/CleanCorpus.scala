@@ -92,6 +92,24 @@ object CleanCorpus {
 object CleanCorpusSql {
   import graft.functions.{TextSql => TS}
 
+  /** The ONE spelling of the clean chain's scored projection — shared by
+    * [[cleanSql]], [[AssembleSql]], and [[CurateSql]] so a composite's
+    * gates can never drift from the standalone chain's (the r14
+    * self-review lesson, applied to the r15 composites).
+    */
+  val scoredColsSql: String =
+    s"""${TS.langPredict("text")} AS lang_pred,
+       |    ${TextAnalysisSql.qualityScoreSql("text")} AS quality,
+       |    CAST(${TS.nTokens("text")} AS BIGINT) AS n_tokens""".stripMargin
+
+  /** The gate predicate, one spelling. */
+  val gateWhereSql: String =
+    s"lang_pred = lang AND quality >= ${CleanCorpus.QualityMin}"
+
+  /** The dedup winner window, one spelling. */
+  val dedupRnSql: String =
+    "row_number() OVER (PARTITION BY md5(trim(text)) ORDER BY doc_id)"
+
   /** Oracle for the streaming twin's certified surface: the dedup ledger of
     * the gated corpus (same gates, grouped by content hash).
     */
@@ -109,16 +127,14 @@ object CleanCorpusSql {
   val cleanSql: String =
     s"""WITH scored AS (
        |  SELECT doc_id, lang, text,
-       |    ${TS.langPredict("text")} AS lang_pred,
-       |    ${TextAnalysisSql.qualityScoreSql("text")} AS quality,
-       |    CAST(${TS.nTokens("text")} AS BIGINT) AS n_tokens
+       |    $scoredColsSql
        |  FROM documents),
        |gated AS (
        |  SELECT doc_id, lang, text, quality, n_tokens FROM scored
-       |  WHERE lang_pred = lang AND quality >= ${CleanCorpus.QualityMin}),
+       |  WHERE $gateWhereSql),
        |dedup AS (
        |  SELECT doc_id, lang, quality, n_tokens,
-       |    row_number() OVER (PARTITION BY md5(trim(text)) ORDER BY doc_id) AS rn,
+       |    $dedupRnSql AS rn,
        |    count(*) OVER (PARTITION BY md5(trim(text))) AS n_copies
        |  FROM gated)
        |SELECT doc_id, lang, quality, n_tokens, CAST(n_copies AS BIGINT) AS n_copies,

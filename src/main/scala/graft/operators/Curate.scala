@@ -61,17 +61,14 @@ object CurateSql {
        |  FROM documents d JOIN stripped s USING (doc_id)),
        |scored AS (
        |  SELECT doc_id, source, lang, text,
-       |    ${TS.langPredict("text")} AS lang_pred,
-       |    ${TextAnalysisSql.qualityScoreSql("text")} AS quality,
-       |    CAST(${TS.nTokens("text")} AS BIGINT) AS n_tokens
+       |    ${CleanCorpusSql.scoredColsSql}
        |  FROM docs2),
        |cleaned AS (
        |  SELECT doc_id, source, n_tokens FROM (
        |    SELECT doc_id, source, n_tokens,
-       |      row_number() OVER (PARTITION BY md5(trim(text))
-       |        ORDER BY doc_id) AS rn
+       |      ${CleanCorpusSql.dedupRnSql} AS rn
        |    FROM scored
-       |    WHERE lang_pred = lang AND quality >= ${CleanCorpus.QualityMin})
+       |    WHERE ${CleanCorpusSql.gateWhereSql})
        |  WHERE rn = 1),
        |h AS (SELECT doc_id, source, n_tokens, $hv AS hv FROM cleaned),
        |c AS (
