@@ -89,19 +89,27 @@ object BudgetSample {
 object BudgetSampleSql {
   import BudgetSample._
 
-  val sampleDocumentsSql: String = {
-    val hv = TS.hash60(s"('$BudgetSalt' || CAST(doc_id AS VARCHAR))")
-    s"""WITH h AS (
-       |  SELECT doc_id, source,
-       |    CAST(${TS.nTokens("text")} AS BIGINT) AS n_tokens,
-       |    $hv AS hv
-       |  FROM documents),
-       |c AS (
+  /** The salted priority hash, one spelling. */
+  val hvSql: String = TS.hash60(s"('$BudgetSalt' || CAST(doc_id AS VARCHAR))")
+
+  /** The prefix tail over a CTE named `h(doc_id, source, n_tokens, hv)` —
+    * ONE spelling shared with [[CurateSql]], whose token counts come from
+    * the clean chain instead of the raw text.
+    */
+  val prefixTailSql: String =
+    s"""c AS (
        |  SELECT doc_id, source, n_tokens,
        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
        |      ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM h)
        |SELECT doc_id, source, n_tokens FROM c
        |WHERE cum <= $BudgetTokens ORDER BY doc_id""".stripMargin
-  }
+
+  val sampleDocumentsSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |    CAST(${TS.nTokens("text")} AS BIGINT) AS n_tokens,
+       |    $hvSql AS hv
+       |  FROM documents),
+       |$prefixTailSql""".stripMargin
 }

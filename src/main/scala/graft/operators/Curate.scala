@@ -53,8 +53,7 @@ object Curate {
 object CurateSql {
 
   val curateDocumentsSql: String = {
-    val hv = TS.hash60(
-      s"('${BudgetSample.BudgetSalt}' || CAST(doc_id AS VARCHAR))")
+    val hv = BudgetSampleSql.hvSql
     s"""WITH ${BoilerplateSql.strippedCtes},
        |docs2 AS (
        |  SELECT d.doc_id, s.text_stripped AS text, d.lang, d.source
@@ -71,12 +70,6 @@ object CurateSql {
        |    WHERE ${CleanCorpusSql.gateWhereSql})
        |  WHERE rn = 1),
        |h AS (SELECT doc_id, source, n_tokens, $hv AS hv FROM cleaned),
-       |c AS (
-       |  SELECT doc_id, source, n_tokens,
-       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
-       |      ROWS UNBOUNDED PRECEDING) AS cum
-       |  FROM h)
-       |SELECT doc_id, source, n_tokens FROM c
-       |WHERE cum <= ${BudgetSample.BudgetTokens} ORDER BY doc_id""".stripMargin
+       |${BudgetSampleSql.prefixTailSql}""".stripMargin
   }
 }
