@@ -61,28 +61,24 @@ object CurationFunnelSql {
   val funnelDocumentsSql: String =
     s"""WITH scored AS (
        |  SELECT doc_id, source, lang, text,
-       |    ${TS.langPredict("text")} AS lang_pred,
-       |    ${TextAnalysisSql.qualityScoreSql("text")} AS quality,
-       |    CAST(${TS.nTokens("text")} AS BIGINT) AS n_tokens
+       |    ${CleanCorpusSql.scoredColsSql}
        |  FROM documents),
        |stages AS (
        |  SELECT source,
        |    CAST(count(*) AS BIGINT) AS n_raw,
        |    CAST(count(CASE WHEN lang_pred = lang THEN 1 END) AS BIGINT)
        |      AS n_lang,
-       |    CAST(count(CASE WHEN lang_pred = lang
-       |      AND quality >= ${CleanCorpus.QualityMin} THEN 1 END) AS BIGINT)
-       |      AS n_quality
+       |    CAST(count(CASE WHEN ${CleanCorpusSql.gateWhereSql} THEN 1 END)
+       |      AS BIGINT) AS n_quality
        |  FROM scored GROUP BY 1),
        |winners AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS n_unique,
        |    CAST(sum(n_tokens) AS BIGINT) AS tokens_final
        |  FROM (
        |    SELECT source, n_tokens,
-       |      row_number() OVER (PARTITION BY md5(trim(text))
-       |        ORDER BY doc_id) AS rn
+       |      ${CleanCorpusSql.dedupRnSql} AS rn
        |    FROM scored
-       |    WHERE lang_pred = lang AND quality >= ${CleanCorpus.QualityMin})
+       |    WHERE ${CleanCorpusSql.gateWhereSql})
        |  WHERE rn = 1 GROUP BY 1)
        |SELECT s.source, s.n_raw, s.n_lang, s.n_quality,
        |  coalesce(w.n_unique, 0) AS n_unique,
