@@ -41,6 +41,12 @@ object CorpusDrift {
   /** The TV tail over merged per-(source, token) count pairs (o, n) —
     * ONE spelling shared by the batch form and the streaming twin, so the
     * drift arithmetic cannot drift between them. Vocabulary-sized input.
+    *
+    * Degenerate guard: a source present in only one snapshot (or with zero
+    * tokens on a side) has TV distance exactly 1, but the ppm divisor
+    * `2*o_total*n_total` is 0 there — Spark `div` yields NULL while DuckDB
+    * `//` raises, so instead of diverging engines both spellings emit the
+    * mathematically correct sentinel 1000000 (TV = 1) via the same CASE.
     */
   private[graft] def tvTail(counts: DataFrame): DataFrame = {
     val totals = counts.groupBy(col("source"))
@@ -51,7 +57,9 @@ object CorpusDrift {
         sum(abs(col("o") * col("n_total") - col("n") * col("o_total")))
           .as("drift_num"))
       .withColumn("tv_ppm",
-        expr("(drift_num * 1000000) div (2 * o_total * n_total)"))
+        expr("""CASE WHEN o_total = 0 OR n_total = 0 THEN CAST(1000000 AS BIGINT)
+               |     ELSE (drift_num * 1000000) div (2 * o_total * n_total)
+               |END""".stripMargin))
   }
 
   /** (source, o_total, n_total, drift_num, tv_ppm) per source. */
@@ -118,8 +126,9 @@ object CorpusDriftSql {
        |SELECT c.source, t.o_total, t.n_total,
        |  CAST(sum(abs(c.o * t.n_total - c.n * t.o_total)) AS BIGINT)
        |    AS drift_num,
-       |  CAST(sum(abs(c.o * t.n_total - c.n * t.o_total)) * 1000000
-       |    // (2 * t.o_total * t.n_total) AS BIGINT) AS tv_ppm
+       |  CAST(CASE WHEN t.o_total = 0 OR t.n_total = 0 THEN 1000000
+       |       ELSE sum(abs(c.o * t.n_total - c.n * t.o_total)) * 1000000
+       |         // (2 * t.o_total * t.n_total) END AS BIGINT) AS tv_ppm
        |FROM counts c JOIN totals t USING (source)
        |GROUP BY 1, 2, 3
        |ORDER BY c.source""".stripMargin

@@ -21,9 +21,13 @@ import graft.sources.Tables
   *
   * Scale shape: one narrow posexplode and ONE map-side-combined shuffle
   * collapsing to |dims| rows per task before exchange — the
-  * power-iteration shape. Micro-squares bound: |v|≤1 ⇒ terms ≤ 1e12, so
-  * int64 holds ~9·10^6 vectors per dimension; a 100 TB deployment casts
-  * the two sums to DECIMAL(38,0) / HUGEINT, shape unchanged.
+  * power-iteration shape. The two sums accumulate in DECIMAL(38,0)
+  * (terms ≤ 1e12 at |v|≤1, so 38 digits hold ~1e26 vectors per dimension
+  * — exact at any reachable scale, matching DuckDB's HUGEINT
+  * accumulator; a plain int64 sum would wrap silently past ~9e6
+  * vectors/dim on the Spark side while DuckDB's BIGINT cast errors,
+  * turning overflow into an opaque cross-engine divergence) and are cast
+  * back to BIGINT for the certified surface.
   */
 object EmbDimStats {
 
@@ -34,8 +38,9 @@ object EmbDimStats {
       .select(col("dim").cast("int").as("dim"), m.as("m"))
       .groupBy(col("dim"))
       .agg(count(lit(1)).as("n_vecs"),
-        sum(col("m")).as("sum_micro"),
-        sum(col("m") * col("m")).as("sumsq_micro"),
+        sum(col("m").cast("decimal(38,0)")).cast("long").as("sum_micro"),
+        sum((col("m") * col("m")).cast("decimal(38,0)")).cast("long")
+          .as("sumsq_micro"),
         min(col("m")).as("min_micro"),
         max(col("m")).as("max_micro"))
   }

@@ -59,20 +59,39 @@ object StreamStreamJoin {
         col("ts").cast("timestamp").as("ts"))
       .filter(col("event_type").isin("signup", "purchase"))
 
-  /** ONE staged log per (dir, chunks) per JVM, shared by the inner and
-    * outer forms: r14's SsjProfile showed per-pair fixed cost dominated by
-    * the DUPLICATED staging write + max-ts scan, so the pair now stages
-    * once (sentinel included — see below) and replays twice. The sentinel
-    * rows are harmless to the inner form (their user ids differ, so they
-    * can never match each other, and both readbacks drop them anyway).
-    * The temp dir lives until JVM exit (shutdown hook), not per-call.
+  /** ONE staged log per (dir, chunks, input fingerprint) per JVM, shared by
+    * the inner and outer forms: r14's SsjProfile showed per-pair fixed cost
+    * dominated by the DUPLICATED staging write + max-ts scan, so the pair
+    * now stages once (sentinel included — see below) and replays twice. The
+    * sentinel rows are harmless to the inner form (their user ids differ,
+    * so they can never match each other, and both readbacks drop them
+    * anyway). The temp dir lives until JVM exit (shutdown hook), not
+    * per-call.
+    *
+    * The cache key includes a fingerprint of the input parquet's file
+    * names/sizes/mtimes, so rewriting the data under `dir` within one JVM
+    * restages instead of silently replaying the stale log; staging runs
+    * under a lock so concurrent first callers cannot both stage (the
+    * non-atomic `getOrElseUpdate` would leak an orphan temp dir and its
+    * shutdown hook until JVM exit).
     */
   private val stagedCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, String), String]
+
+  /** Fingerprint of the events parquet under `dir` (file name, size, mtime
+    * per part file) — metadata-only, one driver-side listing.
+    */
+  private def inputFingerprint(dir: String): String = {
+    val root = new java.io.File(dir, "events.parquet")
+    val files =
+      if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
+    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toHexString
+  }
 
   private def ensureStaged(spark: SparkSession, dir: String,
-      chunks: Int): String =
-    stagedCache.getOrElseUpdate((dir, chunks), {
+      chunks: Int): String = stagedCache.synchronized {
+    stagedCache.getOrElseUpdate((dir, chunks, inputFingerprint(dir)), {
       import spark.implicits._
       val work = java.nio.file.Files.createTempDirectory("graft_ssj").toFile
       sys.addShutdownHook(org.apache.commons.io.FileUtils.deleteQuietly(work))
@@ -88,6 +107,7 @@ object StreamStreamJoin {
         inDir, chunks, 0)
       inDir
     })
+  }
 
   def signupPurchases(spark: SparkSession, dir: String, chunks: Int = 3,
       watermarkDelay: String = "30 minutes"): DataFrame = {

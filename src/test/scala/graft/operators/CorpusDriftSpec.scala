@@ -36,6 +36,20 @@ class CorpusDriftSpec extends SparkSpec {
     assert(ppm == 1000000L)
   }
 
+  test("a source present in only one snapshot reports the TV = 1 sentinel, not NULL") {
+    // one-sided sources make the ppm divisor 2*o_total*n_total zero; the
+    // guard must emit the mathematically correct 1000000 (TV distance is
+    // exactly 1 against an empty distribution) instead of Spark div's NULL
+    val old = df(("gone", "alpha beta"), ("both", "one two"))
+    val neu = df(("new", "gamma delta"), ("both", "one two"))
+    val rows = CorpusDrift.drift(old, neu).collect()
+      .map(r => r.getString(0) -> (r.isNullAt(4), if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toMap
+    assert(rows("gone") == (false, 1000000L), s"one-sided source: ${rows("gone")}")
+    assert(rows("new") == (false, 1000000L), s"one-sided source: ${rows("new")}")
+    assert(rows("both") == (false, 0L))
+  }
+
   test("sources are independent: drift confined to the shifted source") {
     val old = df(("a", "alpha beta"), ("b", "one two three"))
     val neu = df(("a", "alpha beta"), ("b", "four five six"))
