@@ -62,24 +62,26 @@ object TextFunctions {
     "es" -> Seq(" el ", " y ", " los "),
     "zh" -> Seq("的", "是", "了"))
 
-  def langScores(text: Column): Seq[(String, Column)] = {
-    val padded = concat(lit(" "), text, lit(" "))
-    langMarkers.map { case (lang, ms) =>
-      lang -> ms.map(m => markerCount(padded, m)).reduce(_ + _)
+  /** All language-ID statistics in ONE pass — scores per language, best,
+    * best-vs-second margin, and the argmax label — as a struct column (see
+    * [[LangStats]]). Consumers that need several fields should alias this
+    * once and extract, the [[RepetitionStats]] pattern.
+    */
+  def langStats(text: Column): Column = LangStats(text)
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, _) =>
+      lang -> LangStats(text).getField(s"score_$lang")
     }
-  }
 
   /** argmax over langScores with fixed priority order (first max wins);
-    * "und" (undetermined) when no marker hits at all.
+    * "und" (undetermined) when no marker hits at all. One compact native
+    * expression — the composed `when`-chain spelling (still what the
+    * DuckDB oracle runs, [[TextSql.langPredict]]) re-expanded the 15
+    * marker counts per CASE branch and pushed generated methods past
+    * Janino's limit inside hash aggregates (see [[LangStats]]).
     */
-  def langPredict(text: Column): Column = {
-    val scores = langScores(text)
-    val total = scores.map(_._2).reduce(_ + _)
-    val best = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit("und")) { case ((lang, s), rest) =>
-      when(total > 0 && s === best, lang).otherwise(rest)
-    }
-  }
+  def langPredict(text: Column): Column = LangStats(text).getField("pred")
 }
 
 /** DuckDB mirrors of [[TextFunctions]] — same formulas, same constants. */

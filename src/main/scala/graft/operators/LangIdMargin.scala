@@ -20,18 +20,17 @@ import graft.sources.Tables
   */
 object LangIdMargin {
 
-  /** (doc_id, lang_pred, best_score, margin). */
-  def margins(docs: DataFrame): DataFrame = {
-    val scores = TF.langScores(col("text"))
-    val best = greatest(scores.map(_._2): _*)
-    val pred = TF.langPredict(col("text"))
-    def second(predCol: Column): Column = greatest(scores.map { case (l, s) =>
-      when(predCol === l, lit(-1)).otherwise(s)
-    }: _*)
-    docs.select(col("doc_id"), pred.as("lang_pred"),
-        best.cast("long").as("best_score"),
-        (best - greatest(second(pred), lit(0))).cast("long").as("margin"))
-  }
+  /** (doc_id, lang_pred, best_score, margin). The
+    * [[graft.functions.LangStats]] struct carries all three outputs from
+    * one pass; the margin field is by construction
+    * `best - greatest(second-best-excluding-pred, 0)` — the spelling the
+    * oracle keeps below.
+    */
+  def margins(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TF.langStats(col("text")).as("ls"))
+      .select(col("doc_id"), col("ls.pred").as("lang_pred"),
+        col("ls.best").cast("long").as("best_score"),
+        col("ls.margin").cast("long").as("margin"))
 
   /** Driver query: lang-ID margins over the documents table. */
   def marginsDocuments(spark: SparkSession, dir: String): DataFrame =

@@ -77,12 +77,19 @@ object TextAnalysis {
       (ceil(nWordChars / lit(4.0)) + nPunct).cast("long").as("n_bpe_est"))
   }
 
-  /** Deterministic marker-n-gram language ID with per-language scores. */
+  /** Deterministic marker-n-gram language ID with per-language scores.
+    * The [[graft.functions.LangStats]] struct is evaluated ONCE behind an
+    * alias and the output columns extract its fields (the [[repetition]]
+    * pattern) — one pass over the text per row.
+    */
   def langId(docs: DataFrame): DataFrame = {
-    val scoreCols = TF.langScores(col("text")).map { case (l, c) => c.as(s"score_$l") }
-    docs.select(
-      (col("doc_id") +: col("lang").as("lang_labeled") +:
-        TF.langPredict(col("text")).as("lang_pred") +: scoreCols): _*)
+    val withS = docs.select(col("doc_id"), col("lang").as("lang_labeled"),
+      TF.langStats(col("text")).as("ls"))
+    val scoreCols = graft.functions.LangStats.langs.toSeq
+      .map(l => col(s"ls.score_$l").as(s"score_$l"))
+    withS.select(
+      (col("doc_id") +: col("lang_labeled") +:
+        col("ls.pred").as("lang_pred") +: scoreCols): _*)
   }
 
   /** The three quality factors of a text column (length, stopword density,
