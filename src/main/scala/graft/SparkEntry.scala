@@ -141,6 +141,12 @@ object SparkEntry {
     "q5_local_supplier" -> (Relational.localSupplierVolume _),
     "q_semi_join" -> (Relational.semiJoin _),
     "q_anti_join" -> (Relational.antiJoin _),
+    // correlated subqueries run as ONE engine-neutral SQL string on both
+    // engines; the Spark plan pin (decorrelated to aggregate + join /
+    // semi + anti joins, zero surviving SubqueryExpressions) lives in
+    // SubqueriesSpec
+    "q_correlated_subquery" -> (Subqueries.correlatedScalar _),
+    "q_exists_subquery" -> (Subqueries.existsPair _),
     "q_window_top3" -> (Relational.windowTop3 _),
     "q_running_spend" -> (Relational.runningUserSpend _),
     // event-time RANGE frame: trailing-hour activity, peers included
@@ -673,6 +679,8 @@ object SparkEntry {
     "q5_local_supplier" -> Relational.localSupplierVolumeSql,
     "q_semi_join" -> Relational.semiJoinSql,
     "q_anti_join" -> Relational.antiJoinSql,
+    "q_correlated_subquery" -> Subqueries.correlatedScalarSql,
+    "q_exists_subquery" -> Subqueries.existsSql,
     "q_window_top3" -> Relational.windowTop3Sql,
     "q_running_spend" -> Relational.runningUserSpendSql,
     "q_trailing_window" -> Relational.trailingHourActivitySql,

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** Correlated-subquery coverage — the classical Catalyst rewrites
+  * (SURVEY §4.2) none of the pre-joined relational queries exercised:
+  * RewriteCorrelatedScalarSubquery (a per-outer-row scalar aggregate
+  * decorrelated to ONE aggregate + equi-join) and
+  * RewritePredicateSubquery (correlated EXISTS / NOT EXISTS planned as
+  * semi / anti joins).
+  *
+  * Both queries are spelled ONCE in engine-neutral ANSI SQL and run
+  * verbatim on both engines — the Spark side registers the parquet
+  * tables as temp views and `spark.sql`s the SAME string the DuckDB
+  * oracle executes, so the semantics cannot drift by construction.
+  *
+  * Exactness: the TPC-H-Q17 "below 0.2x the part's average quantity"
+  * predicate is cross-multiplied into pure integers
+  * (`5*qty*count < sum` ⇔ `qty < 0.2*avg` for positive counts) — no
+  * division, no doubles crossing a comparison, so the boundary can never
+  * flip between engines. l_quantity is integral-valued; CAST to BIGINT
+  * agrees (DuckDB rounds, Spark truncates — identical on integers).
+  *
+  * Scale shape (pinned by SubqueriesSpec on the optimized plan): the
+  * correlated scalar pair decorrelates to ONE per-partkey aggregate over
+  * lineitem joined back on l_partkey — no per-row subquery execution
+  * artifacts survive optimization (zero SubqueryExpressions in the
+  * optimized plan), every join is an equi-join (shuffle- or
+  * broadcast-hash; never a nested loop), and at 100 TB the rewrite is
+  * exactly the plan a hand-written aggregate-then-join would produce.
+  * The EXISTS form plans as LeftSemi + LeftAnti equi-joins with the
+  * quantity predicate pushed below the anti join's build side.
+  */
+object Subqueries {
+
+  /** The one selective dimension slice (Q17 keeps one brand). */
+  val Brand = "Brand#11"
+
+  /** Quantity threshold for the NOT EXISTS form — 48 of the 1..50 quantity
+    * domain, so "never ordered in bulk" keeps ~10% of parts at every test
+    * scale (21 / 357 / 3297 rows at sf0.001/0.01/0.1; lower thresholds go
+    * vacuous at sf0.001 where each part carries ~30 lineitems).
+    */
+  val BulkQty = 48
+
+  /** Per-partkey tally of this brand's lineitems priced below 0.2x the
+    * part's average order quantity — TPC-H Q17's correlated-scalar shape
+    * with integer-exact arithmetic and per-partkey (not single-row)
+    * output so the oracle hash certifies the whole distribution.
+    */
+  val correlatedScalarSql: String =
+    s"""SELECT l.l_partkey AS partkey,
+       |  CAST(count(*) AS BIGINT) AS n_below,
+       |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |WHERE p.p_brand = '$Brand'
+       |  AND 5 * CAST(l.l_quantity AS BIGINT) *
+       |      (SELECT count(*) FROM lineitem l2
+       |       WHERE l2.l_partkey = l.l_partkey)
+       |    < (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+       |       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+       |GROUP BY l.l_partkey
+       |ORDER BY partkey""".stripMargin
+
+  /** Parts that were ordered at least once but never in bulk (quantity >=
+    * [[BulkQty]]) — correlated EXISTS + NOT EXISTS, the predicate-subquery
+    * rewrite pair (semi + anti join).
+    */
+  val existsSql: String =
+    s"""SELECT p.p_partkey AS partkey, p.p_brand AS brand
+       |FROM part p
+       |WHERE EXISTS (SELECT 1 FROM lineitem l
+       |              WHERE l.l_partkey = p.p_partkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+       |                  WHERE l.l_partkey = p.p_partkey
+       |                    AND l.l_quantity >= $BulkQty)
+       |ORDER BY partkey""".stripMargin
+
+  private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    spark.sql(sql)
+  }
+
+  /** Driver query: the Q17-shaped correlated scalar aggregate. */
+  def correlatedScalar(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, correlatedScalarSql)
+
+  /** Driver query: the correlated EXISTS / NOT EXISTS pair. */
+  def existsPair(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, existsSql)
+}
