@@ -60,6 +60,7 @@ object SparkEntry {
     "pipeline_clean_corpus_streaming_file",
     "pipeline_corpus_diff_streaming_file",
     "pipeline_corpus_drift_streaming_file",
+    "pipeline_budget_sample_streaming_file",
     "pipeline_group_sample_streaming_file",
     "dedup_exact_streaming_file",
     "dedup_normalized_streaming_file",
@@ -299,6 +300,12 @@ object SparkEntry {
     // hash-range bucket histogram classifies full/boundary buckets; only
     // the (at most one per source) boundary bucket ranks doc-level
     "pipeline_budget_sample" -> (BudgetSample.sampleDocuments _),
+    // the budget prefix with its per-(source, bucket) token histogram
+    // built INCREMENTALLY from file micro-batches (update-mode aggregate,
+    // monotone max-fold readback; state is histogram-sized, independent of
+    // corpus size) — same oracle as the batch form
+    "pipeline_budget_sample_streaming_file" -> ((s, d) =>
+      streaming.StreamingBudgetSample.sampleFromFiles(s, d)),
     // the round-15 composite: boilerplate strip -> clean chain ON the
     // stripped text -> per-source budget prefix over stripped counts —
     // every stage the standalone operator verbatim
@@ -600,6 +607,11 @@ object SparkEntry {
     // Lloyd step over residuals) — the composition the untrained variant's
     // scaladoc routes users to, now certified
     "ann_ivf_pq_res_trained" -> (ProductQuantization.annIvfPqResTrained _),
+    // the exact-re-rank refine stage over the trained residual chain: ADC
+    // selects top-C candidates (codes stay the corpus-wide scan), exact
+    // float sqDist re-scores only those C rows per query — recall@5 at
+    // sf0.1 goes 0.125 -> 1.000 (floor pinned in AnnRecallSf01Spec)
+    "ann_ivf_pq_rerank" -> (ProductQuantization.annIvfPqRerank _),
     // the PQ index materialized: persist once, serve ann_pq and ann_ivf_pq
     "emb_pq_codes" -> (ProductQuantization.pqCodes _),
     // one k-means refinement step (broadcast-argmax assign + exact scaled-
@@ -730,6 +742,7 @@ object SparkEntry {
     "pipeline_stratified_split" -> StratifiedSplitSql.splitDocumentsSql,
     "pipeline_curation_funnel" -> CurationFunnelSql.funnelDocumentsSql,
     "pipeline_budget_sample" -> BudgetSampleSql.sampleDocumentsSql,
+    "pipeline_budget_sample_streaming_file" -> BudgetSampleSql.sampleDocumentsSql,
     "pipeline_curate" -> CurateSql.curateDocumentsSql,
     "text_fingerprints" -> TextAnalysisSql.fingerprintsSql,
     "text_winnow" -> Winnow.winnowDocsSql,
@@ -808,6 +821,7 @@ object SparkEntry {
     "ann_pq_trained" -> ProductQuantizationSql.annPqTrainedSql(),
     "ann_ivf_pq_res" -> ProductQuantizationSql.annIvfPqResSql(),
     "ann_ivf_pq_res_trained" -> ProductQuantizationSql.annIvfPqResSql(trained = true),
+    "ann_ivf_pq_rerank" -> ProductQuantizationSql.annIvfPqRerankSql(),
     "emb_pq_codes" -> ProductQuantizationSql.pqCodesSql,
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),
     "emb_kmeans_step_streaming_file" -> SimilaritySql.kmeansStepSql(),

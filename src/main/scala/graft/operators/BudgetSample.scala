@@ -44,18 +44,24 @@ object BudgetSample {
     samplePreTokenized(docs.select(col("doc_id"), col("source"),
       TF.nTokens(col("text")).cast("long").as("n_tokens")))
 
-  /** The prefix over an already-tokenized (doc_id, source, n_tokens)
-    * frame — the seam composites with their own token accounting (e.g.
-    * [[Curate]], whose counts come from the clean chain) reuse verbatim.
+  /** The salted priority hash + order-preserving range bucket of a
+    * (doc_id, source, n_tokens) frame — ONE spelling shared by the batch
+    * form and the streaming twin's in-stream projection.
     */
-  def samplePreTokenized(toks: DataFrame): DataFrame = {
-    val hashed = Caching.cached(toks.select(col("doc_id"), col("source"),
-      col("n_tokens"),
+  private[graft] def hashedOf(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), col("source"), col("n_tokens"),
       TF.hash60(concat(lit(BudgetSalt), col("doc_id").cast("string")))
         .as("__hv"))
-      .withColumn("__bucket", expr(s"__hv div ${1L << BucketShift}")))
-    val hist = hashed.groupBy(col("source"), col("__bucket"))
-      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("__bucket", expr(s"__hv div ${1L << BucketShift}"))
+
+  /** The prefix classification over a per-(source, bucket) token histogram
+    * `hist(source, __bucket, btok)` plus the hashed doc frame — shared by
+    * the batch form (histogram aggregated in-plan) and the streaming twin
+    * (histogram folded from update-mode emissions), so the cutoff
+    * arithmetic has exactly one spelling.
+    */
+  private[graft] def prefixFromHistogram(hashed: DataFrame,
+      hist: DataFrame): DataFrame = {
     val wcum = Window.partitionBy(col("source")).orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val flagged = hist
@@ -76,6 +82,17 @@ object BudgetSample {
       .filter(col("cum") <= BudgetTokens)
       .select(col("doc_id"), col("source"), col("n_tokens"))
     fullKept.unionAll(boundaryKept)
+  }
+
+  /** The prefix over an already-tokenized (doc_id, source, n_tokens)
+    * frame — the seam composites with their own token accounting (e.g.
+    * [[Curate]], whose counts come from the clean chain) reuse verbatim.
+    */
+  def samplePreTokenized(toks: DataFrame): DataFrame = {
+    val hashed = Caching.cached(hashedOf(toks))
+    val hist = hashed.groupBy(col("source"), col("__bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+    prefixFromHistogram(hashed, hist)
   }
 
   /** Driver query: the budget-capped subset of the documents table. */

@@ -36,8 +36,12 @@ class PlanAuditSpec extends SparkSpec {
   // expansion (type_a < type_b over the distinct-group domain — pairs is
   // the operator's output domain, quadratic in GROUPS by definition,
   // never in data) appears once per union side (2).
+  // ann_ivf_pq_rerank: wraps ann_ivf_pq_res_trained's candidate chain, so
+  // it inherits the same two coarse-codebook scans; the re-rank stage
+  // itself is broadcast-hash equi-joins only (2).
   private val allowedNestedLoops = Map("ann_brute_force" -> 1, "ann_ivf" -> 2,
     "ann_ivf_pq" -> 2, "ann_ivf_pq_res" -> 2, "ann_ivf_pq_res_trained" -> 2,
+    "ann_ivf_pq_rerank" -> 2,
     "ann_ivf_trained" -> 3,
     "emb_kmeans_step" -> 1, "text_tfidf" -> 1, "q_bloom_join" -> 1,
     "dedup_semantic" -> 1, "q_cms_join_size" -> 1, "q_kmv_overlap" -> 2,
