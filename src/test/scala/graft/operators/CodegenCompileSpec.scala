@@ -10,12 +10,11 @@ import graft.SparkSpec
   * interpreted execution — which is exactly how the round-15 lang-ID CASE
   * regression shipped (25 hashAgg compile failures in the suite log,
   * correct answers, interpreted hot path). This suite re-executes the
-  * clean-chain gate family with fallback DISABLED, so a generated method
-  * exceeding Janino's limit fails the suite instead of the throughput.
-  *
-  * The queries chosen are every driver query the round-15 judge found
-  * falling back: the lang-ID pair and the five composites that embed the
-  * langPredict+quality gate inside aggregates.
+  * ENTIRE non-eager driver surface with fallback DISABLED, so a generated
+  * method exceeding Janino's limit fails the suite instead of the
+  * throughput. (Expression-level CodegenFallback implementations like
+  * RepetitionStats are deliberate and unaffected — the conf governs
+  * whole-stage compilation failures, which are never intentional.)
   */
 class CodegenCompileSpec extends SparkSpec {
 
@@ -30,19 +29,23 @@ class CodegenCompileSpec extends SparkSpec {
     }
   }
 
-  private val gateQueries = Seq(
-    "text_langid", "text_langid_margin", "pipeline_clean_corpus",
-    "pipeline_quality_filter", "pipeline_curation_funnel",
-    "pipeline_assemble", "pipeline_curate")
-
-  test("the clean-chain gate family compiles under whole-stage codegen " +
-      "(no Janino fallback)") {
+  test("EVERY non-eager driver query compiles under whole-stage codegen " +
+      "(no Janino fallback anywhere)") {
+    // suite-wide invariant, not just the round-15 failure set: a silent
+    // interpreted fallback on ANY driver path is a shipped constant-factor
+    // loss the normal suite cannot see
     withStrictCodegen {
-      gateQueries.foreach { name =>
-        val df = graft.SparkEntry.queries(name)(spark, sf0001)
-        val n = df.count()
-        assert(n > 0, s"$name returned no rows under strict codegen")
-      }
+      val offenders = graft.SparkEntry.queries.toSeq
+        .filterNot { case (n, _) => graft.SparkEntry.eagerQueries.contains(n) }
+        .flatMap { case (name, fn) =>
+          try { fn(spark, sf0001).count(); None }
+          catch { case e: Throwable =>
+            Some(s"$name: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(200))
+          }
+        }
+      assert(offenders.isEmpty,
+        s"queries failing strict codegen:\n${offenders.mkString("\n")}")
     }
   }
 
