@@ -342,6 +342,15 @@ object SparkEntry {
     // DISTINCT-WORD table (corpus-sized pass = one word count), top merge
     // candidates by TakeOrdered under a total order
     "text_bpe_pairs" -> (BpePairs.mergeCandidatesDocuments _),
+    // the APPLY side of BPE: top merges folded through every distinct word
+    // (vocab-sized work after one corpus pass), head-of-vocab segmentations
+    "text_bpe_encode" -> (BpeEncode.encodeDocuments _),
+    // per-source encoder fertility (tokens per character, integer ppm) —
+    // the pretraining-mix health metric the encode step induces
+    "text_bpe_fertility" -> (BpeEncode.fertilityDocuments _),
+    // overlapping token-window chunking (RAG/context-window prep): stride
+    // grid + subset-tail suppression, replication bounded by W/S = 2
+    "text_chunk" -> (TextChunk.chunkDocuments _),
     // conditional bigram surprisal (fluency proxy): lead()-window bigrams,
     // ln once per distinct pair on the vocab-sized table, integer doc sums
     "text_bigram_surprisal" -> (BigramSurprisal.scoreDocuments _),
@@ -582,6 +591,9 @@ object SparkEntry {
     // --- similarity search extensions ---
     "ann_brute_force" -> ((s, d) => Similarity.bruteForceTopK(sources.Tables.embeddings(s, d))
       .orderBy(col("query_id"), col("rank"))),
+    // kNN majority-vote label prediction on the certified top-k contract —
+    // the embedding-quality probe; vote tail touches only queries x K rows
+    "ann_knn_classify" -> (KnnClassify.classifyEmbeddings _),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(sources.Tables.embeddings(s, d))
       .orderBy(col("query_id"), col("rank"))),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(sources.Tables.embeddings(s, d))
@@ -754,6 +766,9 @@ object SparkEntry {
     "text_repetition" -> TextAnalysisSql.repetitionSql,
     "text_boilerplate_strip" -> BoilerplateSql.stripDocumentsSql,
     "text_bpe_pairs" -> BpePairsSql.mergeCandidatesDocumentsSql(),
+    "text_bpe_encode" -> BpeEncodeSql.encodeDocumentsSql,
+    "text_bpe_fertility" -> BpeEncodeSql.fertilityDocumentsSql,
+    "text_chunk" -> TextChunkSql.chunkDocumentsSql,
     "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,
     "text_pack_sequences" -> TextAnalysisSql.packSequencesSql,
@@ -813,6 +828,7 @@ object SparkEntry {
     "dedup_semantic" -> SemanticDedupSql.semanticDedupDocsSql(),
     "dedup_semantic_trained" -> SemanticDedupSql.semanticDedupDocsTrainedSql(),
     "ann_brute_force" -> SimilaritySql.bruteForceTopKSql(),
+    "ann_knn_classify" -> KnnClassifySql.classifyEmbeddingsSql,
     "ann_lsh" -> SimilaritySql.lshTopKSql(),
     "ann_ivf" -> SimilaritySql.ivfTopKSql(),
     "ann_ivf_trained" -> SimilaritySql.ivfTrainedTopKSql(),

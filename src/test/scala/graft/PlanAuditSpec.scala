@@ -50,7 +50,13 @@ class PlanAuditSpec extends SparkSpec {
     "text_surprisal" -> 1,
     // pipeline_epoch_shuffle: the corpus count N joins in as a broadcast
     // SINGLE-ROW aggregate for the per-epoch position fold (1)
-    "pipeline_epoch_shuffle" -> 1)
+    "pipeline_epoch_shuffle" -> 1,
+    // ann_knn_classify: wraps ann_brute_force's exact-baseline broadcast
+    // nested loop as its neighbor stage; the vote tail is equi-only (1)
+    "ann_knn_classify" -> 1,
+    // text_bpe_encode / text_bpe_fertility: the merge list joins in as a
+    // broadcast SINGLE-ROW array aggregate (the text_tfidf shape) (1)
+    "text_bpe_encode" -> 1, "text_bpe_fertility" -> 1)
   test("no driver query plans a cartesian or nested-loop join") {
     // eager (streaming/iterative) queries are skipped via the ONE shared
     // exclusion set — see SparkEntry.eagerQueries for the rationale
