@@ -261,6 +261,10 @@ object SparkEntry {
     // ordered step funnel: staged conditional min-ts aggregation per step,
     // every stage keyed on user_id
     "q_funnel" -> (Funnel.funnel _),
+    // the same staged funnel under a 24h per-step conversion deadline —
+    // the product-analytics conversion window (without one, a month-long
+    // log funnels everyone eventually)
+    "q_funnel_windowed" -> (Funnel.funnelWindowed _),
     // --- text analysis extensions ---
     // composite corpus clean: lang gate -> quality gate -> exact dedup ->
     // split, fused so only the dedup agg is wide (one shuffle total)
@@ -351,6 +355,9 @@ object SparkEntry {
     // overlapping token-window chunking (RAG/context-window prep): stride
     // grid + subset-tail suppression, replication bounded by W/S = 2
     "text_chunk" -> (TextChunk.chunkDocuments _),
+    // chunk-level exact dedup (retrieval-index prep): the chunk stage IS
+    // TextChunk.chunk verbatim; canonical copy by content-hash window
+    "pipeline_chunk_dedup" -> (ChunkDedup.dedupDocuments _),
     // conditional bigram surprisal (fluency proxy): lead()-window bigrams,
     // ln once per distinct pair on the vocab-sized table, integer doc sums
     "text_bigram_surprisal" -> (BigramSurprisal.scoreDocuments _),
@@ -742,6 +749,7 @@ object SparkEntry {
     "q_stream_stream_join_outer" -> streaming.StreamStreamJoin.signupPurchasesOuterSql,
     "q_outer_join" -> Relational.outerJoinYearsSql,
     "q_funnel" -> Funnel.funnelSql,
+    "q_funnel_windowed" -> Funnel.funnelWindowedSql,
     "pipeline_clean_corpus" -> CleanCorpusSql.cleanSql,
     "pipeline_clean_corpus_streaming_file" -> CleanCorpusSql.cleanLedgerSql,
     "text_token_stats" -> TextAnalysisSql.tokenStatsSql,
@@ -769,6 +777,7 @@ object SparkEntry {
     "text_bpe_encode" -> BpeEncodeSql.encodeDocumentsSql,
     "text_bpe_fertility" -> BpeEncodeSql.fertilityDocumentsSql,
     "text_chunk" -> TextChunkSql.chunkDocumentsSql,
+    "pipeline_chunk_dedup" -> ChunkDedupSql.dedupDocumentsSql,
     "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,
     "text_pack_sequences" -> TextAnalysisSql.packSequencesSql,

@@ -31,26 +31,49 @@ object Funnel {
   /** The funnel steps, in order. Shared with [[funnelSql]]. */
   val Steps: Seq[String] = Seq("signup", "view", "purchase")
 
+  /** Conversion deadline of the windowed variant: step k must land within
+    * this many hours of step k-1's reached time (the product-analytics
+    * "conversion window" — without one, any eventual occurrence converts
+    * and a month-long event log funnels everyone).
+    */
+  val ConversionHours = 24
+
   private def stepCol(i: Int): String = s"${Steps(i)}_ts"
 
   /** Driver query over the events table. */
   def funnel(spark: SparkSession, dir: String): DataFrame =
     of(Tables.events(spark, dir)).orderBy(col("user_id"))
 
+  /** Driver query: the same funnel under the [[ConversionHours]] deadline. */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame =
+    ofWindowed(Tables.events(spark, dir)).orderBy(col("user_id"))
+
   /** The funnel over any (user_id, ts, event_type) frame. */
-  def of(events: DataFrame): DataFrame = {
+  def of(events: DataFrame): DataFrame = staged(events, withinHours = None)
+
+  /** The funnel with a per-step conversion deadline. */
+  def ofWindowed(events: DataFrame,
+      withinHours: Int = ConversionHours): DataFrame =
+    staged(events, Some(withinHours))
+
+  private def staged(events: DataFrame, withinHours: Option[Int]): DataFrame = {
     val ev = events.select(col("user_id"), col("ts"), col("event_type"))
 
     // Step 0: earliest occurrence per user.
     val s0 = ev.filter(col("event_type") === Steps.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as(stepCol(0)))
 
-    // Step k: earliest occurrence strictly after the user's step k-1 time.
+    // Step k: earliest occurrence strictly after the user's step k-1 time
+    // (and within the deadline, when one is set — timestamp + INTERVAL is
+    // exact integer micros on both engines).
     val reached = Steps.indices.tail.foldLeft(Vector(s0)) { (acc, i) =>
       val prev = acc.last
+      val deadline: Column = withinHours
+        .map(h => col("ts") <= col(stepCol(i - 1)) + expr(s"INTERVAL $h HOURS"))
+        .getOrElse(lit(true))
       val next = ev.filter(col("event_type") === Steps(i))
         .join(prev.select(col("user_id"), col(stepCol(i - 1))), Seq("user_id"))
-        .where(col("ts") > col(stepCol(i - 1)))
+        .where(col("ts") > col(stepCol(i - 1)) && deadline)
         .groupBy(col("user_id")).agg(min(col("ts")).as(stepCol(i)))
       acc :+ next
     }
@@ -65,14 +88,22 @@ object Funnel {
   }
 
   /** DuckDB mirror — same steps, same strict-after semantics. */
-  val funnelSql: String = {
+  val funnelSql: String = buildSql(withinHours = None)
+
+  /** DuckDB mirror of the [[ConversionHours]]-deadline variant. */
+  val funnelWindowedSql: String = buildSql(Some(ConversionHours))
+
+  private def buildSql(withinHours: Option[Int]): String = {
     val s0 =
       s"""s0 AS (SELECT user_id, min(ts) AS ${stepCol(0)} FROM events
          |  WHERE event_type = '${Steps.head}' GROUP BY user_id)""".stripMargin
     val rest = Steps.indices.tail.map { i =>
+      val deadline = withinHours.map(h =>
+        s"\n|    AND e.ts <= s${i - 1}.${stepCol(i - 1)} + INTERVAL $h HOUR"
+          .stripMargin).getOrElse("")
       s"""s$i AS (SELECT e.user_id, min(e.ts) AS ${stepCol(i)} FROM events e
          |  JOIN s${i - 1} ON e.user_id = s${i - 1}.user_id
-         |  WHERE e.event_type = '${Steps(i)}' AND e.ts > s${i - 1}.${stepCol(i - 1)}
+         |  WHERE e.event_type = '${Steps(i)}' AND e.ts > s${i - 1}.${stepCol(i - 1)}$deadline
          |  GROUP BY e.user_id)""".stripMargin
     }
     val depth = Steps.indices.tail

@@ -43,6 +43,32 @@ class FunnelSpec extends SparkSpec {
     assert(row == ((ts(5), ts(7), ts(8))))
   }
 
+  test("the conversion deadline is inclusive and resets per step") {
+    val h = 3600L
+    val ev = events(
+      // u1: each step exactly AT the 24h deadline of the previous -> counts
+      (1L, 0L, "signup"), (1L, 24 * h, "view"), (1L, 48 * h, "purchase"),
+      // u2: view one second past the deadline -> depth 1
+      (2L, 0L, "signup"), (2L, 24 * h + 1, "view"),
+      // u3: view in time, purchase measured from VIEW's time (not signup's):
+      // purchase at view + 24h counts even though it is signup + 25h
+      (3L, 0L, "signup"), (3L, 1 * h, "view"), (3L, 25 * h, "purchase"))
+    val got = Funnel.ofWindowed(ev)
+      .select($"user_id", $"depth").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 3))
+  }
+
+  test("a later in-window occurrence rescues a step an early one misses") {
+    val h = 3600L
+    // the 30h view is out of window, but the 40h SECOND signup is not a
+    // step; only the FIRST signup anchors -> view never converts
+    val ev = events(
+      (1L, 0L, "signup"), (1L, 40 * h, "signup"), (1L, 30 * h, "view"))
+    val got = Funnel.ofWindowed(ev)
+      .select($"user_id", $"depth").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1))
+  }
+
   test("plan: every stage is a user-keyed hash join/agg, no cartesian") {
     val plan = Funnel.of(events((1L, 1L, "signup")))
       .queryExecution.executedPlan.toString
