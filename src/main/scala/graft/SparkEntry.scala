@@ -361,6 +361,9 @@ object SparkEntry {
     // conditional bigram surprisal (fluency proxy): lead()-window bigrams,
     // ln once per distinct pair on the vocab-sized table, integer doc sums
     "text_bigram_surprisal" -> (BigramSurprisal.scoreDocuments _),
+    // PMI top-k collocations (tokenizer vocab curation): marginals from
+    // the aggregated pair table, single-row N broadcast, TakeOrdered tail
+    "text_collocations" -> (Collocations.topDocuments _),
     // deterministic per-language rebalancing sample (content-addressed)
     "text_sample_stratified" -> ((s, d) => TextAnalysis.sampleStratified(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -779,6 +782,7 @@ object SparkEntry {
     "text_chunk" -> TextChunkSql.chunkDocumentsSql,
     "pipeline_chunk_dedup" -> ChunkDedupSql.dedupDocumentsSql,
     "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
+    "text_collocations" -> CollocationsSql.topDocumentsSql,
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,
     "text_pack_sequences" -> TextAnalysisSql.packSequencesSql,
     "text_vocab_topk" -> TextAnalysisSql.vocabTopKSql,

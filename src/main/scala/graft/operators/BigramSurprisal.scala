@@ -32,7 +32,10 @@ import graft.sources.Tables
   */
 object BigramSurprisal {
 
-  private def bigrams(docs: DataFrame): DataFrame = {
+  /** The per-doc adjacent-pair table — shared with [[Collocations]] (the
+    * composite discipline: one spelling of the bigram extraction).
+    */
+  private[operators] def bigrams(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
       .select(col("doc_id"), col("pos"), lower(col("col")).as("w1"))

@@ -56,7 +56,10 @@ class PlanAuditSpec extends SparkSpec {
     "ann_knn_classify" -> 1,
     // text_bpe_encode / text_bpe_fertility: the merge list joins in as a
     // broadcast SINGLE-ROW array aggregate (the text_tfidf shape) (1)
-    "text_bpe_encode" -> 1, "text_bpe_fertility" -> 1)
+    "text_bpe_encode" -> 1, "text_bpe_fertility" -> 1,
+    // text_collocations: the bigram total N joins in as a broadcast
+    // SINGLE-ROW aggregate for the PMI denominator (1)
+    "text_collocations" -> 1)
   test("no driver query plans a cartesian or nested-loop join") {
     // eager (streaming/iterative) queries are skipped via the ONE shared
     // exclusion set — see SparkEntry.eagerQueries for the rationale
