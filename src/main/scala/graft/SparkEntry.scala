@@ -358,6 +358,9 @@ object SparkEntry {
     // chunk-level exact dedup (retrieval-index prep): the chunk stage IS
     // TextChunk.chunk verbatim; canonical copy by content-hash window
     "pipeline_chunk_dedup" -> (ChunkDedup.dedupDocuments _),
+    // length-banded curriculum order (short-first schedule): one range
+    // shuffle over (band, salted hash, doc_id), ContiguousId positions
+    "pipeline_curriculum" -> (Curriculum.scheduleDocuments _),
     // conditional bigram surprisal (fluency proxy): lead()-window bigrams,
     // ln once per distinct pair on the vocab-sized table, integer doc sums
     "text_bigram_surprisal" -> (BigramSurprisal.scoreDocuments _),
@@ -781,6 +784,7 @@ object SparkEntry {
     "text_bpe_fertility" -> BpeEncodeSql.fertilityDocumentsSql,
     "text_chunk" -> TextChunkSql.chunkDocumentsSql,
     "pipeline_chunk_dedup" -> ChunkDedupSql.dedupDocumentsSql,
+    "pipeline_curriculum" -> CurriculumSql.scheduleDocumentsSql,
     "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
     "text_collocations" -> CollocationsSql.topDocumentsSql,
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,

@@ -154,4 +154,9 @@ class LayoutInvarianceSpec extends SparkSpec {
       BudgetSample.sample(d).orderBy(org.apache.spark.sql.functions.col("doc_id"))
     }
   }
+
+  test("pipeline_curriculum assigns identical positions on any input layout") {
+    assertInvariant("pipeline_curriculum")(d =>
+      Curriculum.schedule(d).orderBy(col("pos")))
+  }
 }
