@@ -361,6 +361,9 @@ object SparkEntry {
     // length-banded curriculum order (short-first schedule): one range
     // shuffle over (band, salted hash, doc_id), ContiguousId positions
     "pipeline_curriculum" -> (Curriculum.scheduleDocuments _),
+    // per-column data-quality profile (nulls/distincts/min-max): one
+    // 4-column pass, Expand multi-distinct, generator unpivot of one row
+    "pipeline_corpus_profile" -> (CorpusProfile.profileDocuments _),
     // conditional bigram surprisal (fluency proxy): lead()-window bigrams,
     // ln once per distinct pair on the vocab-sized table, integer doc sums
     "text_bigram_surprisal" -> (BigramSurprisal.scoreDocuments _),
@@ -785,6 +788,7 @@ object SparkEntry {
     "text_chunk" -> TextChunkSql.chunkDocumentsSql,
     "pipeline_chunk_dedup" -> ChunkDedupSql.dedupDocumentsSql,
     "pipeline_curriculum" -> CurriculumSql.scheduleDocumentsSql,
+    "pipeline_corpus_profile" -> CorpusProfileSql.profileDocumentsSql,
     "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
     "text_collocations" -> CollocationsSql.topDocumentsSql,
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,
