@@ -364,6 +364,9 @@ object SparkEntry {
     // per-column data-quality profile (nulls/distincts/min-max): one
     // 4-column pass, Expand multi-distinct, generator unpivot of one row
     "pipeline_corpus_profile" -> (CorpusProfile.profileDocuments _),
+    // cross-source shingle overlap (dedup planning): per-source DISTINCT
+    // collapses each shingle to <=|sources| rows before the pair join
+    "pipeline_source_overlap" -> (SourceOverlap.overlapDocuments _),
     // conditional bigram surprisal (fluency proxy): lead()-window bigrams,
     // ln once per distinct pair on the vocab-sized table, integer doc sums
     "text_bigram_surprisal" -> (BigramSurprisal.scoreDocuments _),
@@ -789,6 +792,7 @@ object SparkEntry {
     "pipeline_chunk_dedup" -> ChunkDedupSql.dedupDocumentsSql,
     "pipeline_curriculum" -> CurriculumSql.scheduleDocumentsSql,
     "pipeline_corpus_profile" -> CorpusProfileSql.profileDocumentsSql,
+    "pipeline_source_overlap" -> SourceOverlapSql.overlapDocumentsSql(),
     "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
     "text_collocations" -> CollocationsSql.topDocumentsSql,
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,

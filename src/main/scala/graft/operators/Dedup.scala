@@ -218,10 +218,12 @@ object Dedup {
     * operators consume (see that scaladoc for why the composed expression
     * tree is quadratic per doc).
     */
-  def hashedShingleSets(docs: DataFrame, n: Int = ShingleN): DataFrame =
+  def hashedShingleSets(docs: DataFrame, n: Int = ShingleN,
+      extra: Seq[String] = Nil): DataFrame =
     docs
       .filter(TF.nTokens(col("text")) >= n)
-      .select(col("doc_id"), graft.functions.ShingleHash60(col("text"), n).as("sh"))
+      .select(col("doc_id") +: extra.map(col) :+
+        graft.functions.ShingleHash60(col("text"), n).as("sh"): _*)
 
   /** n-gram Jaccard near-dup pairs via an inverted shingle index:
     * explode -> equi-join on shingle -> count common -> |A∪B| arithmetic.
