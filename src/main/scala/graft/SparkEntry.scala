@@ -367,6 +367,9 @@ object SparkEntry {
     // cross-source shingle overlap (dedup planning): per-source DISTINCT
     // collapses each shingle to <=|sources| rows before the pair join
     "pipeline_source_overlap" -> (SourceOverlap.overlapDocuments _),
+    // all-corpus kNN edge list: the near-dup LSH candidate stage verbatim,
+    // one cosine fold per undirected pair, high-cardinality top-k window
+    "ann_knn_graph" -> (KnnGraph.graphEmbeddings _),
     // conditional bigram surprisal (fluency proxy): lead()-window bigrams,
     // ln once per distinct pair on the vocab-sized table, integer doc sums
     "text_bigram_surprisal" -> (BigramSurprisal.scoreDocuments _),
@@ -793,6 +796,7 @@ object SparkEntry {
     "pipeline_curriculum" -> CurriculumSql.scheduleDocumentsSql,
     "pipeline_corpus_profile" -> CorpusProfileSql.profileDocumentsSql,
     "pipeline_source_overlap" -> SourceOverlapSql.overlapDocumentsSql(),
+    "ann_knn_graph" -> KnnGraphSql.graphEmbeddingsSql(),
     "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
     "text_collocations" -> CollocationsSql.topDocumentsSql,
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,

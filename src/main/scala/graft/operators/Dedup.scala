@@ -533,20 +533,29 @@ object Dedup {
     base.unionAll(copies).unionAll(flipped)
   }
 
+  /** Multi-table sign-LSH candidate pairs (vec_a < vec_b, deduped across
+    * tables before any cosine work) — shared by [[embeddingNearDup]] and
+    * [[KnnGraph]].
+    */
+  private[operators] def lshCandidatePairs(emb: DataFrame,
+      tables: Int): DataFrame = {
+    // bk encodes (table, bucket) so buckets never collide across tables
+    val bucketed = emb.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        Similarity.tableBucket(col("embedding"), t) + lit(t.toLong << 32)): _*)).as("bk"))
+    bucketed.as("a")
+      .join(bucketed.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+  }
+
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.95,
       tables: Int = NearDupTables): DataFrame = {
     // norms computed once per vector BELOW the join (projection stays on its
     // side), not once per pair — same doubles, 1/3 the fold work
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       VF.norm(col("embedding")).as("nrm"))
-    // bk encodes (table, bucket) so buckets never collide across tables
-    val bucketed = emb.select(col("vec_id"),
-      explode(array((0 until tables).map(t =>
-        Similarity.tableBucket(col("embedding"), t) + lit(t.toLong << 32)): _*)).as("bk"))
-    val cand = bucketed.as("a")
-      .join(bucketed.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    val cand = lshCandidatePairs(emb, tables)
     cand
       .join(withNorm.as("a"), col("vec_a") === col("a.vec_id"))
       .join(withNorm.as("b"), col("vec_b") === col("b.vec_id"))

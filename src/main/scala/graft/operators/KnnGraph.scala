@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => VF, VectorSql => VS}
+import graft.sources.Tables
+
+/** Approximate k-nearest-neighbor GRAPH over the whole embedding corpus —
+  * the primitive under graph-based near-dup clustering, label propagation,
+  * and diversity-aware selection: every vector gets its k most-cosine-
+  * similar bucket-mates as directed edges. Unlike the `ann_*` query
+  * operators (few probe vectors against a corpus), this is all-corpus
+  * self-similarity — the regime where brute force is O(n²) and the
+  * bucketed candidate set is the whole game.
+  *
+  * The candidate stage IS [[Dedup.lshCandidatePairs]] verbatim (the
+  * embedding near-dup machinery: multi-table sign-LSH, pairs deduped
+  * across tables BEFORE any cosine work), so each undirected candidate
+  * pair pays the [[VF.dot]] fold exactly once and then feeds BOTH
+  * directions of the graph.
+  *
+  * Scale shape: candidates are bucket-bounded (never all-pairs); the
+  * per-vector top-k window partitions on the HIGH-CARDINALITY vec_id, so
+  * no per-group data skew; norms are computed once per vector below the
+  * join. Recall is the LSH trade the near-dup family already documents —
+  * a vector's true neighbor missing every shared bucket is absent from
+  * its edge list, identically in both engines (same deterministic
+  * hyperplanes), so the approximation itself is certified.
+  */
+object KnnGraph {
+
+  /** Edges per vector. */
+  val K = 3
+
+  /** (vec_id, rank, nbr_id, cos): the directed kNN edge list. */
+  def graph(emb: DataFrame, k: Int = K,
+      tables: Int = Dedup.NearDupTables): DataFrame = {
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      VF.norm(col("embedding")).as("nrm"))
+    val scored = Dedup.lshCandidatePairs(emb, tables)
+      .join(withNorm.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(withNorm.as("b"), col("vec_b") === col("b.vec_id"))
+      .withColumn("nn", col("a.nrm") * col("b.nrm"))
+      .withColumn("cos", when(col("nn") === 0.0, 0.0)
+        .otherwise(VF.dot(col("a.embedding"), col("b.embedding")) / col("nn")))
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+    val directed = scored
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("nbr_id"), col("cos"))
+      .unionAll(scored
+        .select(col("vec_b").as("vec_id"), col("vec_a").as("nbr_id"), col("cos")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    directed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** Driver query: the kNN graph of the embeddings table. */
+  def graphEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    graph(Tables.embeddings(spark, dir))
+}
+
+/** DuckDB oracle for [[KnnGraph]] — same deterministic hyperplane buckets
+  * (the near-dup oracle convention), same undirected-score-then-mirror
+  * shape, same (cos desc, nbr_id) rank order.
+  */
+object KnnGraphSql {
+
+  def graphEmbeddingsSql(k: Int = KnnGraph.K,
+      tables: Int = Dedup.NearDupTables): String = {
+    val bucketList = (0 until tables)
+      .map(t => s"${SimilaritySql.tableBucketSql("embedding", t)} + ${t.toLong << 32}")
+      .mkString("[", ",\n  ", "]")
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, unnest($bucketList) AS bk FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bucketed a JOIN bucketed b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT vec_a, vec_b,
+       |         ${VS.cosine("a.embedding", "b.embedding")} AS cos
+       |  FROM cand
+       |  JOIN embeddings a ON vec_a = a.vec_id
+       |  JOIN embeddings b ON vec_b = b.vec_id),
+       |directed AS (
+       |  SELECT vec_a AS vec_id, vec_b AS nbr_id, cos FROM scored
+       |  UNION ALL
+       |  SELECT vec_b AS vec_id, vec_a AS nbr_id, cos FROM scored),
+       |ranked AS (
+       |  SELECT vec_id, nbr_id, cos, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rank
+       |  FROM directed)
+       |SELECT vec_id, rank, nbr_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY vec_id, rank""".stripMargin
+  }
+}
