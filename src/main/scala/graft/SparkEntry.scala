@@ -370,6 +370,9 @@ object SparkEntry {
     // all-corpus kNN edge list: the near-dup LSH candidate stage verbatim,
     // one cosine fold per undirected pair, high-cardinality top-k window
     "ann_knn_graph" -> (KnnGraph.graphEmbeddings _),
+    // pairwise dimension co-moments (covariance/PCA prep): one reused
+    // element exchange, map-side combine to the |Dim|^2/2 pair domain
+    "emb_covariance" -> (EmbCovariance.comomentsEmbeddings _),
     // conditional bigram surprisal (fluency proxy): lead()-window bigrams,
     // ln once per distinct pair on the vocab-sized table, integer doc sums
     "text_bigram_surprisal" -> (BigramSurprisal.scoreDocuments _),
@@ -797,6 +800,7 @@ object SparkEntry {
     "pipeline_corpus_profile" -> CorpusProfileSql.profileDocumentsSql,
     "pipeline_source_overlap" -> SourceOverlapSql.overlapDocumentsSql(),
     "ann_knn_graph" -> KnnGraphSql.graphEmbeddingsSql(),
+    "emb_covariance" -> EmbCovarianceSql.comomentsEmbeddingsSql,
     "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
     "text_collocations" -> CollocationsSql.topDocumentsSql,
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,
