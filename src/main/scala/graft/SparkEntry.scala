@@ -64,7 +64,8 @@ object SparkEntry {
     "pipeline_group_sample_streaming_file",
     "dedup_exact_streaming_file",
     "dedup_normalized_streaming_file",
-    "dedup_winnow_streaming_file")
+    "dedup_winnow_streaming_file",
+    "text_collocations_streaming_file")
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -379,6 +380,10 @@ object SparkEntry {
     // PMI top-k collocations (tokenizer vocab curation): marginals from
     // the aggregated pair table, single-row N broadcast, TakeOrdered tail
     "text_collocations" -> (Collocations.topDocuments _),
+    // streaming twin: incremental pair counts over file micro-batches,
+    // monotone max-fold, the SAME scoring tail and oracle
+    "text_collocations_streaming_file" ->
+      ((s, d) => streaming.StreamingCollocations.topFromFiles(s, d)),
     // deterministic per-language rebalancing sample (content-addressed)
     "text_sample_stratified" -> ((s, d) => TextAnalysis.sampleStratified(
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -803,6 +808,7 @@ object SparkEntry {
     "emb_covariance" -> EmbCovarianceSql.comomentsEmbeddingsSql,
     "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
     "text_collocations" -> CollocationsSql.topDocumentsSql,
+    "text_collocations_streaming_file" -> CollocationsSql.topDocumentsSql,
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,
     "text_pack_sequences" -> TextAnalysisSql.packSequencesSql,
     "text_vocab_topk" -> TextAnalysisSql.vocabTopKSql,

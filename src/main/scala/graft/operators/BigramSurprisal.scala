@@ -33,9 +33,11 @@ import graft.sources.Tables
 object BigramSurprisal {
 
   /** The per-doc adjacent-pair table — shared with [[Collocations]] (the
-    * composite discipline: one spelling of the bigram extraction).
+    * composite discipline: one spelling of the bigram extraction; the
+    * streaming twin's per-row spelling is pinned against this one in
+    * StreamingCollocationsSpec).
     */
-  private[operators] def bigrams(docs: DataFrame): DataFrame = {
+  private[graft] def bigrams(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
       .select(col("doc_id"), col("pos"), lower(col("col")).as("w1"))

@@ -40,9 +40,15 @@ object Collocations {
   val TopK = 100
 
   /** (w1, w2, n_pair, pmi_micro): the [[TopK]] strongest collocations. */
-  def top(docs: DataFrame): DataFrame = {
-    val pc = BigramSurprisal.bigrams(docs)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+  def top(docs: DataFrame): DataFrame =
+    scoreTail(BigramSurprisal.bigrams(docs)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair")))
+
+  /** The PMI scoring tail over any (w1, w2, n_pair) pair-count table —
+    * shared with [[graft.streaming.StreamingCollocations]] (the streaming
+    * twin folds its incremental counts into exactly this table).
+    */
+  private[graft] def scoreTail(pc: DataFrame): DataFrame = {
     val n = pc.agg(sum(col("n_pair")).as("__n"))
     val c1 = pc.groupBy(col("w1")).agg(sum(col("n_pair")).as("c1"))
     val c2 = pc.groupBy(col("w2")).agg(sum(col("n_pair")).as("c2"))
