@@ -374,6 +374,9 @@ object SparkEntry {
     // pairwise dimension co-moments (covariance/PCA prep): one reused
     // element exchange, map-side combine to the |Dim|^2/2 pair domain
     "emb_covariance" -> (EmbCovariance.comomentsEmbeddings _),
+    // dataset datasheet (size/diversity/dup-rate/splits): one corpus
+    // pass, Expand multi-distinct, certified spellings shared throughout
+    "pipeline_dataset_card" -> (DatasetCard.cardDocuments _),
     // conditional bigram surprisal (fluency proxy): lead()-window bigrams,
     // ln once per distinct pair on the vocab-sized table, integer doc sums
     "text_bigram_surprisal" -> (BigramSurprisal.scoreDocuments _),
@@ -806,6 +809,7 @@ object SparkEntry {
     "pipeline_source_overlap" -> SourceOverlapSql.overlapDocumentsSql(),
     "ann_knn_graph" -> KnnGraphSql.graphEmbeddingsSql(),
     "emb_covariance" -> EmbCovarianceSql.comomentsEmbeddingsSql,
+    "pipeline_dataset_card" -> DatasetCardSql.cardDocumentsSql,
     "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
     "text_collocations" -> CollocationsSql.topDocumentsSql,
     "text_collocations_streaming_file" -> CollocationsSql.topDocumentsSql,

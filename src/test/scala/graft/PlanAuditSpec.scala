@@ -92,6 +92,13 @@ class PlanAuditSpec extends SparkSpec {
     "part" -> 6, "customer" -> 5, "supplier" -> 4, "nation" -> 3,
     "region" -> 2, "embeddings" -> 3)
 
+  // Per-QUERY ceiling overrides — the conscious full-width exceptions,
+  // named so the per-table cap stays tight for everyone else.
+  // pipeline_dataset_card (round 16): the datasheet summarizes EVERY
+  // documents column (tokens + dup hash from text, chars from n_chars,
+  // diversity from lang/source) — the one legitimate 5-column reader.
+  private val queryScanCols = Map(("pipeline_dataset_card", "documents") -> 5)
+
   /** Top-level field count of a ReadSchema struct body (fields like
     * `props:map<string,string>` carry commas inside angle brackets).
     */
@@ -117,7 +124,8 @@ class PlanAuditSpec extends SparkSpec {
         scanRe.findAllMatchIn(plan).flatMap { m =>
           scansSeen += 1
           val (table, cols) = (m.group(1), topLevelCols(m.group(2)))
-          val cap = maxScanCols.getOrElse(table, 0)
+          val cap = queryScanCols.getOrElse((name, table),
+            maxScanCols.getOrElse(table, 0))
           if (cols > cap) Some(s"$name reads $cols cols of $table (cap $cap): ${m.group(2)}")
           else None
         }
