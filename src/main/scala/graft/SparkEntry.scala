@@ -266,6 +266,9 @@ object SparkEntry {
     // the product-analytics conversion window (without one, a month-long
     // log funnels everyone eventually)
     "q_funnel_windowed" -> (Funnel.funnelWindowed _),
+    // aggregate funnel report: the per-user funnel verbatim, single-row
+    // step counts, step-over-step conversion in integer ppm
+    "q_funnel_conversion" -> (Funnel.reportEvents _),
     // --- text analysis extensions ---
     // composite corpus clean: lang gate -> quality gate -> exact dedup ->
     // split, fused so only the dedup agg is wide (one shuffle total)
@@ -776,6 +779,7 @@ object SparkEntry {
     "q_outer_join" -> Relational.outerJoinYearsSql,
     "q_funnel" -> Funnel.funnelSql,
     "q_funnel_windowed" -> Funnel.funnelWindowedSql,
+    "q_funnel_conversion" -> Funnel.reportSql,
     "pipeline_clean_corpus" -> CleanCorpusSql.cleanSql,
     "pipeline_clean_corpus_streaming_file" -> CleanCorpusSql.cleanLedgerSql,
     "text_token_stats" -> TextAnalysisSql.tokenStatsSql,

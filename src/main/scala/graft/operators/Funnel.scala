@@ -87,6 +87,34 @@ object Funnel {
         depth.cast("int").as("depth"): _*)
   }
 
+  /** The aggregate funnel report — the deliverable a product team reads:
+    * per step, how many users reached it and the step-over-step
+    * conversion in ppm. The per-user funnel stage IS [[of]] verbatim
+    * (the composite discipline), so the report cannot disagree with the
+    * per-user table; the tail is ONE single-row aggregate (count of
+    * non-null step times) unpivoted by a generator. Step labels carry
+    * their ordinal so the report orders by funnel position.
+    *
+    * Integer ppm division (`div`/`//`, non-negative) with a zero-base
+    * guard so the report is total even on an empty corpus.
+    */
+  def report(events: DataFrame): DataFrame = {
+    val aggs = Steps.indices.map(i => count(col(stepCol(i))).as(s"n$i"))
+    val one = of(events).agg(aggs.head, aggs.tail: _*)
+    val rows = Steps.indices.map { i =>
+      val conv = if (i == 0) "1000000L"
+      else s"CASE WHEN n${i - 1} = 0 THEN 0L ELSE n$i * 1000000 div n${i - 1} END"
+      s"'${i + 1}_${Steps(i)}', n$i, $conv"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${Steps.length}, $rows) AS " +
+        "(step, n_users, conv_from_prev_ppm)")
+      .orderBy(col("step"))
+  }
+
+  /** Driver query: the aggregate funnel report over the events table. */
+  def reportEvents(spark: SparkSession, dir: String): DataFrame =
+    report(Tables.events(spark, dir))
+
   /** DuckDB mirror — same steps, same strict-after semantics. */
   val funnelSql: String = buildSql(withinHours = None)
 
@@ -117,5 +145,23 @@ object Funnel {
        |FROM s0
        |$joins
        |ORDER BY s0.user_id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[report]] — the certified per-user funnel SQL
+    * embedded verbatim, then the same single-row unpivoted tail.
+    */
+  val reportSql: String = {
+    val counts = Steps.indices
+      .map(i => s"count(${stepCol(i)}) AS n$i").mkString(", ")
+    val branches = Steps.indices.map { i =>
+      val conv = if (i == 0) "CAST(1000000 AS BIGINT)"
+      else s"CASE WHEN n${i - 1} = 0 THEN 0 ELSE n$i * 1000000 // n${i - 1} END"
+      s"""SELECT '${i + 1}_${Steps(i)}' AS step, n$i AS n_users,
+         |  $conv AS conv_from_prev_ppm FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS (SELECT * FROM ($funnelSql)),
+       |a AS (SELECT $counts FROM f)
+       |$branches
+       |ORDER BY step""".stripMargin
   }
 }

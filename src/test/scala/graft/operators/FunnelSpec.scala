@@ -69,6 +69,31 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map(1L -> 1))
   }
 
+  test("the report counts step reach and ppm conversion exactly") {
+    // 4 users sign up, 2 view, 1 purchases
+    val ev = events(
+      (1L, 1L, "signup"), (2L, 1L, "signup"), (3L, 1L, "signup"),
+      (4L, 1L, "signup"),
+      (1L, 2L, "view"), (2L, 2L, "view"),
+      (1L, 3L, "purchase"))
+    val got = Funnel.report(ev)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("1_signup", 4L, 1000000L),
+      ("2_view", 2L, 500000L),
+      ("3_purchase", 1L, 500000L)))
+  }
+
+  test("the report agrees with the per-user funnel on the corpus") {
+    val f = Funnel.funnel(spark, sf0001).select($"depth").as[Int].collect()
+    val got = Funnel.reportEvents(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got("1_signup") == f.count(_ >= 1))
+    assert(got("2_view") == f.count(_ >= 2))
+    assert(got("3_purchase") == f.count(_ >= 3))
+  }
+
   test("plan: every stage is a user-keyed hash join/agg, no cartesian") {
     val plan = Funnel.of(events((1L, 1L, "signup")))
       .queryExecution.executedPlan.toString
