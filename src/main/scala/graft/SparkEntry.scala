@@ -380,6 +380,9 @@ object SparkEntry {
     // dataset datasheet (size/diversity/dup-rate/splits): one corpus
     // pass, Expand multi-distinct, certified spellings shared throughout
     "pipeline_dataset_card" -> (DatasetCard.cardDocuments _),
+    // candidate-pair cosine histogram (distance-concentration diagnosis):
+    // the shared LSH candidate stage, IEEE floor binning, integer counts
+    "emb_distance_histogram" -> (DistanceHistogram.histogramEmbeddings _),
     // conditional bigram surprisal (fluency proxy): lead()-window bigrams,
     // ln once per distinct pair on the vocab-sized table, integer doc sums
     "text_bigram_surprisal" -> (BigramSurprisal.scoreDocuments _),
@@ -814,6 +817,7 @@ object SparkEntry {
     "ann_knn_graph" -> KnnGraphSql.graphEmbeddingsSql(),
     "emb_covariance" -> EmbCovarianceSql.comomentsEmbeddingsSql,
     "pipeline_dataset_card" -> DatasetCardSql.cardDocumentsSql,
+    "emb_distance_histogram" -> DistanceHistogramSql.histogramEmbeddingsSql(),
     "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
     "text_collocations" -> CollocationsSql.topDocumentsSql,
     "text_collocations_streaming_file" -> CollocationsSql.topDocumentsSql,
