@@ -47,8 +47,13 @@ object Collocations {
   /** The PMI scoring tail over any (w1, w2, n_pair) pair-count table —
     * shared with [[graft.streaming.StreamingCollocations]] (the streaming
     * twin folds its incremental counts into exactly this table).
+    *
+    * The pair table has FOUR consumers (N, both marginals, the scored
+    * base), so it is cached — without it each consumer replays the
+    * corpus-sized bigram pass (observed: 4× the exchanges in the plan).
     */
-  private[graft] def scoreTail(pc: DataFrame): DataFrame = {
+  private[graft] def scoreTail(pc0: DataFrame): DataFrame = {
+    val pc = Caching.cached(pc0)
     val n = pc.agg(sum(col("n_pair")).as("__n"))
     val c1 = pc.groupBy(col("w1")).agg(sum(col("n_pair")).as("c1"))
     val c2 = pc.groupBy(col("w2")).agg(sum(col("n_pair")).as("c2"))
