@@ -39,13 +39,16 @@ object KnnGraph {
       tables: Int = Dedup.NearDupTables): DataFrame = {
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       VF.norm(col("embedding")).as("nrm"))
-    val scored = Dedup.lshCandidatePairs(emb, tables)
+    // scored feeds BOTH directions of the graph (the unionAll below), so it
+    // is cached — without it each direction replays the whole LSH candidate
+    // generation and cosine join (observed: 2x the exchanges/joins in plan)
+    val scored = Caching.cached(Dedup.lshCandidatePairs(emb, tables)
       .join(withNorm.as("a"), col("vec_a") === col("a.vec_id"))
       .join(withNorm.as("b"), col("vec_b") === col("b.vec_id"))
       .withColumn("nn", col("a.nrm") * col("b.nrm"))
       .withColumn("cos", when(col("nn") === 0.0, 0.0)
         .otherwise(VF.dot(col("a.embedding"), col("b.embedding")) / col("nn")))
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .select(col("vec_a"), col("vec_b"), col("cos")))
     val directed = scored
       .select(col("vec_a").as("vec_id"), col("vec_b").as("nbr_id"), col("cos"))
       .unionAll(scored

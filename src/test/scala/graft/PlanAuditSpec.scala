@@ -59,7 +59,10 @@ class PlanAuditSpec extends SparkSpec {
     "text_bpe_encode" -> 1, "text_bpe_fertility" -> 1,
     // text_collocations: the bigram total N joins in as a broadcast
     // SINGLE-ROW aggregate for the PMI denominator (1)
-    "text_collocations" -> 1)
+    "text_collocations" -> 1,
+    // q_market_basket: the basket total N joins in as a broadcast
+    // SINGLE-ROW aggregate for the lift denominator (1)
+    "q_market_basket" -> 1)
   test("no driver query plans a cartesian or nested-loop join") {
     // eager (streaming/iterative) queries are skipped via the ONE shared
     // exclusion set — see SparkEntry.eagerQueries for the rationale
