@@ -65,7 +65,8 @@ object SparkEntry {
     "dedup_exact_streaming_file",
     "dedup_normalized_streaming_file",
     "dedup_winnow_streaming_file",
-    "text_collocations_streaming_file")
+    "text_collocations_streaming_file",
+    "pipeline_chunk_dedup_streaming_file")
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -125,6 +126,9 @@ object SparkEntry {
     // per-topic change cadence from the SAME CDC kept-row set (sensor
     // health: change counts, span, mean dwell — exact integer ms)
     "mqtt_history_stats" -> (MqttQueries.historyStats _),
+    // $SYS-style topic-tree rollup: depth-bounded prefix explode, one
+    // map-side-combined aggregation to the prefix domain
+    "mqtt_topic_tree" -> (MqttQueries.topicTree _),
     // as-of join (single-shuffle union-merge) vs DuckDB's native ASOF JOIN
     "mqtt_asof_change" -> (MqttQueries.asofChange _),
     // event-time tumbling windows (batch form; streaming twin is watermarked)
@@ -171,6 +175,8 @@ object SparkEntry {
     "pipeline_group_sample_streaming_file" -> ((s, d) =>
       streaming.StreamingGroupSample.sampleDocsPerLangFromFiles(s, d)),
     "q_monthly_events" -> (Relational.monthlyEvents _),
+    // 7x24 load profile: integer epoch dow/hour buckets, micro value mass
+    "q_hour_heatmap" -> (Relational.hourHeatmap _),
     // dense hourly grid per key (gap fill): data touched once for the
     // bucket agg; grid generation, fill join, and the running total all
     // run on bucket-cardinality rows
@@ -362,6 +368,10 @@ object SparkEntry {
     // chunk-level exact dedup (retrieval-index prep): the chunk stage IS
     // TextChunk.chunk verbatim; canonical copy by content-hash window
     "pipeline_chunk_dedup" -> (ChunkDedup.dedupDocuments _),
+    // streaming twin: canonical chunk assignment (hash -> min coordinate)
+    // as an update-mode agg over file micro-batches, monotone min-fold
+    "pipeline_chunk_dedup_streaming_file" ->
+      ((s, d) => streaming.StreamingChunkDedup.canonicalFromFiles(s, d)),
     // length-banded curriculum order (short-first schedule): one range
     // shuffle over (band, salted hash, doc_id), ContiguousId positions
     "pipeline_curriculum" -> (Curriculum.scheduleDocuments _),
@@ -383,6 +393,18 @@ object SparkEntry {
     // candidate-pair cosine histogram (distance-concentration diagnosis):
     // the shared LSH candidate stage, IEEE floor binning, integer counts
     "emb_distance_histogram" -> (DistanceHistogram.histogramEmbeddings _),
+    // kNN-graph in-degree histogram (hubness/coverage instrument): the
+    // certified edge stage verbatim + a zero-inclusive degree count
+    "ann_graph_degree" -> (GraphDegree.histogramEmbeddings _),
+    // label-centroid cosine matrix (class geometry): one EmbDimStats-shaped
+    // corpus shuffle, everything downstream on the labels×dims table
+    "emb_centroid_sim" -> (CentroidSim.matrixEmbeddings _),
+    // part-pair association lift (basket-bounded pair join, integer-exact
+    // lift ppm, single-row N broadcast, TakeOrdered tail)
+    "q_market_basket" -> (MarketBasket.liftLineitem _),
+    // per-source word-length/syllable/long-word readability profile (one
+    // corpus pass, integer rates; the corpus is sentence-terminator-free)
+    "text_readability" -> (Readability.profileDocuments _),
     // conditional bigram surprisal (fluency proxy): lead()-window bigrams,
     // ln once per distinct pair on the vocab-sized table, integer doc sums
     "text_bigram_surprisal" -> (BigramSurprisal.scoreDocuments _),
@@ -733,6 +755,7 @@ object SparkEntry {
     "mqtt_state_streaming_file" -> MqttQueries.stateSql,
     "mqtt_history_scd2" -> MqttQueries.historyScd2Sql,
     "mqtt_history_stats" -> MqttQueries.historyStatsSql,
+    "mqtt_topic_tree" -> MqttQueries.topicTreeSql,
     "mqtt_asof_change" -> MqttQueries.asofChangeSql,
     "mqtt_windowed_counts" -> MqttQueries.windowedCountsSql,
     "mqtt_windowed_streaming_file" -> MqttQueries.windowedCountsSql,
@@ -755,6 +778,7 @@ object SparkEntry {
     "pipeline_group_sample" -> BoundedTopK.sampleDocsPerLangSql,
     "pipeline_group_sample_streaming_file" -> BoundedTopK.sampleDocsPerLangSql,
     "q_monthly_events" -> Relational.monthlyEventsSql,
+    "q_hour_heatmap" -> Relational.hourHeatmapSql,
     "q_gap_fill_hourly" -> Resample.hourlyEventsSql,
     "q_time_weighted" -> TimeWeightedSql.perSeriesEventsSql,
     "q_attribution_touch" -> AttributionSql.firstLastTouchEventsSql,
@@ -811,6 +835,8 @@ object SparkEntry {
     "text_bpe_fertility" -> BpeEncodeSql.fertilityDocumentsSql,
     "text_chunk" -> TextChunkSql.chunkDocumentsSql,
     "pipeline_chunk_dedup" -> ChunkDedupSql.dedupDocumentsSql,
+    "pipeline_chunk_dedup_streaming_file" ->
+      streaming.StreamingChunkDedupSql.canonicalDocumentsSql,
     "pipeline_curriculum" -> CurriculumSql.scheduleDocumentsSql,
     "pipeline_corpus_profile" -> CorpusProfileSql.profileDocumentsSql,
     "pipeline_source_overlap" -> SourceOverlapSql.overlapDocumentsSql(),
@@ -818,6 +844,10 @@ object SparkEntry {
     "emb_covariance" -> EmbCovarianceSql.comomentsEmbeddingsSql,
     "pipeline_dataset_card" -> DatasetCardSql.cardDocumentsSql,
     "emb_distance_histogram" -> DistanceHistogramSql.histogramEmbeddingsSql(),
+    "ann_graph_degree" -> GraphDegreeSql.histogramEmbeddingsSql,
+    "emb_centroid_sim" -> CentroidSimSql.matrixEmbeddingsSql,
+    "q_market_basket" -> MarketBasketSql.liftLineitemSql,
+    "text_readability" -> ReadabilitySql.profileDocumentsSql,
     "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
     "text_collocations" -> CollocationsSql.topDocumentsSql,
     "text_collocations_streaming_file" -> CollocationsSql.topDocumentsSql,

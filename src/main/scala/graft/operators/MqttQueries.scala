@@ -156,6 +156,53 @@ object MqttQueries {
        |       ELSE 0 END AS mean_interval_ms
        |FROM stats ORDER BY topic""".stripMargin
 
+  /** Topic-TREE rollup — the broker-operator's `$SYS`-style hierarchy
+    * view over the reference's slash-separated topic space: for every
+    * prefix at every level (`tele`, `tele/<type>`, the full leaf), the
+    * message volume, the distinct leaf topics underneath, and the last
+    * arrival. The wildcard filter ([[graft.functions.TopicMatch]]) answers
+    * "which messages match `tele/+/3`"; this answers "what does the tree
+    * look like" — the two sides of topic-space observability.
+    *
+    * Scale shape: one prefix explode bounded by topic DEPTH (a small
+    * constant — 3 here, rarely >8 in real brokers), then ONE
+    * map-side-combined aggregation to the prefix domain (|topics| × depth
+    * rows at most). The distinct-topic count rides the same aggregate via
+    * Expand. No joins.
+    *
+    * Exactness: string prefixes and integer counts; arrival micros via
+    * the pinned-UTC `unix_micros` ≡ DuckDB `epoch_us` identity.
+    */
+  def topicTree(spark: SparkSession, dir: String): DataFrame = {
+    val withParts = msgs(spark, dir).select(col("topic"),
+      unix_micros(col("ts").cast("timestamp")).as("us"),
+      split(col("topic"), "/").as("__parts"))
+    withParts
+      .select(col("topic"), col("us"), col("__parts"),
+        explode(sequence(lit(1), size(col("__parts")))).as("level"))
+      .select(col("topic"), col("us"), col("level").cast("long").as("level"),
+        expr("array_join(slice(__parts, 1, level), '/')").as("prefix"))
+      .groupBy(col("level"), col("prefix"))
+      .agg(count(lit(1)).as("n_msgs"),
+        countDistinct(col("topic")).as("n_topics"),
+        max(col("us")).as("last_us"))
+      .orderBy(col("level"), col("prefix"))
+  }
+
+  val topicTreeSql: String =
+    s"""WITH $msgsCte,
+       |parts AS (
+       |  SELECT topic, epoch_us(ts) AS us, string_split(topic, '/') AS p
+       |  FROM msgs),
+       |pref AS (
+       |  SELECT topic, us, level, array_to_string(p[1:level], '/') AS prefix
+       |  FROM (SELECT *, unnest(range(1, len(p) + 1)) AS level FROM parts))
+       |SELECT level, prefix, count(*) AS n_msgs,
+       |  count(DISTINCT topic) AS n_topics, max(us) AS last_us
+       |FROM pref
+       |GROUP BY 1, 2
+       |ORDER BY level, prefix""".stripMargin
+
   // ---- history view (J1 inner join + F5 projection) ------------------------
 
   def historyView(spark: SparkSession, dir: String): DataFrame = {

@@ -413,6 +413,35 @@ object Relational {
       |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin
 
+  /** Weekday × hour activity heatmap — the load-profile read behind
+    * capacity planning and anomaly baselining: event volume and value
+    * mass on the 7×24 grid. Day-of-week comes from pure epoch-micro
+    * integer arithmetic (`(days + 4) % 7`, 0 = Sunday — 1970-01-01 was a
+    * Thursday), never an engine's locale-dependent dow function, so both
+    * engines compute the identical bucket; value mass is the per-element
+    * IEEE micro floor summed as integers (order-immune). ONE map-side-
+    * combined shuffle to at most 168 rows.
+    */
+  def hourHeatmap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+      .select(expr("((us div 86400000000) + 4) % 7").as("dow"),
+        expr("(us div 3600000000) % 24").as("hour"),
+        floor(col("value") * lit(1e6)).cast("long").as("vm"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("sum_value_micro"))
+      .orderBy(col("dow"), col("hour"))
+
+  val hourHeatmapSql: String =
+    """WITH b AS (
+      |  SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS vm
+      |  FROM events)
+      |SELECT dow, hour, count(*) AS n_events,
+      |  CAST(sum(vm) AS BIGINT) AS sum_value_micro
+      |FROM b GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin
+
   /** Cohort retention matrix: users grouped by their first-activity day,
     * counted per days-since-cohort age — the classic product-analytics
     * read over an event stream (daily grain because the driver events span

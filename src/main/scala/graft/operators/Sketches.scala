@@ -310,16 +310,23 @@ object Sketches {
   /** The pairwise machinery over a prepared distinct (event_type, hv)
     * frame — shared by the driver query and the spec's synthetic sets.
     */
-  private[graft] def kmvOverlapOf(hashes: DataFrame): DataFrame = {
+  private[graft] def kmvOverlapOf(hashes0: DataFrame): DataFrame = {
     val k = KmvK
+    // the distinct (group, hash) frame is the only data-sized stage and has
+    // THREE consumers (the group domain and both pair sides) — uncached,
+    // each replayed the corpus dedup (observed: 19 exchanges in the plan)
+    val hashes = Caching.cached(hashes0)
     val types = hashes.select(col("event_type")).distinct()
+    // the pair domain is |groups|^2 — tiny by design, but it sits behind
+    // the cache's RDD scan where Spark has no size statistics, so the
+    // broadcast hints on both pair joins are explicit
     val pairs = types.select(col("event_type").as("type_a"))
-      .join(types.select(col("event_type").as("type_b")),
+      .join(broadcast(types.select(col("event_type").as("type_b"))),
         col("type_a") < col("type_b"))
-    val sideA = pairs.join(hashes, col("event_type") === col("type_a"))
+    val sideA = hashes.join(broadcast(pairs), col("event_type") === col("type_a"))
       .select(col("type_a"), col("type_b"), col("hv"),
         lit(1).as("in_a"), lit(0).as("in_b"))
-    val sideB = pairs.join(hashes, col("event_type") === col("type_b"))
+    val sideB = hashes.join(broadcast(pairs), col("event_type") === col("type_b"))
       .select(col("type_a"), col("type_b"), col("hv"),
         lit(0).as("in_a"), lit(1).as("in_b"))
     val unioned = sideA.unionAll(sideB)
@@ -353,7 +360,8 @@ object Sketches {
     val users = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
       .select(col("event_type"), col("user_id"))
-    val derived = users.select(col("user_id")).distinct()
+    // two consumers (the even and third carves) of one distinct shuffle
+    val derived = Caching.cached(users.select(col("user_id")).distinct())
     val even = derived.filter(col("user_id") % 2 === 0)
       .select(lit("__even").as("event_type"), col("user_id"))
     val third = derived.filter(col("user_id") % 3 === 0)
