@@ -177,6 +177,9 @@ object SparkEntry {
     "q_monthly_events" -> (Relational.monthlyEvents _),
     // 7x24 load profile: integer epoch dow/hour buckets, micro value mass
     "q_hour_heatmap" -> (Relational.hourHeatmap _),
+    // token-budget shard manifest: PrefixSum distributed scan (one Long
+    // per partition to the driver) + one aggregation to the shard domain
+    "pipeline_shard_manifest" -> (ShardManifest.manifestDocuments _),
     // dense hourly grid per key (gap fill): data touched once for the
     // bucket agg; grid generation, fill join, and the running total all
     // run on bucket-cardinality rows
@@ -779,6 +782,7 @@ object SparkEntry {
     "pipeline_group_sample_streaming_file" -> BoundedTopK.sampleDocsPerLangSql,
     "q_monthly_events" -> Relational.monthlyEventsSql,
     "q_hour_heatmap" -> Relational.hourHeatmapSql,
+    "pipeline_shard_manifest" -> ShardManifestSql.manifestDocumentsSql,
     "q_gap_fill_hourly" -> Resample.hourlyEventsSql,
     "q_time_weighted" -> TimeWeightedSql.perSeriesEventsSql,
     "q_attribution_touch" -> AttributionSql.firstLastTouchEventsSql,

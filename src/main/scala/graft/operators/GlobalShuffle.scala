@@ -40,7 +40,9 @@ object GlobalShuffle {
 
   val ShuffleSalt = "shuf:"
 
-  private def hashOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  // shared with ShardManifest (the budget-sharder packs in THIS
+  // permutation order — one spelling of the training order)
+  private[graft] def hashOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     TF.hash60(concat(lit(ShuffleSalt), docId.cast("string")))
 
   /** (doc_id, shard, pos): the permutation over any frame with a doc_id. */

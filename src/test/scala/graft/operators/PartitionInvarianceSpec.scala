@@ -159,4 +159,8 @@ class LayoutInvarianceSpec extends SparkSpec {
     assertInvariant("pipeline_curriculum")(d =>
       Curriculum.schedule(d).orderBy(col("pos")))
   }
+
+  test("pipeline_shard_manifest packs identically on any input layout") {
+    assertInvariant("pipeline_shard_manifest")(ShardManifest.manifest)
+  }
 }
