@@ -180,6 +180,10 @@ object SparkEntry {
     // token-budget shard manifest: PrefixSum distributed scan (one Long
     // per partition to the driver) + one aggregation to the shard domain
     "pipeline_shard_manifest" -> (ShardManifest.manifestDocuments _),
+    // full Jaccard curve over the shared df-capped scored-pair stage
+    "dedup_jaccard_histogram" -> (JaccardHistogram.histogramDocuments _),
+    // L2-norm bands: the pre-cosine normalization sanity check
+    "emb_norm_histogram" -> (NormHistogram.histogramEmbeddings _),
     // dense hourly grid per key (gap fill): data touched once for the
     // bucket agg; grid generation, fill join, and the running total all
     // run on bucket-cardinality rows
@@ -783,6 +787,8 @@ object SparkEntry {
     "q_monthly_events" -> Relational.monthlyEventsSql,
     "q_hour_heatmap" -> Relational.hourHeatmapSql,
     "pipeline_shard_manifest" -> ShardManifestSql.manifestDocumentsSql,
+    "dedup_jaccard_histogram" -> JaccardHistogramSql.histogramDocumentsSql(),
+    "emb_norm_histogram" -> NormHistogramSql.histogramEmbeddingsSql,
     "q_gap_fill_hourly" -> Resample.hourlyEventsSql,
     "q_time_weighted" -> TimeWeightedSql.perSeriesEventsSql,
     "q_attribution_touch" -> AttributionSql.firstLastTouchEventsSql,

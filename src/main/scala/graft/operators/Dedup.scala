@@ -237,7 +237,11 @@ object Dedup {
     * stay bit-identical. Sizes are counted from the capped index, so both
     * numerator and denominator see the same universe.
     */
-  def ngramJaccard(docs: DataFrame, threshold: Double = 0.4, n: Int = ShingleN,
+  /** The UNTHRESHOLDED scored co-shingle pairs — one spelling shared by
+    * [[ngramJaccard]] (which filters it) and the Jaccard histogram (which
+    * bands the whole curve): (doc_a, doc_b, common, sz_a, sz_b, jaccard).
+    */
+  private[graft] def jaccardScoredPairs(docs: DataFrame, n: Int = ShingleN,
       maxShingleDf: Int = MaxShingleDf): DataFrame = {
     // 60-bit hashed shingles: 8-byte shuffle keys instead of ~20-byte strings;
     // collision odds even over 10^8 distinct shingles are ~1e-2 corpus-wide,
@@ -256,12 +260,18 @@ object Dedup {
     common
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("jaccard",
-        col("common").cast("double") /
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("sa.sz").as("sz_a"), col("sb.sz").as("sz_b"),
+        (col("common").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("common")).cast("double"))
+          .as("jaccard"))
+  }
+
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.4, n: Int = ShingleN,
+      maxShingleDf: Int = MaxShingleDf): DataFrame =
+    jaccardScoredPairs(docs, n, maxShingleDf)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   /** Probe fixture for [[ngramContainment]]: every 200th sufficiently-long
     * document gains a PREFIX-HALF twin (first half of its tokens, re-joined
