@@ -412,6 +412,7 @@ object SparkEntry {
     // per-source word-length/syllable/long-word readability profile (one
     // corpus pass, integer rates; the corpus is sentence-terminator-free)
     "text_readability" -> (Readability.profileDocuments _),
+    "text_entropy" -> (TokenEntropy.profileDocuments _),
     // conditional bigram surprisal (fluency proxy): lead()-window bigrams,
     // ln once per distinct pair on the vocab-sized table, integer doc sums
     "text_bigram_surprisal" -> (BigramSurprisal.scoreDocuments _),
@@ -858,6 +859,7 @@ object SparkEntry {
     "emb_centroid_sim" -> CentroidSimSql.matrixEmbeddingsSql,
     "q_market_basket" -> MarketBasketSql.liftLineitemSql,
     "text_readability" -> ReadabilitySql.profileDocumentsSql,
+    "text_entropy" -> TokenEntropySql.profileDocumentsSql,
     "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
     "text_collocations" -> CollocationsSql.topDocumentsSql,
     "text_collocations_streaming_file" -> CollocationsSql.topDocumentsSql,
