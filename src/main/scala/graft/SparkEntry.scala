@@ -581,6 +581,7 @@ object SparkEntry {
     // single-row distributional skew summary of the same key: cardinality,
     // exact count order-statistics, hot-tail share, max/mean ppm ratio
     "q_skew_profile" -> (SkewReport.orderCustomerSkew _),
+    "q_pareto_share" -> (ParetoShare.reportOrders _),
     // benchmark decontamination: broadcast bench postings, probe-augmented
     // bench suite so the correctness row is structurally non-vacuous
     "text_decontaminate" -> ((s, d) => {
@@ -902,6 +903,7 @@ object SparkEntry {
     "q_heavy_hitters_bounded_streaming_file" -> HeavyHitters.hotCustomersSql,
     "q_heavy_hitters_bounded_streaming_tws" -> HeavyHitters.hotCustomersSql,
     "q_skew_profile" -> SkewReport.orderCustomerSkewSql,
+    "q_pareto_share" -> ParetoShareSql.reportOrdersSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_normalized" -> DedupSql.normalizedDupsSql,

@@ -34,30 +34,49 @@ object PrefixSum {
     * non-null) in the total order `order`.
     */
   def withRunningTotal(df: DataFrame, weightCol: String, cumCol: String,
-      order: Seq[Column]): DataFrame = {
+      order: Seq[Column]): DataFrame =
+    withRunningTotals(df, Seq(weightCol), Seq(cumCol), order)
+
+  /** The k-weight generalization: one range shuffle, one sorted cache, and
+    * k running totals carried through the same two-phase scan (k Longs per
+    * partition cross the driver). A rank column is the weight ≡ 1 case, so
+    * rank + weighted prefix (the Lorenz-curve pair) costs ONE scan instead
+    * of two.
+    */
+  def withRunningTotals(df: DataFrame, weightCols: Seq[String],
+      cumCols: Seq[String], order: Seq[Column]): DataFrame = {
+    require(weightCols.length == cumCols.length && weightCols.nonEmpty)
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val schema = StructType(
-      sorted.schema.fields :+ StructField(cumCol, LongType, nullable = false))
-    val wIdx = sorted.schema.fieldIndex(weightCol)
+      sorted.schema.fields ++
+        cumCols.map(c => StructField(c, LongType, nullable = false)))
+    val wIdxs = weightCols.map(sorted.schema.fieldIndex).toArray
+    val k = wIdxs.length
     // copy: scan/codegen output rows are reused buffers (see ContiguousId)
     val base = InternalBridge.toInternalRdd(sorted)
       .map(_.copy())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val partSums = base
       .mapPartitionsWithIndex { (i, it) =>
-        var s = 0L
-        it.foreach(r => s += r.getLong(wIdx))
+        val s = new Array[Long](k)
+        it.foreach { r =>
+          var j = 0
+          while (j < k) { s(j) += r.getLong(wIdxs(j)); j += 1 }
+        }
         Iterator((i, s))
       }
       .collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive offset per partition
+    val offsets = partSums.scanLeft(new Array[Long](k)) { (acc, p) =>
+      Array.tabulate(k)(j => acc(j) + p(j)) // exclusive offsets per partition
+    }
     val bc = spark.sparkContext.broadcast(offsets)
     val scanned = base.mapPartitionsWithIndex { (i, it) =>
-      var run = bc.value(i)
+      val run = bc.value(i).clone()
       it.map { r =>
-        run += r.getLong(wIdx)
-        new JoinedRow(r, InternalRow(run)): InternalRow
+        var j = 0
+        while (j < k) { run(j) += r.getLong(wIdxs(j)); j += 1 }
+        new JoinedRow(r, InternalRow(run.toIndexedSeq: _*)): InternalRow
       }
     }
     InternalBridge.internalCreateDataFrame(spark, scanned, schema)

@@ -62,7 +62,10 @@ class PlanAuditSpec extends SparkSpec {
     "text_collocations" -> 1,
     // q_market_basket: the basket total N joins in as a broadcast
     // SINGLE-ROW aggregate for the lift denominator (1)
-    "q_market_basket" -> 1)
+    "q_market_basket" -> 1,
+    // q_pareto_share: the (n, total) grand-total SINGLE-ROW aggregate
+    // broadcasts into the decile fold (1)
+    "q_pareto_share" -> 1)
   test("no driver query plans a cartesian or nested-loop join") {
     // eager (streaming/iterative) queries are skipped via the ONE shared
     // exclusion set — see SparkEntry.eagerQueries for the rationale
