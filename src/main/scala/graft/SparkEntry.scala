@@ -66,7 +66,8 @@ object SparkEntry {
     "dedup_normalized_streaming_file",
     "dedup_winnow_streaming_file",
     "text_collocations_streaming_file",
-    "pipeline_chunk_dedup_streaming_file")
+    "pipeline_chunk_dedup_streaming_file",
+    "mqtt_topic_tree_streaming_file")
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -129,6 +130,8 @@ object SparkEntry {
     // $SYS-style topic-tree rollup: depth-bounded prefix explode, one
     // map-side-combined aggregation to the prefix domain
     "mqtt_topic_tree" -> (MqttQueries.topicTree _),
+    "mqtt_topic_tree_streaming_file" ->
+      ((s, d) => streaming.StreamingTopicTree.treeFromFiles(s, d)),
     // as-of join (single-shuffle union-merge) vs DuckDB's native ASOF JOIN
     "mqtt_asof_change" -> (MqttQueries.asofChange _),
     // event-time tumbling windows (batch form; streaming twin is watermarked)
@@ -153,6 +156,7 @@ object SparkEntry {
     // SubqueriesSpec
     "q_correlated_subquery" -> (Subqueries.correlatedScalar _),
     "q_exists_subquery" -> (Subqueries.existsPair _),
+    "q_in_subquery" -> (Subqueries.inPair _),
     "q_window_top3" -> (Relational.windowTop3 _),
     "q_running_spend" -> (Relational.runningUserSpend _),
     // event-time RANGE frame: trailing-hour activity, peers included
@@ -765,6 +769,7 @@ object SparkEntry {
     "mqtt_history_scd2" -> MqttQueries.historyScd2Sql,
     "mqtt_history_stats" -> MqttQueries.historyStatsSql,
     "mqtt_topic_tree" -> MqttQueries.topicTreeSql,
+    "mqtt_topic_tree_streaming_file" -> MqttQueries.topicTreeSql,
     "mqtt_asof_change" -> MqttQueries.asofChangeSql,
     "mqtt_windowed_counts" -> MqttQueries.windowedCountsSql,
     "mqtt_windowed_streaming_file" -> MqttQueries.windowedCountsSql,
@@ -776,6 +781,7 @@ object SparkEntry {
     "q_anti_join" -> Relational.antiJoinSql,
     "q_correlated_subquery" -> Subqueries.correlatedScalarSql,
     "q_exists_subquery" -> Subqueries.existsSql,
+    "q_in_subquery" -> Subqueries.inSql,
     "q_window_top3" -> Relational.windowTop3Sql,
     "q_running_spend" -> Relational.runningUserSpendSql,
     "q_trailing_window" -> Relational.trailingHourActivitySql,

@@ -91,4 +91,43 @@ object Subqueries {
   /** Driver query: the correlated EXISTS / NOT EXISTS pair. */
   def existsPair(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, existsSql)
+
+  /** Jumbo-order threshold for the NOT IN form — keeps ~5% of customers
+    * at every test scale (8 / 59 / ~600 at sf0.001/0.01/0.1); lower
+    * thresholds go near-vacuous at sf0.001.
+    */
+  val JumboPrice = 350000
+
+  /** Customers with an open order who never placed a jumbo one — the
+    * uncorrelated IN / NOT IN pair, completing the predicate-subquery
+    * rewrite family next to the EXISTS forms: IN plans as a LeftSemi
+    * equi-join; NOT IN (the null-aware form — o_custkey's parquet schema
+    * is nullable even though the data carries no nulls, so Catalyst must
+    * preserve three-valued semantics) plans as a null-aware LeftAnti
+    * BroadcastHashJoin on the single key.
+    *
+    * Scale note: Spark's null-aware anti join REQUIRES a broadcastable
+    * right side (a non-broadcastable NOT IN degrades to a nested-loop —
+    * SubqueriesSpec pins that this one stays hash). The distinct-custkey
+    * set a NOT IN carries is dimension-sized here; for a fact-sized
+    * exclusion set the scale-safe spelling is the NOT EXISTS form above
+    * (plain LeftAnti, shuffle-partitionable), which is why both live in
+    * this operator family.
+    */
+  val inSql: String =
+    s"""SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+       |  c.c_acctbal AS acctbal
+       |FROM customer c
+       |WHERE c.c_custkey IN (SELECT o_custkey FROM orders
+       |                      WHERE o_orderstatus = 'O')
+       |  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+       |                          WHERE o_totalprice > $JumboPrice)
+       |ORDER BY custkey""".stripMargin
+
+  /** Driver query: the IN / NOT IN pair. */
+  def inPair(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(inSql)
+  }
 }

@@ -59,4 +59,18 @@ class SubqueriesSpec extends SparkSpec {
     val rows = df.collect()
     assert(rows.nonEmpty, "EXISTS pair matched nothing — vacuous")
   }
+
+  test("IN / NOT IN plan as semi and null-aware anti hash joins") {
+    val df = Subqueries.inPair(spark, sf0001)
+    assert(subqueryCount(df) == 0, "predicate subqueries survived optimization")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join in:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join in:\n$plan")
+    // the null-aware NOT IN must stay a HASH join — a nested-loop here is
+    // the scale failure mode the operator scaladoc warns about
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"NOT IN degraded to a nested-loop join:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "IN pair matched nothing — vacuous")
+  }
 }
