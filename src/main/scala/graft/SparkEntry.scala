@@ -309,6 +309,8 @@ object SparkEntry {
     // lang-ID confidence margin (best minus second-best integer marker
     // score) — the route-to-heavy-model gate; narrow codegen projection
     "text_langid_margin" -> (LangIdMargin.marginsDocuments _),
+    // confusion matrix of the gate classifier vs the labeled lang column
+    "text_langid_eval" -> (LangIdEval.confusionDocuments _),
     "text_quality" -> ((s, d) => TextAnalysis.quality(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
     // per-domain top-30% quality gate via the skew-free histogram cutoff
@@ -720,6 +722,9 @@ object SparkEntry {
     // direction: single pass, map-side-combined to Dim rows per task
     "emb_power_iteration" -> ((s, d) => Similarity.powerIterationStep(
       sources.Tables.embeddings(s, d))),
+    // 1-D PCA shadow: the power-step direction quantized and broadcast
+    // back as one array row; per-row zip_with fold, no data-sized join
+    "emb_pca_project" -> (PcaProject.projectEmbeddings _),
     // top-k farthest-from-own-label-centroid vectors (mislabel screen):
     // one map-side-combined centroid shuffle, then a narrow broadcast-join
     // fold and a TakeOrdered — no global sort
@@ -831,6 +836,7 @@ object SparkEntry {
     "text_token_positions" -> TextAnalysisSql.tokenPositionsSql,
     "text_phrase_search" -> TextAnalysisSql.phraseSearchSql(),
     "text_langid" -> TextAnalysisSql.langIdSql,
+    "text_langid_eval" -> LangIdEvalSql.confusionDocumentsSql,
     "text_langid_margin" -> LangIdMarginSql.marginsDocumentsSql,
     "text_quality" -> TextAnalysisSql.qualitySql,
     "pipeline_quality_filter" -> QualityFilterSql.filterDocumentsSql,
@@ -945,6 +951,7 @@ object SparkEntry {
     "emb_dim_stats" -> EmbDimStatsSql.statsEmbeddingsSql,
     "emb_quantize" -> QuantizeSql.int8Sql,
     "emb_power_iteration" -> SimilaritySql.powerIterationSql,
+    "emb_pca_project" -> PcaProjectSql.projectEmbeddingsSql,
     "emb_outliers" -> SimilaritySql.labelOutliersSql(),
     "mm_metadata" -> MultimodalSql.metadataSql,
     "mm_frame_sample" -> MultimodalSql.frameSampleSql,

@@ -65,7 +65,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_market_basket" -> 1,
     // q_pareto_share: the (n, total) grand-total SINGLE-ROW aggregate
     // broadcasts into the decile fold (1)
-    "q_pareto_share" -> 1)
+    "q_pareto_share" -> 1,
+    // emb_pca_project: the Dim-row direction table crosses its own
+    // single-row max, then collapses to ONE broadcast array row joined
+    // into the scoring pass (the labelOutliers centroid shape) (2)
+    "emb_pca_project" -> 2)
   test("no driver query plans a cartesian or nested-loop join") {
     // eager (streaming/iterative) queries are skipped via the ONE shared
     // exclusion set — see SparkEntry.eagerQueries for the rationale
