@@ -388,6 +388,7 @@ object SparkEntry {
     // length-banded curriculum order (short-first schedule): one range
     // shuffle over (band, salted hash, doc_id), ContiguousId positions
     "pipeline_curriculum" -> (Curriculum.scheduleDocuments _),
+    "pipeline_interleave" -> (Interleave.orderDocuments _),
     // per-column data-quality profile (nulls/distincts/min-max): one
     // 4-column pass, Expand multi-distinct, generator unpivot of one row
     "pipeline_corpus_profile" -> (CorpusProfile.profileDocuments _),
@@ -434,6 +435,7 @@ object SparkEntry {
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
     // corpus vocabulary head: top-k tokens by term frequency (+doc freq)
     "text_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(sources.Tables.documents(s, d))),
+    "text_zipf" -> (Zipf.decadesDocuments _),
     // canonical normalization (ASCII case-fold, scrub, collapse): the
     // dedup/matching preprocessor, narrow and codegen'd
     "text_normalize" -> ((s, d) => TextAnalysis.normalize(sources.Tables.documents(s, d))
@@ -862,6 +864,7 @@ object SparkEntry {
     "pipeline_chunk_dedup_streaming_file" ->
       streaming.StreamingChunkDedupSql.canonicalDocumentsSql,
     "pipeline_curriculum" -> CurriculumSql.scheduleDocumentsSql,
+    "pipeline_interleave" -> InterleaveSql.orderDocumentsSql,
     "pipeline_corpus_profile" -> CorpusProfileSql.profileDocumentsSql,
     "pipeline_source_overlap" -> SourceOverlapSql.overlapDocumentsSql(),
     "ann_knn_graph" -> KnnGraphSql.graphEmbeddingsSql(),
@@ -879,6 +882,7 @@ object SparkEntry {
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,
     "text_pack_sequences" -> TextAnalysisSql.packSequencesSql,
     "text_vocab_topk" -> TextAnalysisSql.vocabTopKSql,
+    "text_zipf" -> ZipfSql.decadesDocumentsSql,
     "text_normalize" -> TextAnalysisSql.normalizeSql,
     "text_bigram_novelty" -> TextAnalysisSql.bigramNoveltySql(),
     "pipeline_token_budget" -> TextAnalysisSql.tokenBudgetSql,

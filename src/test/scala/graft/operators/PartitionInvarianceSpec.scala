@@ -163,4 +163,8 @@ class LayoutInvarianceSpec extends SparkSpec {
   test("pipeline_shard_manifest packs identically on any input layout") {
     assertInvariant("pipeline_shard_manifest")(ShardManifest.manifest)
   }
+
+  test("pipeline_interleave schedules identically on any input layout") {
+    assertInvariant("pipeline_interleave")(Interleave.order)
+  }
 }
