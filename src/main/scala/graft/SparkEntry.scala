@@ -216,6 +216,7 @@ object SparkEntry {
     // robust outlier screen: exact median/MAD in scaled-integer math, so
     // the 3xMAD fence count can never flip on a ulp
     "q_anomaly_mad" -> (Relational.anomalyMad _),
+    "q_cusum_drift" -> (CusumDrift.driftEvents _),
     // NTILE quartile report: total-order window so bucket boundaries pin
     "q_ntile" -> (Relational.ntileQuartiles _),
     // the remaining §2.5 rank family: percent_rank / cume_dist / running
@@ -732,6 +733,9 @@ object SparkEntry {
     // fold and a TakeOrdered — no global sort
     "emb_outliers" -> ((s, d) => Similarity.labelOutliers(
       sources.Tables.embeddings(s, d))),
+    // per-label cohesion/separation scorecard over the shared centroid
+    // stage; K-row broadcast cross, 3 longs per vector on the shuffle
+    "emb_silhouette" -> (Silhouette.cohesionEmbeddings _),
     // --- multimodal extensions ---
     "mm_metadata" -> ((s, d) => Multimodal.metadata(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -818,6 +822,7 @@ object SparkEntry {
     "q_stream_static_join_file" -> streaming.StreamStaticJoin.segmentActivitySql,
     "q_retention_cohort" -> Relational.retentionCohortSql,
     "q_anomaly_mad" -> Relational.anomalyMadSql,
+    "q_cusum_drift" -> CusumDriftSql.driftEventsSql,
     "q_ntile" -> Relational.ntileQuartilesSql,
     "q_value_ranks" -> Relational.valueRanksSql,
     "q_range_join" -> RangeJoin.inTransitCountsSql,
@@ -957,6 +962,7 @@ object SparkEntry {
     "emb_power_iteration" -> SimilaritySql.powerIterationSql,
     "emb_pca_project" -> PcaProjectSql.projectEmbeddingsSql,
     "emb_outliers" -> SimilaritySql.labelOutliersSql(),
+    "emb_silhouette" -> SilhouetteSql.cohesionEmbeddingsSql,
     "mm_metadata" -> MultimodalSql.metadataSql,
     "mm_frame_sample" -> MultimodalSql.frameSampleSql,
     "mm_audio_chunk" -> MultimodalSql.audioChunksSql(),

@@ -340,18 +340,30 @@ object Similarity {
     * top-k is a TakeOrdered (no global sort shuffle). Distances are in
     * 1e-6 units (two milli factors).
     */
-  def labelOutliers(emb: DataFrame, k: Int = OutlierTopK): DataFrame = {
+  /** Shared milli-scaled per-label centroid vectors (label, cvec) — the
+    * one centroid spelling [[labelOutliers]] and
+    * [[Silhouette.cohesion]] both score against: floored integer mean of
+    * the 1e3-scaled components, collapsed to one array per label
+    * (broadcastable by construction: |labels|·Dim longs).
+    */
+  private[operators] def milliCentroidVectors(emb: DataFrame): DataFrame = {
     val sv = transform(col("embedding"),
       x => floor(x.cast("double") * 1e3).cast("long"))
-    val comps = emb
+    emb
       .select(col("vec_id"), col("label"), posexplode(sv).as(Seq("pos", "v")))
-    val cents = comps.groupBy("label", "pos")
+      .groupBy("label", "pos")
       .agg(count(lit(1)).as("n"), sum("v").as("s"))
       .select(col("label"), col("pos"),
         floor(col("s").cast("double") / col("n")).cast("long").as("c"))
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         e => e.getField("c")).as("cvec"))
+  }
+
+  def labelOutliers(emb: DataFrame, k: Int = OutlierTopK): DataFrame = {
+    val sv = transform(col("embedding"),
+      x => floor(x.cast("double") * 1e3).cast("long"))
+    val cents = milliCentroidVectors(emb)
     emb.select(col("vec_id"), col("label"), sv.as("sva"))
       .join(broadcast(cents), Seq("label"))
       .select(col("vec_id"), col("label"),

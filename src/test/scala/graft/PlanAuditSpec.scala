@@ -69,7 +69,10 @@ class PlanAuditSpec extends SparkSpec {
     // emb_pca_project: the Dim-row direction table crosses its own
     // single-row max, then collapses to ONE broadcast array row joined
     // into the scoring pass (the labelOutliers centroid shape) (2)
-    "emb_pca_project" -> 2)
+    "emb_pca_project" -> 2,
+    // emb_silhouette: every row crosses the |labels|-row broadcast
+    // centroid table to score all K candidate distances (1)
+    "emb_silhouette" -> 1)
   test("no driver query plans a cartesian or nested-loop join") {
     // eager (streaming/iterative) queries are skipped via the ONE shared
     // exclusion set — see SparkEntry.eagerQueries for the rationale
