@@ -202,6 +202,7 @@ object SparkEntry {
     // the event-type Markov transition matrix with integer-ppm row shares
     "q_type_transitions" -> (Attribution.transitionsEvents _),
     "q_session_windows" -> (Relational.sessionWindows _),
+    "q_gap_histogram" -> (GapHistogram.decadesEvents _),
     "q_percentiles" -> (Relational.percentiles _),
     "q_cube" -> (Relational.cubeEvents _),
     // explicit GROUPING SETS: |sets| expansion keys per row, not 2^dims
@@ -601,6 +602,8 @@ object SparkEntry {
     // --- dedup extensions ---
     "dedup_exact" -> ((s, d) => Dedup.exact(sources.Tables.documents(s, d))
       .orderBy(col("content_hash"))),
+    // per-source dup rate + cross-source sharing on the SAME content hash
+    "dedup_source_report" -> (DedupSourceReport.reportDocuments _),
     // canonical-form dedup (case/punct/whitespace variants), probe-augmented
     // so normalized duplicate groups provably exist
     "dedup_normalized" -> ((s, d) => Dedup.normalizedDups(
@@ -813,6 +816,7 @@ object SparkEntry {
     "q_attribution_touch" -> AttributionSql.firstLastTouchEventsSql,
     "q_type_transitions" -> AttributionSql.transitionsEventsSql,
     "q_session_windows" -> Relational.sessionWindowsSql,
+    "q_gap_histogram" -> GapHistogramSql.decadesEventsSql,
     "q_percentiles" -> Relational.percentilesSql,
     "q_cube" -> Relational.cubeEventsSql,
     "q_grouping_sets" -> Relational.groupingSetsReportSql,
@@ -927,6 +931,7 @@ object SparkEntry {
     "q_pareto_share" -> ParetoShareSql.reportOrdersSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
+    "dedup_source_report" -> DedupSourceReportSql.reportDocumentsSql,
     "dedup_normalized" -> DedupSql.normalizedDupsSql,
     "dedup_keep_best" -> DedupSql.keepBestSql,
     "dedup_exact_streaming_file" -> DedupSql.exactKeySetSql,

@@ -70,9 +70,16 @@ object Dedup {
     * multiplicity. groupBy on md5 -> partial aggregation map-side, one
     * shuffle of (32-byte key, few counters) regardless of document size.
     */
+  /** The ONE exact-content hash spelling (shared with
+    * [[DedupSourceReport]] so the per-source rates can never disagree
+    * with the dedup they predict).
+    */
+  private[operators] def contentHash(text: Column): Column =
+    md5(trim(text).cast("binary"))
+
   def exact(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), md5(trim(col("text")).cast("binary")).as("content_hash"))
+      .select(col("doc_id"), contentHash(col("text")).as("content_hash"))
       .groupBy("content_hash")
       .agg(min("doc_id").as("keep_id"), count("*").as("n_copies"))
 
