@@ -67,7 +67,8 @@ object SparkEntry {
     "dedup_winnow_streaming_file",
     "text_collocations_streaming_file",
     "pipeline_chunk_dedup_streaming_file",
-    "mqtt_topic_tree_streaming_file")
+    "mqtt_topic_tree_streaming_file",
+    "text_entropy_streaming_file")
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -422,6 +423,8 @@ object SparkEntry {
     // corpus pass, integer rates; the corpus is sentence-terminator-free)
     "text_readability" -> (Readability.profileDocuments _),
     "text_entropy" -> (TokenEntropy.profileDocuments _),
+    "text_entropy_streaming_file" ->
+      ((s, d) => streaming.StreamingTokenEntropy.profileFromFiles(s, d)),
     // conditional bigram surprisal (fluency proxy): lead()-window bigrams,
     // ln once per distinct pair on the vocab-sized table, integer doc sums
     "text_bigram_surprisal" -> (BigramSurprisal.scoreDocuments _),
@@ -739,6 +742,8 @@ object SparkEntry {
     // per-label cohesion/separation scorecard over the shared centroid
     // stage; K-row broadcast cross, 3 longs per vector on the shuffle
     "emb_silhouette" -> (Silhouette.cohesionEmbeddings _),
+    // trained-IVF cell sizes on the certified assignment stage verbatim
+    "emb_ivf_balance" -> (IvfBalance.reportEmbeddings _),
     // --- multimodal extensions ---
     "mm_metadata" -> ((s, d) => Multimodal.metadata(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -885,6 +890,7 @@ object SparkEntry {
     "q_market_basket" -> MarketBasketSql.liftLineitemSql,
     "text_readability" -> ReadabilitySql.profileDocumentsSql,
     "text_entropy" -> TokenEntropySql.profileDocumentsSql,
+    "text_entropy_streaming_file" -> TokenEntropySql.profileDocumentsSql,
     "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
     "text_collocations" -> CollocationsSql.topDocumentsSql,
     "text_collocations_streaming_file" -> CollocationsSql.topDocumentsSql,
@@ -968,6 +974,7 @@ object SparkEntry {
     "emb_pca_project" -> PcaProjectSql.projectEmbeddingsSql,
     "emb_outliers" -> SimilaritySql.labelOutliersSql(),
     "emb_silhouette" -> SilhouetteSql.cohesionEmbeddingsSql,
+    "emb_ivf_balance" -> IvfBalanceSql.reportEmbeddingsSql,
     "mm_metadata" -> MultimodalSql.metadataSql,
     "mm_frame_sample" -> MultimodalSql.frameSampleSql,
     "mm_audio_chunk" -> MultimodalSql.audioChunksSql(),

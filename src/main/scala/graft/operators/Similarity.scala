@@ -467,9 +467,12 @@ object SimilaritySql {
   /** Mirror of `ivfTopK(trained = true)` — [[kmeansStepSql]]'s training
     * chain feeding [[ivfTopKSql]]'s probe/scan machinery.
     */
-  def ivfTrainedTopKSql(nCentroids: Int = 16, nProbe: Int = 4,
-      queryMaxId: Long = 8, k: Int = 5): String =
-    s"""WITH cents0 AS (
+  /** The trained-codebook assignment CTE chain (`cents` + `assigned`) —
+    * ONE spelling shared by [[ivfTrainedTopKSql]] and the cell-balance
+    * report so the codebook they describe is the same by construction.
+    */
+  private[operators] def trainedAssignCtes(nCentroids: Int = 16): String =
+    s"""cents0 AS (
        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
        |  WHERE vec_id < $nCentroids),
        |assigned0 AS (
@@ -497,7 +500,11 @@ object SimilaritySql {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${VS.cosine("e.embedding", "c.cvec")} DESC, c.cid) AS crn
        |    FROM embeddings e CROSS JOIN cents c)
-       |  WHERE crn = 1),
+       |  WHERE crn = 1)""".stripMargin
+
+  def ivfTrainedTopKSql(nCentroids: Int = 16, nProbe: Int = 4,
+      queryMaxId: Long = 8, k: Int = 5): String =
+    s"""WITH ${trainedAssignCtes(nCentroids)},
        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
        |      WHERE vec_id < $queryMaxId),
        |probes AS (

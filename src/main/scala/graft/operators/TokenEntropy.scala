@@ -29,17 +29,28 @@ import graft.sources.Tables
   */
 object TokenEntropy {
 
-  /** (source, n_tokens, n_types, entropy_micro, ttr_ppm, hapax_ppm):
-    * token entropy in micro-nats, type-token ratio in ppm of tokens,
-    * hapax (tf = 1) share in ppm of types, per source.
+  /** The per-source vocabulary table (source, token, tf) — the stage the
+    * streaming twin rebuilds incrementally.
     */
-  def profile(docs: DataFrame): DataFrame = {
-    val vocab = docs
+  private[graft] def vocabOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(TF.tokens(col("text"))).as("__raw"))
       .select(col("source"), lower(col("__raw")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("tf"))
+
+  /** (source, n_tokens, n_types, entropy_micro, ttr_ppm, hapax_ppm):
+    * token entropy in micro-nats, type-token ratio in ppm of tokens,
+    * hapax (tf = 1) share in ppm of types, per source.
+    */
+  def profile(docs: DataFrame): DataFrame = profileOfVocab(vocabOf(docs))
+
+  /** The vocab-sized scoring tail — shared VERBATIM with
+    * [[graft.streaming.StreamingTokenEntropy]] so both forms certify
+    * against the same oracle.
+    */
+  private[graft] def profileOfVocab(vocab: DataFrame): DataFrame = {
     val totals = vocab.groupBy(col("source"))
       .agg(sum(col("tf")).as("n_tokens"),
         count(lit(1)).as("n_types"),

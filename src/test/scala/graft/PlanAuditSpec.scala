@@ -72,7 +72,10 @@ class PlanAuditSpec extends SparkSpec {
     "emb_pca_project" -> 2,
     // emb_silhouette: every row crosses the |labels|-row broadcast
     // centroid table to score all K candidate distances (1)
-    "emb_silhouette" -> 1)
+    "emb_silhouette" -> 1,
+    // emb_ivf_balance: the ann_ivf_trained assignment stage verbatim —
+    // the kmeansStep init cross + the trained-codebook argmax cross (2)
+    "emb_ivf_balance" -> 2)
   test("no driver query plans a cartesian or nested-loop join") {
     // eager (streaming/iterative) queries are skipped via the ONE shared
     // exclusion set — see SparkEntry.eagerQueries for the rationale
