@@ -647,6 +647,8 @@ object SparkEntry {
       .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(sources.Tables.documents(s, d))
       .orderBy(col("doc_a"), col("doc_b"))),
+    // estimator-vs-exact contingency on the SAME candidate/verify stages
+    "dedup_minhash_calibration" -> (MinhashCalibration.contingencyDocuments _),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(sources.Tables.documents(s, d))
       .orderBy(col("doc_a"), col("doc_b"))),
     // pairs -> clusters -> keep-list: distributed min-label propagation vs a
@@ -711,6 +713,8 @@ object SparkEntry {
     "ann_ivf_pq_rerank" -> (ProductQuantization.annIvfPqRerank _),
     // the PQ index materialized: persist once, serve ann_pq and ann_ivf_pq
     "emb_pq_codes" -> (ProductQuantization.pqCodes _),
+    // per-subspace quantization error on the encoder's distance stage
+    "emb_pq_distortion" -> (PqDistortion.reportEmbeddings _),
     // one k-means refinement step (broadcast-argmax assign + exact scaled-
     // integer centroid update, so partial-agg order can't shift the result)
     "emb_kmeans_step" -> ((s, d) => Similarity.kmeansStep(sources.Tables.embeddings(s, d))
@@ -948,6 +952,7 @@ object SparkEntry {
     "dedup_containment" -> DedupSql.ngramContainmentSql(),
     "dedup_fuzzy" -> DedupSql.fuzzyDupsSql(),
     "dedup_minhash_lsh" -> DedupSql.minhashLshSql(),
+    "dedup_minhash_calibration" -> MinhashCalibrationSql.contingencyDocumentsSql,
     "dedup_simhash" -> DedupSql.simhashPairsSql(),
     "dedup_clusters" -> DedupClustersSql.componentsSql(DedupSql.simhashPairsCte()),
     "dedup_embedding" -> DedupSql.embeddingNearDupSql(),
@@ -966,6 +971,7 @@ object SparkEntry {
     "ann_ivf_pq_res_trained" -> ProductQuantizationSql.annIvfPqResSql(trained = true),
     "ann_ivf_pq_rerank" -> ProductQuantizationSql.annIvfPqRerankSql(),
     "emb_pq_codes" -> ProductQuantizationSql.pqCodesSql,
+    "emb_pq_distortion" -> PqDistortionSql.reportEmbeddingsSql,
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),
     "emb_kmeans_step_streaming_file" -> SimilaritySql.kmeansStepSql(),
     "emb_dim_stats" -> EmbDimStatsSql.statsEmbeddingsSql,

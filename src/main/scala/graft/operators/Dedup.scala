@@ -373,22 +373,31 @@ object Dedup {
     * shuffles on (no extra pass over the signature computation), mirrored in
     * the oracle.
     */
-  def minhashLsh(docs: DataFrame, threshold: Double = 0.5, n: Int = ShingleN,
-      maxBucket: Int = MaxBucket): DataFrame = {
-    val sets = Caching.cached(hashedShingleSets(docs, n))
+  /** Band-bucket candidate pairs over cached shingle sets — the ONE LSH
+    * candidate spelling shared by [[minhashLsh]] and
+    * [[MinhashCalibration]] (cap counter name varies per caller so the
+    * observed-drop metrics stay attributable).
+    */
+  private[operators] def minhashCandidatePairs(sets: DataFrame,
+      maxBucket: Int, capName: String): DataFrame = {
     val banded = minhashSignatures(sets)
       .select(col("doc_id"), explode(bandKeys(col("mh"))).as("bk"))
     val bounded = capGroups(banded, "bk", maxBucket,
-      "minhash_lsh_caps", "dropped_band_rows")
-    val cand = bounded.as("a")
+      capName, "dropped_band_rows")
+    bounded.as("a")
       .join(bounded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verification is pair-local: fetch each candidate's cached shingle array
-    // (two doc_id equi-joins against the doc-sized sets frame) and intersect
-    // in place — no exploded inverted-index scan, no per-shingle shuffle.
-    // Candidates are bounded by the bucket cap, so the intersection work is
-    // O(|cand| x set size) regardless of corpus scale.
+  }
+
+  /** Exact pair Jaccard (unrounded) — verification is pair-local: fetch
+    * each candidate's cached shingle array (two doc_id equi-joins against
+    * the doc-sized sets frame) and intersect in place — no exploded
+    * inverted-index scan, no per-shingle shuffle. Candidates are bounded
+    * by the bucket cap, so the intersection work is O(|cand| x set size)
+    * regardless of corpus scale.
+    */
+  private[operators] def pairJaccard(cand: DataFrame, sets: DataFrame): DataFrame =
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -396,6 +405,13 @@ object Dedup {
       .withColumn("jaccard",
         col("common").cast("double") /
           (size(col("sa.sh")) + size(col("sb.sh")) - col("common")).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.5, n: Int = ShingleN,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val sets = Caching.cached(hashedShingleSets(docs, n))
+    val cand = minhashCandidatePairs(sets, maxBucket, "minhash_lsh_caps")
+    pairJaccard(cand, sets)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -780,9 +796,13 @@ object DedupSql {
     s"list_transform(range($Bands), j -> j::VARCHAR || '-' || $parts)"
   }
 
-  def minhashLshSql(threshold: Double = 0.5, n: Int = ShingleN,
+  /** The shingle → signatures → banded → bounded → cand CTE chain —
+    * ONE spelling shared by [[minhashLshSql]] and the calibration
+    * oracle.
+    */
+  private[operators] def lshCandCtes(n: Int = ShingleN,
       maxBucket: Int = MaxBucket): String =
-    s"""WITH ${shingleCte(n)},
+    s"""${shingleCte(n)},
        |hashed AS (SELECT doc_id, sh,
        |  list_transform(sh, s -> ${TS.hash32("s")}) AS hs FROM sets),
        |mh AS (SELECT doc_id, sh, $minhashExprs AS mh FROM hashed),
@@ -793,7 +813,11 @@ object DedupSql {
        |  WHERE bsz <= $maxBucket),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bounded a JOIN bounded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |  FROM bounded a JOIN bounded b ON a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+
+  def minhashLshSql(threshold: Double = 0.5, n: Int = ShingleN,
+      maxBucket: Int = MaxBucket): String =
+    s"""WITH ${lshCandCtes(n, maxBucket)},
        |sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
        |inv AS (SELECT doc_id, unnest(sh) AS s FROM sets),
        |common AS (

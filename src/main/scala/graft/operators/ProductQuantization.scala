@@ -66,14 +66,21 @@ object ProductQuantization {
     * and downstream joins on vec_id reuse the aggregation's partitioning
     * (no re-exchange).
     */
-  def encodePacked(emb: DataFrame, cb: DataFrame): DataFrame = {
-    val aggs = (0 until NumSub).map(m =>
-      expr(s"min_by(code, struct(d_micro, code)) FILTER (WHERE m = $m)").as(s"code_$m"))
+  /** Per-(vector, subspace, codeword) micro distances — the ONE d_micro
+    * spelling shared by the encoder and [[PqDistortion]]'s report, so
+    * the distortion audit measures exactly what the encoder minimizes.
+    */
+  private[operators] def subDistances(emb: DataFrame, cb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
         posexplode(array((0 until NumSub).map(m =>
           slice(col("embedding"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sv")))
       .join(broadcast(cb), Seq("m"))
       .withColumn("d_micro", floor(VF.sqDist(col("sv"), col("cvec")) * 1e6).cast("long"))
+
+  def encodePacked(emb: DataFrame, cb: DataFrame): DataFrame = {
+    val aggs = (0 until NumSub).map(m =>
+      expr(s"min_by(code, struct(d_micro, code)) FILTER (WHERE m = $m)").as(s"code_$m"))
+    subDistances(emb, cb)
       .groupBy(col("vec_id"))
       .agg(aggs.head, aggs.tail: _*)
   }
