@@ -204,6 +204,7 @@ object SparkEntry {
     "q_type_transitions" -> (Attribution.transitionsEvents _),
     "q_session_windows" -> (Relational.sessionWindows _),
     "q_gap_histogram" -> (GapHistogram.decadesEvents _),
+    "q_peak_concurrency" -> (PeakConcurrency.peakEvents _),
     "q_percentiles" -> (Relational.percentiles _),
     "q_cube" -> (Relational.cubeEvents _),
     // explicit GROUPING SETS: |sets| expansion keys per row, not 2^dims
@@ -748,6 +749,8 @@ object SparkEntry {
     "emb_silhouette" -> (Silhouette.cohesionEmbeddings _),
     // trained-IVF cell sizes on the certified assignment stage verbatim
     "emb_ivf_balance" -> (IvfBalance.reportEmbeddings _),
+    // per-table LSH bucket occupancy on the search's own bucket stage
+    "ann_lsh_balance" -> (LshBalance.reportEmbeddings _),
     // --- multimodal extensions ---
     "mm_metadata" -> ((s, d) => Multimodal.metadata(sources.Tables.documents(s, d))
       .orderBy(col("doc_id"))),
@@ -826,6 +829,7 @@ object SparkEntry {
     "q_type_transitions" -> AttributionSql.transitionsEventsSql,
     "q_session_windows" -> Relational.sessionWindowsSql,
     "q_gap_histogram" -> GapHistogramSql.decadesEventsSql,
+    "q_peak_concurrency" -> PeakConcurrencySql.peakEventsSql,
     "q_percentiles" -> Relational.percentilesSql,
     "q_cube" -> Relational.cubeEventsSql,
     "q_grouping_sets" -> Relational.groupingSetsReportSql,
@@ -981,6 +985,7 @@ object SparkEntry {
     "emb_outliers" -> SimilaritySql.labelOutliersSql(),
     "emb_silhouette" -> SilhouetteSql.cohesionEmbeddingsSql,
     "emb_ivf_balance" -> IvfBalanceSql.reportEmbeddingsSql,
+    "ann_lsh_balance" -> LshBalanceSql.reportEmbeddingsSql,
     "mm_metadata" -> MultimodalSql.metadataSql,
     "mm_frame_sample" -> MultimodalSql.frameSampleSql,
     "mm_audio_chunk" -> MultimodalSql.audioChunksSql(),

@@ -133,14 +133,21 @@ object Similarity {
     * cos) for every bucket-sharing candidate pair — the common trunk of
     * [[lshTopK]] and [[lshRange]].
     */
+  /** (vec_id, bk) bucket rows across all tables; bk encodes
+    * (table << 32) + bucket so buckets never collide across tables —
+    * ONE spelling shared by the LSH search and [[LshBalance]]'s report.
+    */
+  private[operators] def lshBuckets(emb: DataFrame,
+      tables: Int = TopKTables, planes: Int = TopKPlanes): DataFrame =
+    emb.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        tableBucket(col("embedding"), t, planes) + lit(t.toLong << 32)): _*)).as("bk"))
+
   private def lshScored(emb: DataFrame, queryMaxId: Long,
       tables: Int, planes: Int): DataFrame = {
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       VF.norm(col("embedding")).as("nrm"))
-    // bk encodes (table, bucket) so buckets never collide across tables
-    val bucketed = emb.select(col("vec_id"),
-      explode(array((0 until tables).map(t =>
-        tableBucket(col("embedding"), t, planes) + lit(t.toLong << 32)): _*)).as("bk"))
+    val bucketed = lshBuckets(emb, tables, planes)
     val queryBuckets = bucketed.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("bk"))
     val cands = bucketed.as("c")
@@ -528,11 +535,18 @@ object SimilaritySql {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
-  def lshTopKSql(queryMaxId: Long = 8, k: Int = 5,
-      tables: Int = TopKTables, planes: Int = TopKPlanes): String = {
-    val bucketList = (0 until tables)
+  /** The table-offset bucket list expression — shared by [[lshTopKSql]]
+    * and the balance-report oracle.
+    */
+  private[operators] def lshBucketListSql(tables: Int = TopKTables,
+      planes: Int = TopKPlanes): String =
+    (0 until tables)
       .map(t => s"${tableBucketSql("embedding", t, planes)} + ${t.toLong << 32}")
       .mkString("[", ",\n  ", "]")
+
+  def lshTopKSql(queryMaxId: Long = 8, k: Int = 5,
+      tables: Int = TopKTables, planes: Int = TopKPlanes): String = {
+    val bucketList = lshBucketListSql(tables, planes)
     s"""WITH b AS (
        |  SELECT vec_id, unnest($bucketList) AS bk FROM embeddings),
        |qb AS (SELECT vec_id AS query_id, bk FROM b WHERE vec_id < $queryMaxId),

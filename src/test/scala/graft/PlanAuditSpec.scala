@@ -75,7 +75,10 @@ class PlanAuditSpec extends SparkSpec {
     "emb_silhouette" -> 1,
     // emb_ivf_balance: the ann_ivf_trained assignment stage verbatim —
     // the kmeansStep init cross + the trained-codebook argmax cross (2)
-    "emb_ivf_balance" -> 2)
+    "emb_ivf_balance" -> 2,
+    // q_peak_concurrency: the single-row max broadcasts back into the
+    // sweep for the earliest-peak extraction (1)
+    "q_peak_concurrency" -> 1)
   test("no driver query plans a cartesian or nested-loop join") {
     // eager (streaming/iterative) queries are skipped via the ONE shared
     // exclusion set — see SparkEntry.eagerQueries for the rationale
