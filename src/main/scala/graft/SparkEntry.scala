@@ -131,6 +131,7 @@ object SparkEntry {
     // $SYS-style topic-tree rollup: depth-bounded prefix explode, one
     // map-side-combined aggregation to the prefix domain
     "mqtt_topic_tree" -> (MqttQueries.topicTree _),
+    "mqtt_stale_topics" -> (MqttQueries.staleTopics _),
     "mqtt_topic_tree_streaming_file" ->
       ((s, d) => streaming.StreamingTopicTree.treeFromFiles(s, d)),
     // as-of join (single-shuffle union-merge) vs DuckDB's native ASOF JOIN
@@ -393,6 +394,7 @@ object SparkEntry {
     // shuffle over (band, salted hash, doc_id), ContiguousId positions
     "pipeline_curriculum" -> (Curriculum.scheduleDocuments _),
     "pipeline_interleave" -> (Interleave.orderDocuments _),
+    "pipeline_span_corruption" -> (SpanCorruption.scheduleDocuments _),
     // per-column data-quality profile (nulls/distincts/min-max): one
     // 4-column pass, Expand multi-distinct, generator unpivot of one row
     "pipeline_corpus_profile" -> (CorpusProfile.profileDocuments _),
@@ -795,6 +797,7 @@ object SparkEntry {
     "mqtt_history_scd2" -> MqttQueries.historyScd2Sql,
     "mqtt_history_stats" -> MqttQueries.historyStatsSql,
     "mqtt_topic_tree" -> MqttQueries.topicTreeSql,
+    "mqtt_stale_topics" -> MqttQueries.staleTopicsSql,
     "mqtt_topic_tree_streaming_file" -> MqttQueries.topicTreeSql,
     "mqtt_asof_change" -> MqttQueries.asofChangeSql,
     "mqtt_windowed_counts" -> MqttQueries.windowedCountsSql,
@@ -887,6 +890,7 @@ object SparkEntry {
       streaming.StreamingChunkDedupSql.canonicalDocumentsSql,
     "pipeline_curriculum" -> CurriculumSql.scheduleDocumentsSql,
     "pipeline_interleave" -> InterleaveSql.orderDocumentsSql,
+    "pipeline_span_corruption" -> SpanCorruptionSql.scheduleDocumentsSql,
     "pipeline_corpus_profile" -> CorpusProfileSql.profileDocumentsSql,
     "pipeline_source_overlap" -> SourceOverlapSql.overlapDocumentsSql(),
     "ann_knn_graph" -> KnnGraphSql.graphEmbeddingsSql(),

@@ -173,6 +173,45 @@ object MqttQueries {
     * Exactness: string prefixes and integer counts; arrival micros via
     * the pinned-UTC `unix_micros` ≡ DuckDB `epoch_us` identity.
     */
+  // ---- stale-topic staleness histogram ------------------------------------
+
+  /** Inactivity histogram — how long since each topic last reported,
+    * relative to the replay's newest message, in second decades: the
+    * "dead sensor" dashboard (the monitoring view behind MQTT last-will
+    * hygiene). One map-side-combined fold to the topic domain, the
+    * corpus max as a single-row broadcast back (counted BNLJ), then a
+    * ~log10(span) fold. Ages are exact epoch-micro diffs `div` 1e6; the
+    * decade is the string-length integer log10.
+    */
+  def staleTopics(spark: SparkSession, dir: String): DataFrame = {
+    val last = msgs(spark, dir)
+      .select(col("topic"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .groupBy(col("topic")).agg(max(col("us")).as("last_us"))
+    val newest = last.agg(max(col("last_us")).as("__newest"))
+    last.join(broadcast(newest))
+      .select(expr("(__newest - last_us) div 1000000").as("age_s"))
+      .select((length(col("age_s").cast("string")) - 1).cast("long")
+        .as("age_decade"), col("age_s"))
+      .groupBy(col("age_decade"))
+      .agg(count(lit(1)).as("n_topics"), min(col("age_s")).as("min_age_s"),
+        max(col("age_s")).as("max_age_s"))
+      .orderBy(col("age_decade"))
+  }
+
+  val staleTopicsSql: String =
+    s"""WITH $msgsCte,
+       |last AS (
+       |  SELECT topic, max(epoch_us(ts)) AS last_us FROM msgs GROUP BY 1),
+       |newest AS (SELECT max(last_us) AS newest FROM last),
+       |ages AS (
+       |  SELECT (newest - last_us) // 1000000 AS age_s FROM last, newest)
+       |SELECT CAST(length(CAST(age_s AS VARCHAR)) - 1 AS BIGINT)
+       |    AS age_decade,
+       |  count(*) AS n_topics, min(age_s) AS min_age_s,
+       |  max(age_s) AS max_age_s
+       |FROM ages
+       |GROUP BY 1 ORDER BY age_decade""".stripMargin
+
   def topicTree(spark: SparkSession, dir: String): DataFrame = {
     val withParts = msgs(spark, dir).select(col("topic"),
       unix_micros(col("ts").cast("timestamp")).as("us"),

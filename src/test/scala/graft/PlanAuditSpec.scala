@@ -78,7 +78,10 @@ class PlanAuditSpec extends SparkSpec {
     "emb_ivf_balance" -> 2,
     // q_peak_concurrency: the single-row max broadcasts back into the
     // sweep for the earliest-peak extraction (1)
-    "q_peak_concurrency" -> 1)
+    "q_peak_concurrency" -> 1,
+    // mqtt_stale_topics: the newest-message single-row aggregate
+    // broadcasts back into the topic-age fold (1)
+    "mqtt_stale_topics" -> 1)
   test("no driver query plans a cartesian or nested-loop join") {
     // eager (streaming/iterative) queries are skipped via the ONE shared
     // exclusion set — see SparkEntry.eagerQueries for the rationale
