@@ -426,6 +426,7 @@ object SparkEntry {
     // corpus pass, integer rates; the corpus is sentence-terminator-free)
     "text_readability" -> (Readability.profileDocuments _),
     "text_entropy" -> (TokenEntropy.profileDocuments _),
+    "text_charclass" -> (CharClass.profileDocuments _),
     "text_entropy_streaming_file" ->
       ((s, d) => streaming.StreamingTokenEntropy.profileFromFiles(s, d)),
     // conditional bigram surprisal (fluency proxy): lead()-window bigrams,
@@ -598,6 +599,7 @@ object SparkEntry {
     // exact count order-statistics, hot-tail share, max/mean ppm ratio
     "q_skew_profile" -> (SkewReport.orderCustomerSkew _),
     "q_pareto_share" -> (ParetoShare.reportOrders _),
+    "q_benford" -> (Benford.reportOrders _),
     // benchmark decontamination: broadcast bench postings, probe-augmented
     // bench suite so the correctness row is structurally non-vacuous
     "text_decontaminate" -> ((s, d) => {
@@ -902,6 +904,7 @@ object SparkEntry {
     "q_market_basket" -> MarketBasketSql.liftLineitemSql,
     "text_readability" -> ReadabilitySql.profileDocumentsSql,
     "text_entropy" -> TokenEntropySql.profileDocumentsSql,
+    "text_charclass" -> CharClassSql.profileDocumentsSql,
     "text_entropy_streaming_file" -> TokenEntropySql.profileDocumentsSql,
     "text_bigram_surprisal" -> BigramSurprisalSql.scoreDocumentsSql,
     "text_collocations" -> CollocationsSql.topDocumentsSql,
@@ -947,6 +950,7 @@ object SparkEntry {
     "q_heavy_hitters_bounded_streaming_tws" -> HeavyHitters.hotCustomersSql,
     "q_skew_profile" -> SkewReport.orderCustomerSkewSql,
     "q_pareto_share" -> ParetoShareSql.reportOrdersSql,
+    "q_benford" -> BenfordSql.reportOrdersSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_source_report" -> DedupSourceReportSql.reportDocumentsSql,
