@@ -600,6 +600,8 @@ object SparkEntry {
     "q_skew_profile" -> (SkewReport.orderCustomerSkew _),
     "q_pareto_share" -> (ParetoShare.reportOrders _),
     "q_benford" -> (Benford.reportOrders _),
+    "q_exact_median" -> (ExactQuantiles.mediansEvents _),
+    "q_ship_latency" -> (ShipLatency.histogramTables _),
     // benchmark decontamination: broadcast bench postings, probe-augmented
     // bench suite so the correctness row is structurally non-vacuous
     "text_decontaminate" -> ((s, d) => {
@@ -951,6 +953,8 @@ object SparkEntry {
     "q_skew_profile" -> SkewReport.orderCustomerSkewSql,
     "q_pareto_share" -> ParetoShareSql.reportOrdersSql,
     "q_benford" -> BenfordSql.reportOrdersSql,
+    "q_exact_median" -> ExactQuantilesSql.mediansEventsSql,
+    "q_ship_latency" -> ShipLatencySql.histogramTablesSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_source_report" -> DedupSourceReportSql.reportDocumentsSql,
