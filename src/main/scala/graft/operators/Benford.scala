@@ -11,8 +11,13 @@ import graft.sources.Tables
   * report is the one-pass detector auditors run first.
   *
   * Exactness: the digit is the first character of the integer part's
-  * decimal rendering (values here are ≥ 800, so the integer part is the
-  * significand) — pure string/integer ops; observed shares are ppm
+  * decimal rendering, guarded by a `>= 1` filter IN BOTH SPELLINGS so
+  * the extraction is well-defined by construction — negative totals
+  * would render '-' and sub-1 totals '0'; the corpus invariant
+  * (o_totalprice ≥ 800 everywhere) makes the filter a no-op today, but
+  * a corpus change now shrinks the audited population instead of
+  * silently minting a null/'0' digit bucket. Pure string/integer ops
+  * after the guard; observed shares are ppm
   * `div`; the Benford expectation `floor(1e6·log10(1+1/d))` is computed
   * ONCE in Scala and inlined as the same literal into both engines'
   * spellings, so no runtime log crosses an engine boundary.
@@ -32,6 +37,7 @@ object Benford {
       .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}L" }
       .mkString("CASE digit ", " ", " ELSE 0L END")
     orders
+      .filter(col("o_totalprice") >= 1)
       .select(substring(floor(col("o_totalprice")).cast("long")
         .cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
@@ -61,7 +67,7 @@ object BenfordSql {
     s"""WITH d AS (
        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
-       |  FROM orders),
+       |  FROM orders WHERE o_totalprice >= 1),
        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
        |SELECT digit, n,
        |  (n * 1000000) // CAST(sum(n) OVER () AS BIGINT) AS ppm,

@@ -78,19 +78,30 @@ object Subqueries {
        |                    AND l.l_quantity >= $BulkQty)
        |ORDER BY partkey""".stripMargin
 
-  private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
-    Tables.part(spark, dir).createOrReplaceTempView("part")
-    spark.sql(sql)
+  /** Runs `sql` in a child session (`spark.newSession()` — shared
+    * SparkContext, cache, and extensions, but an ISOLATED temp-view
+    * catalog) with the named tables registered from `dir`. Every other
+    * operator passes DataFrames explicitly; these queries resolve table
+    * names at action time, so registering `lineitem`/`part` in the
+    * session-global catalog would let two calls against different data
+    * dirs race or silently rebind each other's tables. The child session
+    * scopes the views to this call while the engine-neutral SQL still
+    * resolves plain names.
+    */
+  private def run(spark: SparkSession, dir: String, sql: String,
+      names: Seq[String]): DataFrame = {
+    val s = spark.newSession()
+    names.foreach(n => Tables.table(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sql)
   }
 
   /** Driver query: the Q17-shaped correlated scalar aggregate. */
   def correlatedScalar(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir, correlatedScalarSql)
+    run(spark, dir, correlatedScalarSql, Seq("lineitem", "part"))
 
   /** Driver query: the correlated EXISTS / NOT EXISTS pair. */
   def existsPair(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir, existsSql)
+    run(spark, dir, existsSql, Seq("lineitem", "part"))
 
   /** Jumbo-order threshold for the NOT IN form — keeps ~5% of customers
     * at every test scale (8 / 59 / ~600 at sf0.001/0.01/0.1); lower
@@ -125,9 +136,6 @@ object Subqueries {
        |ORDER BY custkey""".stripMargin
 
   /** Driver query: the IN / NOT IN pair. */
-  def inPair(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir).createOrReplaceTempView("customer")
-    Tables.orders(spark, dir).createOrReplaceTempView("orders")
-    spark.sql(inSql)
-  }
+  def inPair(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, inSql, Seq("customer", "orders"))
 }

@@ -78,20 +78,33 @@ object StreamStreamJoin {
   private val stagedCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, String), String]
 
-  /** Fingerprint of the events parquet under `dir` (file name, size, mtime
-    * per part file) — metadata-only, one driver-side listing.
+  /** Fingerprint of the events parquet under `dir` (path, size, mtime per
+    * leaf file) — metadata-only, one driver-side listing. Listed through
+    * the session's configured Hadoop filesystem (recursive), so non-local
+    * URIs (hdfs://, s3a://) and nested part-subdirectory layouts are
+    * observed — a java.io.File listing sees nothing for those and the
+    * fingerprint would degenerate to a constant, silently re-enabling the
+    * stale-replay hazard this key exists to prevent. The digest is the
+    * first 16 hex chars of md5 (64 bits), not String.hashCode (32 bits).
     */
-  private def inputFingerprint(dir: String): String = {
-    val root = new java.io.File(dir, "events.parquet")
-    val files =
-      if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
-    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|").hashCode.toHexString
+  private def inputFingerprint(spark: SparkSession, dir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(dir, "events.parquet")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      leaves += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+    }
+    val joined = leaves.sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(joined.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
   }
 
   private def ensureStaged(spark: SparkSession, dir: String,
       chunks: Int): String = stagedCache.synchronized {
-    stagedCache.getOrElseUpdate((dir, chunks, inputFingerprint(dir)), {
+    stagedCache.getOrElseUpdate((dir, chunks, inputFingerprint(spark, dir)), {
       import spark.implicits._
       val work = java.nio.file.Files.createTempDirectory("graft_ssj").toFile
       sys.addShutdownHook(org.apache.commons.io.FileUtils.deleteQuietly(work))
