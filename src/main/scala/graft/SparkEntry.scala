@@ -690,8 +690,18 @@ object SparkEntry {
     "ann_knn_classify" -> (KnnClassify.classifyEmbeddings _),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(sources.Tables.embeddings(s, d))
       .orderBy(col("query_id"), col("rank"))),
+    // serve-quality LSH: multi-probe Hamming-2 candidate widening + the
+    // same exact re-rank — recall@5 at sf0.1 0.525 -> 1.000, index unchanged
+    "ann_lsh_rerank" -> ((s, d) =>
+      Similarity.lshRerankTopK(sources.Tables.embeddings(s, d))
+        .orderBy(col("query_id"), col("rank"))),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(sources.Tables.embeddings(s, d))
       .orderBy(col("query_id"), col("rank"))),
+    // serve-quality IVF-flat: deep-probe refine (6 of 16 cells) lets the
+    // 0.9 recall floor be PINNED (probe-4 measures 1.000 but floors at 0.4)
+    "ann_ivf_rerank" -> ((s, d) =>
+      Similarity.ivfRerankTopK(sources.Tables.embeddings(s, d))
+        .orderBy(col("query_id"), col("rank"))),
     // IVF over the one-Lloyd-step TRAINED coarse codebook (exact integer
     // means) — completes the training story: coarse (here), sub (ann_pq_
     // trained), residual sub (ann_ivf_pq_res_trained) are all certified
@@ -978,7 +988,10 @@ object SparkEntry {
     "ann_brute_force" -> SimilaritySql.bruteForceTopKSql(),
     "ann_knn_classify" -> KnnClassifySql.classifyEmbeddingsSql,
     "ann_lsh" -> SimilaritySql.lshTopKSql(),
+    "ann_lsh_rerank" -> SimilaritySql.lshRerankTopKSql(),
     "ann_ivf" -> SimilaritySql.ivfTopKSql(),
+    "ann_ivf_rerank" -> SimilaritySql.ivfTopKSql(
+      nProbe = Similarity.IvfRerankProbe),
     "ann_ivf_trained" -> SimilaritySql.ivfTrainedTopKSql(),
     "ann_pq" -> ProductQuantizationSql.annPqSql(),
     "ann_ivf_pq" -> ProductQuantizationSql.annIvfPqSql(),

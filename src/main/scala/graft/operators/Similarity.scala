@@ -143,13 +143,44 @@ object Similarity {
       explode(array((0 until tables).map(t =>
         tableBucket(col("embedding"), t, planes) + lit(t.toLong << 32)): _*)).as("bk"))
 
+  /** Query-side probe masks for multi-probe LSH: all plane-bit flips of
+    * Hamming weight <= `radius` (0 = the exact bucket only). ONE spelling
+    * shared by the Spark probe expansion and the SQL oracle's VALUES list
+    * so the probe sets cannot drift. Lv et al.'s multi-probe insight
+    * (public: VLDB'07) — a near neighbor that misses the query's exact
+    * bucket almost always lands in a bucket differing in few plane signs,
+    * so probing the Hamming ball recovers recall WITHOUT more tables
+    * (query-side-only cost; the corpus index is unchanged).
+    */
+  private[operators] def probeMasks(planes: Int, radius: Int): Seq[Long] = {
+    val singles = (0 until planes).map(p => 1L << p)
+    Seq(0L) ++
+      (if (radius >= 1) singles else Nil) ++
+      (if (radius >= 2)
+        for { p <- 0 until planes; q <- p + 1 until planes }
+          yield (1L << p) | (1L << q)
+      else Nil)
+  }
+
   private def lshScored(emb: DataFrame, queryMaxId: Long,
-      tables: Int, planes: Int): DataFrame = {
+      tables: Int, planes: Int, probeRadius: Int = 0): DataFrame = {
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       VF.norm(col("embedding")).as("nrm"))
     val bucketed = lshBuckets(emb, tables, planes)
-    val queryBuckets = bucketed.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("bk"))
+    // multi-probe expansion is QUERY-side only: nq x tables rows fan out to
+    // nq x tables x |masks| (still KBs — the broadcast side), the corpus
+    // bucket table is untouched, and the join stays the same bucket
+    // equi-join. The table offset lives above bit 32, so low-bit flips
+    // never cross tables.
+    val queryBuckets =
+      if (probeRadius == 0)
+        bucketed.filter(col("vec_id") < queryMaxId)
+          .select(col("vec_id").as("query_id"), col("bk"))
+      else
+        bucketed.filter(col("vec_id") < queryMaxId)
+          .select(col("vec_id").as("query_id"),
+            explode(array(probeMasks(planes, probeRadius)
+              .map(m => col("bk").bitwiseXOR(lit(m))): _*)).as("bk"))
     val cands = bucketed.as("c")
       .join(broadcast(queryBuckets),
         col("c.bk") === queryBuckets("bk") && col("query_id") =!= col("c.vec_id"))
@@ -170,6 +201,61 @@ object Similarity {
   def lshTopK(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5,
       tables: Int = TopKTables, planes: Int = TopKPlanes): DataFrame =
     rankTopK(lshScored(emb, queryMaxId, tables, planes), k)
+
+  /** Hamming probe radius for the serve-quality LSH form — pinned by the
+    * sf0.1 measurement in AnnRecallSf01Spec (see [[lshRerankTopK]]).
+    */
+  val LshProbeRadius = 2
+
+  /** Serve-quality LSH top-k — the refine-stage answer to the honest
+    * sf0.1 finding that exact-bucket OR-amplification alone floors at
+    * recall 0.2 (AnnRecallSf01Spec): the index and the exact cosine
+    * re-rank are [[lshTopK]]'s verbatim; what the refine extends is
+    * CANDIDATE COVERAGE, via the multi-probe Hamming-[[LshProbeRadius]]
+    * expansion of each query's bucket per table ([[probeMasks]]). Unlike
+    * the PQ chain (where the refine re-scores coarse ADC ranks exactly),
+    * LSH candidates are already scored exactly — the recall lever is the
+    * probe set, so that is where this operator spends.
+    *
+    * Scale shape: identical to [[lshTopK]] — the corpus bucket table and
+    * its equi-join are untouched; only the broadcast query-probe frame
+    * grows by |masks| = 1 + p + p(p-1)/2 (11 at 4 planes). Measured
+    * recall@5 at sf0.1: 0.525 exact-bucket → 0.925 radius-1 → 1.000
+    * radius-2 (serve floor 0.9 pinned in AnnRecallSf01Spec; the
+    * exact-bucket form's floor stays 0.2 — bucket luck moves with any
+    * fixture change, which is exactly why it was unservable).
+    */
+  def lshRerankTopK(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5,
+      tables: Int = TopKTables, planes: Int = TopKPlanes,
+      probeRadius: Int = LshProbeRadius): DataFrame =
+    rankTopK(lshScored(emb, queryMaxId, tables, planes, probeRadius), k)
+
+  /** Probe depth for the serve-quality IVF form (of 16 cells) — pinned by
+    * the sf0.1 measurement in AnnRecallSf01Spec (see [[ivfRerankTopK]]).
+    */
+  val IvfRerankProbe = 6
+
+  /** Serve-quality IVF top-k — the refine stage for the IVF-flat family.
+    * IVF-flat's candidate scoring is already exact (the lists hold full
+    * vectors), so — unlike the PQ chain, where refine re-scores coarse
+    * ADC ranks — the ONLY recall lever is list coverage: this form probes
+    * [[IvfRerankProbe]] cells instead of 4, and the exact re-rank runs
+    * over the widened candidate union. Measured recall@5 at sf0.1 is
+    * 1.000 (nProbe=4 also measures 1.000 on the current fixtures, but its
+    * pinned floor is only 0.4 — probe-4 recall is one cell-boundary shift
+    * from collapsing, which is why it was unservable as a contract); the
+    * extra coverage is what lets this form PIN the 0.9 serve floor in
+    * AnnRecallSf01Spec. Scan fraction rises to
+    * nProbe/nCentroids of the corpus — the price of serve-quality recall
+    * on a corpus whose 64-d points are near-equidistant (distance
+    * concentration; the same effect that drives the PQ chain to an exact
+    * refine). At production scale the knob pair moves together:
+    * nCentroids ~ sqrt(N) keeps each cell small, and nProbe/nCentroids
+    * stays the scan-fraction dial this operator makes explicit.
+    */
+  def ivfRerankTopK(emb: DataFrame, queryMaxId: Long = 8,
+      k: Int = 5, nProbe: Int = IvfRerankProbe): DataFrame =
+    ivfTopK(emb, nProbe = nProbe, queryMaxId = queryMaxId, k = k)
 
   /** IVF-flat ANN: a coarse codebook partitions the corpus into inverted
     * lists; a query probes only its `nProbe` nearest centroids' lists.
@@ -550,6 +636,43 @@ object SimilaritySql {
     s"""WITH b AS (
        |  SELECT vec_id, unnest($bucketList) AS bk FROM embeddings),
        |qb AS (SELECT vec_id AS query_id, bk FROM b WHERE vec_id < $queryMaxId),
+       |cand AS (
+       |  SELECT DISTINCT qb.query_id, c.vec_id
+       |  FROM b c JOIN qb ON c.bk = qb.bk AND c.vec_id <> qb.query_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |      WHERE vec_id < $queryMaxId),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |         ${VS.cosine("q.qv", "e.embedding")} AS cos
+       |  FROM cand
+       |  JOIN q ON cand.query_id = q.query_id
+       |  JOIN embeddings e ON cand.vec_id = e.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirror of [[Similarity.lshRerankTopK]]: [[lshTopKSql]] with the
+    * query-bucket CTE expanded by the SAME [[Similarity.probeMasks]]
+    * Hamming ball (masks inlined as a VALUES list, applied with DuckDB's
+    * bitwise `xor`).
+    */
+  def lshRerankTopKSql(queryMaxId: Long = 8, k: Int = 5,
+      tables: Int = TopKTables, planes: Int = TopKPlanes,
+      probeRadius: Int = Similarity.LshProbeRadius): String = {
+    val bucketList = lshBucketListSql(tables, planes)
+    val masks = Similarity.probeMasks(planes, probeRadius)
+      .map(m => s"($m)").mkString(", ")
+    s"""WITH b AS (
+       |  SELECT vec_id, unnest($bucketList) AS bk FROM embeddings),
+       |qb AS (
+       |  SELECT b.vec_id AS query_id, xor(b.bk, CAST(m.m AS BIGINT)) AS bk
+       |  FROM b CROSS JOIN (VALUES $masks) AS m(m)
+       |  WHERE b.vec_id < $queryMaxId),
        |cand AS (
        |  SELECT DISTINCT qb.query_id, c.vec_id
        |  FROM b c JOIN qb ON c.bk = qb.bk AND c.vec_id <> qb.query_id),

@@ -39,9 +39,11 @@ class PlanAuditSpec extends SparkSpec {
   // ann_ivf_pq_rerank: wraps ann_ivf_pq_res_trained's candidate chain, so
   // it inherits the same two coarse-codebook scans; the re-rank stage
   // itself is broadcast-hash equi-joins only (2).
+  // ann_ivf_rerank: ann_ivf's exact plan with nProbe=6 — same two
+  // broadcast-codebook scans (assign + probe), counted identically (2).
   private val allowedNestedLoops = Map("ann_brute_force" -> 1, "ann_ivf" -> 2,
     "ann_ivf_pq" -> 2, "ann_ivf_pq_res" -> 2, "ann_ivf_pq_res_trained" -> 2,
-    "ann_ivf_pq_rerank" -> 2,
+    "ann_ivf_pq_rerank" -> 2, "ann_ivf_rerank" -> 2,
     "ann_ivf_trained" -> 3,
     "emb_kmeans_step" -> 1, "text_tfidf" -> 1, "q_bloom_join" -> 1,
     "dedup_semantic" -> 1, "q_cms_join_size" -> 1, "q_kmv_overlap" -> 2,

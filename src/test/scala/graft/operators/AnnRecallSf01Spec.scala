@@ -33,6 +33,19 @@ class AnnRecallSf01Spec extends SparkSpec {
     assert(ivf >= 0.4, f"IVF recall degenerated at sf0.1: $ivf%.3f")
     assert(ivfTr >= 0.4, f"trained IVF recall degenerated at sf0.1: $ivfTr%.3f")
     assert(ivfTr >= ivf - 0.15, f"training regressed recall at sf0.1: $ivf%.3f -> $ivfTr%.3f")
+    // the refined serve forms: multi-probe LSH and deep-probe IVF must
+    // clear the 0.9 serve floor the PQ rerank chain set (measured 1.000
+    // for both: LSH radius-2 lifts 0.200 -> 1.000, IVF nProbe=6 lifts
+    // 0.400 -> 1.000)
+    val lshRr = (pairs(Similarity.lshRerankTopK(emb)) & exact)
+      .size.toDouble / exact.size
+    val ivfRr = (pairs(Similarity.ivfRerankTopK(emb)) & exact)
+      .size.toDouble / exact.size
+    info(f"sf0.1: lsh-rerank = $lshRr%.3f, ivf-rerank = $ivfRr%.3f")
+    assert(lshRr >= 0.9, f"multi-probe LSH below the serve floor at sf0.1: $lshRr%.3f")
+    assert(ivfRr >= 0.9, f"deep-probe IVF below the serve floor at sf0.1: $ivfRr%.3f")
+    assert(lshRr >= lsh, "the multi-probe refine made LSH recall WORSE")
+    assert(ivfRr >= ivf, "the deep-probe refine made IVF recall WORSE")
   }
 
   test("trained residual PQ keeps its r11 gains at sf0.1", SlowTest) {
