@@ -728,6 +728,9 @@ object SparkEntry {
     // float sqDist re-scores only those C rows per query — recall@5 at
     // sf0.1 goes 0.125 -> 1.000 (floor pinned in AnnRecallSf01Spec)
     "ann_ivf_pq_rerank" -> (ProductQuantization.annIvfPqRerank _),
+    // the large-query-batch serve path: nq=64, candidates/queries reach the
+    // corpus via shuffle-hash equi-joins — no broadcast assumption
+    "ann_rerank_batch" -> (ProductQuantization.annRerankBatch _),
     // the PQ index materialized: persist once, serve ann_pq and ann_ivf_pq
     "emb_pq_codes" -> (ProductQuantization.pqCodes _),
     // per-subspace quantization error on the encoder's distance stage
@@ -999,6 +1002,9 @@ object SparkEntry {
     "ann_ivf_pq_res" -> ProductQuantizationSql.annIvfPqResSql(),
     "ann_ivf_pq_res_trained" -> ProductQuantizationSql.annIvfPqResSql(trained = true),
     "ann_ivf_pq_rerank" -> ProductQuantizationSql.annIvfPqRerankSql(),
+    "ann_rerank_batch" -> ProductQuantizationSql.annIvfPqRerankSql(
+      nCand = ProductQuantization.BatchCandidates,
+      queryMaxId = ProductQuantization.BatchQueries),
     "emb_pq_codes" -> ProductQuantizationSql.pqCodesSql,
     "emb_pq_distortion" -> PqDistortionSql.reportEmbeddingsSql,
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),

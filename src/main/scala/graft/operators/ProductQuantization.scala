@@ -99,6 +99,18 @@ object ProductQuantization {
     * definition shared by [[adcTopK]] and [[ivfPqTopK]] so the LUT
     * convention (scaling, slice origin) cannot drift between them.
     */
+  /** Batch contract (applies to every LUT consumer — [[adcTopK]],
+    * [[adcTopKTrained]], [[ivfPqTopK]], [[ivfPqResidualTopK]] and the
+    * rerank forms over them): the per-query LUT is nq x NumSub x NumCodes
+    * rows (nq x 256 longs here) — sound to ~5k queries under the default
+    * 10 MB broadcast threshold. Past it, the LUT->codes join is an
+    * equi-join on (m, code) buried inside an aggregation, so the batch
+    * spelling pre-joins the code table to the LUT with a `shuffle_hash`
+    * hint exactly as [[ivfPqResRerankBatchTopK]] does for the refine
+    * stage; the sub-codebook broadcast itself (NumSub x NumCodes x SubDim)
+    * is corpus- and batch-scale-free and never needs to move off the
+    * broadcast path.
+    */
   private def lutOf(emb: DataFrame, cb: DataFrame, queryMaxId: Long): DataFrame =
     emb.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"),
@@ -379,6 +391,64 @@ object ProductQuantization {
   /** Driver query: trained residual IVF-PQ with the exact re-rank stage. */
   def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
     ivfPqResRerankTopK(Tables.embeddings(spark, dir))
+
+  /** Batch size and candidate depth for the large-query-batch serve form —
+    * nq scaled 8x past the point where per-query constants amortize, C
+    * sized so nq x C is the frame whose broadcastability the operator
+    * refuses to assume.
+    */
+  val BatchQueries = 64L
+  val BatchCandidates = 50
+
+  /** The LARGE-QUERY-BATCH serve path: [[ivfPqResRerankTopK]]'s refine
+    * stage with the broadcast assumption removed. Every other ann_*
+    * fixes nq = 8, so the nq x C candidate frame (and the query frame)
+    * broadcast into the full-vector fetch; at production batch sizes
+    * (nq in the millions — re-embedding sweeps, dedup-by-query backfills)
+    * nq x C outgrows any broadcast. This form joins candidates and
+    * queries to the corpus as SHUFFLE-HASH equi-joins (`shuffle_hash`
+    * hints; plan pinned in AnnBatchRerankSpec): candidates co-partition
+    * with the corpus on vec_id, then with the query frame on query_id —
+    * both sides partition-parallel, nothing driver- or broadcast-bound.
+    *
+    * Scale contract (the switch point): the broadcast form wins while
+    * nq x C x ~16 bytes stays under the broadcast threshold (10 MB
+    * default → ~40k queries at C=200); past it, THIS spelling is the
+    * plan, and the corpus-side exchange it introduces is eliminated by
+    * bucketing the corpus table on vec_id ([[graft.sources.StorageLayout]]
+    * proves exchange-free joins on bucketed layouts) — leaving the
+    * candidate frame's own shuffle as the only data movement, which is
+    * optimal: those rows must reach their vectors somehow. The CANDIDATE
+    * stage's broadcasts are nq-proportional too (the per-query LUT is
+    * nq x M x K rows); its batch bound is documented on
+    * [[ivfPqResidualTopK]] — this operator certifies the refine stage's
+    * shuffle path, the piece whose frame grows fastest (x C).
+    */
+  def ivfPqResRerankBatchTopK(emb: DataFrame,
+      nCand: Int = BatchCandidates, queryMaxId: Long = BatchQueries,
+      k: Int = 5): DataFrame = {
+    val cands = ivfPqResidualTopK(emb, queryMaxId = queryMaxId, k = nCand,
+      trained = true).select(col("query_id"), col("vec_id"))
+    val queries = emb.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val rescored = emb
+      .join(cands.hint("shuffle_hash"), Seq("vec_id"))
+      .join(queries.hint("shuffle_hash"), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        floor(VF.sqDist(col("qv"), col("embedding")) * 1e6).cast("long")
+          .as("dist_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_micro"), col("vec_id"))
+    rescored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dist_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Driver query: the batch-serve shuffle-hash re-rank at nq = 64. */
+  def annRerankBatch(spark: SparkSession, dir: String): DataFrame =
+    ivfPqResRerankBatchTopK(Tables.embeddings(spark, dir))
 
   /** One Lloyd refinement step per subspace over the init codebook — the
     * PQ analog of [[Similarity.kmeansStep]], same exact-arithmetic rules:

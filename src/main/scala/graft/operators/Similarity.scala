@@ -82,6 +82,13 @@ object Similarity {
 
   /** Exact cosine top-k of `corpus` for each query vector (queries broadcast,
     * self-matches excluded). Ranking ties break on vec_id for determinism.
+    *
+    * Batch contract: the broadcast frame is the query set itself (nq x Dim
+    * doubles ≈ nq x 512 B) — sound to ~20k queries under the default 10 MB
+    * threshold. Past it, brute force at batch scale is a block product:
+    * shard the query set and union the shards (each shard re-broadcasts),
+    * or switch to an indexed family below — there is no shuffle spelling
+    * that saves an exact all-pairs scan.
     */
   def bruteForceTopK(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5): DataFrame = {
     // norms once per vector below the join (not per pair) — same doubles
@@ -162,6 +169,16 @@ object Similarity {
       else Nil)
   }
 
+  /** Batch contract (applies to [[lshTopK]], [[lshRerankTopK]], and
+    * [[lshRange]], which all run this trunk): the broadcast frames are the
+    * query-probe buckets (nq x tables x |masks| longs) and the query
+    * vectors (nq x Dim) — sound to ~10k queries at radius 2 under the
+    * default 10 MB threshold. Past it, drop the `broadcast()` hints for
+    * `shuffle_hash` ones: both joins are equi-joins (on bk, then on
+    * query_id/vec_id), so the shuffle spelling is mechanical — the
+    * certified template is [[ProductQuantization.ivfPqResRerankBatchTopK]]
+    * (AnnBatchRerankSpec pins plan and result equality).
+    */
   private def lshScored(emb: DataFrame, queryMaxId: Long,
       tables: Int, planes: Int, probeRadius: Int = 0): DataFrame = {
     val withNorm = emb.select(col("vec_id"), col("embedding"),
@@ -311,6 +328,17 @@ object Similarity {
         x => x.getField("centroid_micro").cast("double") / 1e6).as("cvec"))
       .withColumn("cnrm", VF.norm(col("cvec"))))
 
+  /** Batch contract (applies to [[ivfRerankTopK]] too): the broadcast
+    * frames are the codebook (nCentroids x Dim — corpus-scale-free, always
+    * broadcastable), the query probes (nq x nProbe longs), and the query
+    * vectors (nq x Dim) — sound to ~20k queries under the default 10 MB
+    * threshold. Past it, the probe->assignment join on cid and the
+    * candidate->corpus join on vec_id both switch to `shuffle_hash`
+    * equi-joins (certified template:
+    * [[ProductQuantization.ivfPqResRerankBatchTopK]]); only the
+    * per-vector codebook argmax genuinely needs the broadcast, and that
+    * frame never grows with nq or N.
+    */
   def ivfTopK(emb: DataFrame, nCentroids: Int = 16, nProbe: Int = 4,
       queryMaxId: Long = 8, k: Int = 5, trained: Boolean = false): DataFrame = {
     val withNorm = withNormOf(emb)
