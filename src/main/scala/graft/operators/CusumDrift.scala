@@ -32,17 +32,21 @@ object CusumDrift {
     * n_hours; `peak_hour` its earliest attaining hour.
     */
   def drift(events: DataFrame): DataFrame = {
-    val dense = Resample.hourly(events)
+    // the dense grid's data-sized aggregation feeds two consumers (tot,
+    // dev) and the deviation frame two more (peak, the final join) — both
+    // are (type x hours)-bucket tables, so caching them is KBs and cuts
+    // the Resample replay per consumer (plan index: 13 → 5 exchanges)
+    val dense = Caching.cached(Resample.hourly(events))
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
     val tot = dense.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hours"), sum(col("value_cents")).as("total_cents"))
-    val dev = dense
+    val dev = Caching.cached(dense
       .withColumn("idx", row_number().over(w).cast("long"))
       .join(broadcast(tot), Seq("event_type"))
       .select(col("event_type"), col("hour"), col("n_hours"),
         col("total_cents"),
         abs(col("cum_cents") * col("n_hours") - col("idx") * col("total_cents"))
-          .as("habs"))
+          .as("habs")))
     val peak = dev.groupBy(col("event_type"))
       .agg(max(col("habs")).as("max_dev_habs"))
     dev.join(broadcast(peak), Seq("event_type"))

@@ -342,15 +342,31 @@ object Dedup {
     * of the NumHashes transforms: 32x the hashing work (measured 50s vs
     * sub-second on sf0.001). [[minhashLsh]] passes its cached sets.
     */
-  def minhashSignatures(sets: DataFrame): DataFrame = {
-    // MinHash x-values are the first 32 md5 bits == hash60 >>> 28, so the
-    // hashed shingle array feeds signatures directly (no re-hashing)
+  def minhashSignatures(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), signatureExpr.as("mh"))
+
+  /** The ONE signature-array spelling over a cached `sh` column.
+    * MinHash x-values are the first 32 md5 bits == hash60 >>> 28, so the
+    * hashed shingle array feeds signatures directly (no re-hashing).
+    */
+  private def signatureExpr: Column = {
     val perms = (0 until NumHashes).map { i =>
       array_min(transform(col("sh"), x =>
         (lit(hashA(i)) * shiftright(x, 28) + lit(hashB(i))) % lit(Prime)))
     }
-    sets.select(col("doc_id"), array(perms: _*).as("mh"))
+    array(perms: _*)
   }
+
+  /** (doc_id, sh, mh) in ONE projection over cached sets — the combined
+    * per-doc payload [[MinhashCalibration]] fetches once per pair SIDE
+    * (two equi-joins) instead of once per pair FIELD (the four-join form
+    * paid two extra doc-keyed shuffles and replayed the signature
+    * computation per consumer). Same [[minhashSignatures]] contract: the
+    * input must be materialization-backed or projection collapse
+    * re-inlines the md5 shingle hashing into all NumHashes transforms.
+    */
+  private[operators] def setSignaturePayload(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), col("sh"), signatureExpr.as("mh"))
 
   /** LSH band keys: "band:h1-h2-h3-h4" strings, one per band. */
   def bandKeys(mh: Column): Column =
@@ -379,8 +395,17 @@ object Dedup {
     * observed-drop metrics stay attributable).
     */
   private[operators] def minhashCandidatePairs(sets: DataFrame,
+      maxBucket: Int, capName: String): DataFrame =
+    minhashCandidatePairsFromSigs(minhashSignatures(sets), maxBucket, capName)
+
+  /** The same candidate stage over an already-computed (doc_id, mh)
+    * signature frame — lets [[MinhashCalibration]] feed its CACHED
+    * payload's signatures instead of recomputing them; [[minhashLsh]]'s
+    * composition through [[minhashCandidatePairs]] is expression-identical.
+    */
+  private[operators] def minhashCandidatePairsFromSigs(sigs: DataFrame,
       maxBucket: Int, capName: String): DataFrame = {
-    val banded = minhashSignatures(sets)
+    val banded = sigs
       .select(col("doc_id"), explode(bandKeys(col("mh"))).as("bk"))
     val bounded = capGroups(banded, "bk", maxBucket,
       capName, "dropped_band_rows")
@@ -397,14 +422,21 @@ object Dedup {
     * by the bucket cap, so the intersection work is O(|cand| x set size)
     * regardless of corpus scale.
     */
+  /** The ONE exact pair-Jaccard spelling over two shingle arrays and
+    * their precomputed intersection size — shared by [[pairJaccard]] and
+    * [[MinhashCalibration]] so the verify arithmetic cannot drift.
+    */
+  private[operators] def jaccardOf(sha: Column, shb: Column,
+      common: Column): Column =
+    common.cast("double") / (size(sha) + size(shb) - common).cast("double")
+
   private[operators] def pairJaccard(cand: DataFrame, sets: DataFrame): DataFrame =
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))))
       .withColumn("jaccard",
-        col("common").cast("double") /
-          (size(col("sa.sh")) + size(col("sb.sh")) - col("common")).cast("double"))
+        jaccardOf(col("sa.sh"), col("sb.sh"), col("common")))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5, n: Int = ShingleN,

@@ -12,12 +12,16 @@ import graft.sources.Tables
   * signature-only (verification-free) dedup pass at scale — off-diagonal
   * mass is exactly the error that pass would commit.
   *
-  * Scale shape: candidates and exact Jaccard are
-  * [[Dedup.minhashCandidatePairs]] / [[Dedup.pairJaccard]] VERBATIM (the
-  * certified `dedup_minhash_lsh` stages — the calibration audits the
-  * estimator on the same pair population the dedup sees); signature
-  * agreement is a per-pair zip fold over the 32-slot arrays fetched by
-  * two doc_id equi-joins; the fold collapses to ≤ 11×11 cells.
+  * Scale shape: the candidate stage is
+  * [[Dedup.minhashCandidatePairsFromSigs]] (the certified
+  * `dedup_minhash_lsh` stage, composed identically through
+  * [[Dedup.minhashCandidatePairs]] there) and the exact Jaccard is the
+  * one [[Dedup.jaccardOf]] spelling [[Dedup.pairJaccard]] runs — the
+  * calibration audits the estimator on the same pair population the
+  * dedup sees. Per-doc payloads (shingle set + signature) are ONE cached
+  * (doc_id, sh, mh) frame fetched once per pair side (two doc_id
+  * equi-joins, not four); the agreement/jaccard folds collapse to
+  * ≤ 11×11 cells.
   *
   * Exactness: the agreement count is integer; its band is a
   * non-negative `div`; the exact-Jaccard band floors the IEEE division
@@ -31,19 +35,27 @@ object MinhashCalibration {
   def contingency(docs: DataFrame, n: Int = Dedup.ShingleN,
       maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     val sets = Caching.cached(Dedup.hashedShingleSets(docs, n))
-    val cand = Dedup.minhashCandidatePairs(sets, maxBucket,
+    // (doc_id, sh, mh) computed ONCE and cached: the signature transform
+    // runs a single time (the four-join form replayed it per consumer),
+    // and each pair side fetches BOTH its shingle set and its signature
+    // in one doc_id equi-join — two joins instead of four, two fewer
+    // doc-keyed shuffles (plan index: 13 → 9 exchanges)
+    val payload = Caching.cached(Dedup.setSignaturePayload(sets))
+    val cand = Dedup.minhashCandidatePairsFromSigs(
+      payload.select(col("doc_id"), col("mh")), maxBucket,
       "minhash_calibration_caps")
-    val mh = Dedup.minhashSignatures(sets)
     val matches = aggregate(
       zip_with(col("ma"), col("mb"),
         (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
-    Dedup.pairJaccard(cand, sets)
-      .join(mh.select(col("doc_id").as("doc_a"), col("mh").as("ma")),
-        Seq("doc_a"))
-      .join(mh.select(col("doc_id").as("doc_b"), col("mh").as("mb")),
-        Seq("doc_b"))
-      .select(matches.as("__m"), col("jaccard"))
+    cand
+      .join(payload.select(col("doc_id").as("doc_a"),
+        col("sh").as("sha"), col("mh").as("ma")), Seq("doc_a"))
+      .join(payload.select(col("doc_id").as("doc_b"),
+        col("sh").as("shb"), col("mh").as("mb")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .select(matches.as("__m"),
+        Dedup.jaccardOf(col("sha"), col("shb"), col("common")).as("jaccard"))
       .select(expr(s"(__m * 10) div ${Dedup.NumHashes}").as("est_band"),
         floor(col("jaccard") * 10).cast("long").as("true_band"))
       .groupBy(col("est_band"), col("true_band"))
