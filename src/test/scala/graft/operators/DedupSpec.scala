@@ -98,6 +98,56 @@ class DedupSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("the LSH bucket cap is exact at its edge: cap kept, cap+1 dropped") {
+    // the boundary certification behind the capGroups skew bound: a bucket
+    // of EXACTLY MaxBucket members passes intact (all C(cap,2) pairs
+    // surface, zero drops observed), one more member and the whole bucket
+    // is dropped (zero pairs, every row observed dropped) — the cap is a
+    // step function at cap, not "approximately bounded"
+    val cloneText = (0 until 30).map(i => s"c$i").mkString(" ")
+    // a genuine near-dup pair on disjoint tokens rides along so the result
+    // is never empty — an all-empty result lets AQE's empty-relation
+    // propagation skip the metric-carrying subtree and the observation is
+    // never delivered (the cap+1 case would otherwise return zero rows)
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val changed = ((0 until 29).map(i => s"w$i") :+ "x29").mkString(" ")
+    val pair = Seq((1000000L, base), (1000001L, changed))
+    def run(nClones: Long): (Set[(Long, Long)], Long) = {
+      var dropped = -1L
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+          val m = qe.observedMetrics.get("minhash_lsh_caps")
+          m.foreach(row => dropped = row.getLong(0))
+        }
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        val clones = (0L until nClones).map(i => (i, cloneText))
+        val out = Dedup.minhashLsh(docs(clones ++ pair: _*))
+          .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+        val deadline = System.currentTimeMillis() + 10000
+        while (dropped < 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        (out, dropped)
+      } finally spark.listenerManager.unregister(listener)
+    }
+    val cap = Dedup.MaxBucket.toLong
+    val pairRow = (1000000L, 1000001L)
+    val (atCap, droppedAtCap) = run(cap)
+    assert(atCap.size == cap * (cap - 1) / 2 + 1,
+      s"a bucket of exactly cap=$cap must keep ALL its pairs, got ${atCap.size}")
+    assert(atCap.contains((0L, 1L)) && atCap.contains((0L, cap - 1))
+      && atCap.contains(pairRow))
+    assert(droppedAtCap == 0L, s"cap-sized bucket reported drops: $droppedAtCap")
+    val (overCap, droppedOverCap) = run(cap + 1)
+    assert(overCap == Set(pairRow),
+      s"a bucket of cap+1 must contribute zero candidates, got ${overCap.size}")
+    assert(droppedOverCap == (cap + 1) * Dedup.Bands,
+      s"expected every clone row observed dropped in every band, got $droppedOverCap")
+  }
+
   test("exact dedup is where the clone cluster lands") {
     val clones = (0L until 80L).map(i => (i, "same text here"))
     val out = Dedup.exact(docs(clones :+ (200L, "other") : _*))
