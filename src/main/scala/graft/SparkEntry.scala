@@ -62,6 +62,7 @@ object SparkEntry {
     "pipeline_corpus_drift_streaming_file",
     "pipeline_budget_sample_streaming_file",
     "pipeline_group_sample_streaming_file",
+    "pipeline_interleave_streaming_file",
     "dedup_exact_streaming_file",
     "dedup_normalized_streaming_file",
     "dedup_winnow_streaming_file",
@@ -394,6 +395,12 @@ object SparkEntry {
     // shuffle over (band, salted hash, doc_id), ContiguousId positions
     "pipeline_curriculum" -> (Curriculum.scheduleDocuments _),
     "pipeline_interleave" -> (Interleave.orderDocuments _),
+    // the interleave with its per-source exposure counters built
+    // INCREMENTALLY from file micro-batches (update-mode aggregate,
+    // monotone max-fold readback; state is one counter per source) —
+    // schedule tail shared verbatim, same oracle as the batch form
+    "pipeline_interleave_streaming_file" -> ((s, d) =>
+      streaming.StreamingInterleave.orderFromFiles(s, d)),
     "pipeline_span_corruption" -> (SpanCorruption.scheduleDocuments _),
     // per-column data-quality profile (nulls/distincts/min-max): one
     // 4-column pass, Expand multi-distinct, generator unpivot of one row
@@ -907,6 +914,7 @@ object SparkEntry {
       streaming.StreamingChunkDedupSql.canonicalDocumentsSql,
     "pipeline_curriculum" -> CurriculumSql.scheduleDocumentsSql,
     "pipeline_interleave" -> InterleaveSql.orderDocumentsSql,
+    "pipeline_interleave_streaming_file" -> InterleaveSql.orderDocumentsSql,
     "pipeline_span_corruption" -> SpanCorruptionSql.scheduleDocumentsSql,
     "pipeline_corpus_profile" -> CorpusProfileSql.profileDocumentsSql,
     "pipeline_source_overlap" -> SourceOverlapSql.overlapDocumentsSql(),

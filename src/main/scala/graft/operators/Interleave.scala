@@ -29,13 +29,21 @@ import graft.sources.Tables
   */
 object Interleave {
 
-  /** (pos, doc_id, source, round): the gap-free interleaved training
-    * order; `round` is the document's rank within its own source.
+  /** The hashed projection (doc_id, source, __hv) — ONE spelling shared
+    * with [[graft.streaming.StreamingInterleave]]'s readback tail.
     */
-  def order(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), col("source"),
+  private[graft] def hashedOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
       GlobalShuffle.hashOf(col("doc_id")).as("__hv"))
-    val counts = hashed.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+
+  /** The schedule from an externally-supplied per-source exposure count
+    * table (source, n_s) — shared verbatim by the batch form (which
+    * aggregates the counts in-plan) and the streaming twin (which folds
+    * them from update-mode emissions). `counts` must hold exactly the
+    * per-source row counts of `hashed`, or the offsets misalign.
+    */
+  private[graft] def orderFromCounts(hashed: DataFrame,
+      counts: DataFrame): DataFrame = {
     // |sources| rows: the single-partition window is over the tiny count
     // table, never the data
     val wsrc = Window.orderBy(col("source"))
@@ -50,6 +58,15 @@ object Interleave {
     ContiguousId.assign(rounds, "pos", Seq(col("round"), col("source")))
       .select(col("pos"), col("doc_id"), col("source"), col("round"))
       .orderBy(col("pos"))
+  }
+
+  /** (pos, doc_id, source, round): the gap-free interleaved training
+    * order; `round` is the document's rank within its own source.
+    */
+  def order(docs: DataFrame): DataFrame = {
+    val hashed = hashedOf(docs)
+    orderFromCounts(hashed,
+      hashed.groupBy(col("source")).agg(count(lit(1)).as("n_s")))
   }
 
   /** Driver query: the interleaved schedule of the documents corpus. */
