@@ -738,6 +738,9 @@ object SparkEntry {
     // the large-query-batch serve path: nq=64, candidates/queries reach the
     // corpus via shuffle-hash equi-joins — no broadcast assumption
     "ann_rerank_batch" -> (ProductQuantization.annRerankBatch _),
+    // the serve-quality dashboard as a certified query: per-family recall
+    // vs the exact baseline, every family's stage the operator verbatim
+    "ann_recall_report" -> (AnnRecallReport.report _),
     // the PQ index materialized: persist once, serve ann_pq and ann_ivf_pq
     "emb_pq_codes" -> (ProductQuantization.pqCodes _),
     // per-subspace quantization error on the encoder's distance stage
@@ -1013,6 +1016,7 @@ object SparkEntry {
     "ann_rerank_batch" -> ProductQuantizationSql.annIvfPqRerankSql(
       nCand = ProductQuantization.BatchCandidates,
       queryMaxId = ProductQuantization.BatchQueries),
+    "ann_recall_report" -> AnnRecallReportSql.reportSql,
     "emb_pq_codes" -> ProductQuantizationSql.pqCodesSql,
     "emb_pq_distortion" -> PqDistortionSql.reportEmbeddingsSql,
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),

@@ -45,6 +45,9 @@ class PlanAuditSpec extends SparkSpec {
     "ann_ivf_pq" -> 2, "ann_ivf_pq_res" -> 2, "ann_ivf_pq_res_trained" -> 2,
     "ann_ivf_pq_rerank" -> 2, "ann_ivf_rerank" -> 2,
     "ann_rerank_batch" -> 2,
+    // ann_recall_report unions the certified stages: brute exact (1) +
+    // ivf (2) + ivf_rerank (2) + pq_rerank (2); the LSH families add none
+    "ann_recall_report" -> 7,
     "ann_ivf_trained" -> 3,
     "emb_kmeans_step" -> 1, "text_tfidf" -> 1, "q_bloom_join" -> 1,
     "dedup_semantic" -> 1, "q_cms_join_size" -> 1, "q_kmv_overlap" -> 2,
