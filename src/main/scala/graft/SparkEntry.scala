@@ -621,6 +621,10 @@ object SparkEntry {
       .orderBy(col("content_hash"))),
     // per-source dup rate + cross-source sharing on the SAME content hash
     "dedup_source_report" -> (DedupSourceReport.reportDocuments _),
+    // stage-attributed cascade report: which screen (exact / normalized /
+    // minhash near-dup) catches each duplicate — the screen-overlap table
+    // behind the run-the-expensive-pass-or-not decision
+    "dedup_attribution" -> (DedupAttribution.attributionDocuments _),
     // canonical-form dedup (case/punct/whitespace variants), probe-augmented
     // so normalized duplicate groups provably exist
     "dedup_normalized" -> ((s, d) => Dedup.normalizedDups(
@@ -981,6 +985,7 @@ object SparkEntry {
     "q_ship_latency" -> ShipLatencySql.histogramTablesSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "dedup_exact" -> DedupSql.exactSql,
+    "dedup_attribution" -> DedupAttributionSql.attributionDocumentsSql,
     "dedup_source_report" -> DedupSourceReportSql.reportDocumentsSql,
     "dedup_normalized" -> DedupSql.normalizedDupsSql,
     "dedup_keep_best" -> DedupSql.keepBestSql,

@@ -755,9 +755,9 @@ object DedupSql {
        |ORDER BY fp""".stripMargin
 
   /** CTE producing (doc_id, sh): distinct shingle sets, mirroring shingleSets. */
-  def shingleCte(n: Int = ShingleN): String =
+  def shingleCte(n: Int = ShingleN, src: String = "documents"): String =
     s"""toks AS (
-       |  SELECT doc_id, ${TS.tokens("text")} AS __t FROM documents
+       |  SELECT doc_id, ${TS.tokens("text")} AS __t FROM $src
        |  WHERE ${TS.nTokens("text")} >= $n),
        |sets AS (
        |  SELECT doc_id, list_distinct(${TS.shingles("text", n)}) AS sh FROM toks)"""
@@ -833,8 +833,8 @@ object DedupSql {
     * oracle.
     */
   private[operators] def lshCandCtes(n: Int = ShingleN,
-      maxBucket: Int = MaxBucket): String =
-    s"""${shingleCte(n)},
+      maxBucket: Int = MaxBucket, src: String = "documents"): String =
+    s"""${shingleCte(n, src)},
        |hashed AS (SELECT doc_id, sh,
        |  list_transform(sh, s -> ${TS.hash32("s")}) AS hs FROM sets),
        |mh AS (SELECT doc_id, sh, $minhashExprs AS mh FROM hashed),
@@ -848,8 +848,8 @@ object DedupSql {
        |  FROM bounded a JOIN bounded b ON a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
 
   def minhashLshSql(threshold: Double = 0.5, n: Int = ShingleN,
-      maxBucket: Int = MaxBucket): String =
-    s"""WITH ${lshCandCtes(n, maxBucket)},
+      maxBucket: Int = MaxBucket, src: String = "documents"): String =
+    s"""WITH ${lshCandCtes(n, maxBucket, src)},
        |sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
        |inv AS (SELECT doc_id, unnest(sh) AS s FROM sets),
        |common AS (
