@@ -222,6 +222,9 @@ object SparkEntry {
     // the 3xMAD fence count can never flip on a ulp
     "q_anomaly_mad" -> (Relational.anomalyMad _),
     "q_cusum_drift" -> (CusumDrift.driftEvents _),
+    // M4 pixel-bucket downsampling (first/last/min/max per bucket) — the
+    // error-free dashboard reduction, one map-side-combined shuffle
+    "q_m4_downsample" -> (M4Downsample.downsampleEvents _),
     // NTILE quartile report: total-order window so bucket boundaries pin
     "q_ntile" -> (Relational.ntileQuartiles _),
     // the remaining §2.5 rank family: percent_rank / cume_dist / running
@@ -874,6 +877,7 @@ object SparkEntry {
     "q_retention_cohort" -> Relational.retentionCohortSql,
     "q_anomaly_mad" -> Relational.anomalyMadSql,
     "q_cusum_drift" -> CusumDriftSql.driftEventsSql,
+    "q_m4_downsample" -> M4DownsampleSql.downsampleEventsSql,
     "q_ntile" -> Relational.ntileQuartilesSql,
     "q_value_ranks" -> Relational.valueRanksSql,
     "q_range_join" -> RangeJoin.inTransitCountsSql,
