@@ -225,6 +225,11 @@ object SparkEntry {
     // M4 pixel-bucket downsampling (first/last/min/max per bucket) — the
     // error-free dashboard reduction, one map-side-combined shuffle
     "q_m4_downsample" -> (M4Downsample.downsampleEvents _),
+    // Poisson-overdispersion screen on the zero-filled hourly grid —
+    // integer dispersion numerator, milli var-to-mean
+    "q_burstiness" -> (Burstiness.reportEvents _),
+    // per-source token-band histogram on the curriculum's band spelling
+    "pipeline_length_histogram" -> (LengthHistogram.histogramDocuments _),
     // NTILE quartile report: total-order window so bucket boundaries pin
     "q_ntile" -> (Relational.ntileQuartiles _),
     // the remaining §2.5 rank family: percent_rank / cume_dist / running
@@ -878,6 +883,8 @@ object SparkEntry {
     "q_anomaly_mad" -> Relational.anomalyMadSql,
     "q_cusum_drift" -> CusumDriftSql.driftEventsSql,
     "q_m4_downsample" -> M4DownsampleSql.downsampleEventsSql,
+    "q_burstiness" -> BurstinessSql.reportEventsSql,
+    "pipeline_length_histogram" -> LengthHistogramSql.histogramDocumentsSql,
     "q_ntile" -> Relational.ntileQuartilesSql,
     "q_value_ranks" -> Relational.valueRanksSql,
     "q_range_join" -> RangeJoin.inTransitCountsSql,

@@ -34,12 +34,18 @@ object Curriculum {
 
   val CurriculumSalt = "curr:"
 
+  /** The ONE band spelling over a `n_tokens` column — shared with
+    * [[LengthHistogram]] so the histogram prices exactly the bands the
+    * schedule consumes.
+    */
+  private[operators] val BandExpr: String =
+    s"least(n_tokens div $BandTokens, ${NumBands - 1L})"
+
   /** (doc_id, band, n_tokens, pos): the curriculum schedule. */
   def schedule(docs: DataFrame): DataFrame = {
     val banded = docs.select(col("doc_id"),
         TF.nTokens(col("text")).cast("long").as("n_tokens"))
-      .withColumn("band", least(expr(s"n_tokens div $BandTokens"),
-        lit(NumBands - 1L)))
+      .withColumn("band", expr(BandExpr))
       .withColumn("__hv", TF.hash60(concat(lit(CurriculumSalt),
         col("doc_id").cast("string"))))
     ContiguousId.assign(banded, "pos",
@@ -57,13 +63,18 @@ object Curriculum {
   */
 object CurriculumSql {
 
+  /** The SQL band spelling over an n-tokens expression — one definition
+    * shared with the length-histogram oracle.
+    */
+  private[operators] def bandSqlOf(n: String): String =
+    s"least($n // ${Curriculum.BandTokens}, ${Curriculum.NumBands - 1L})"
+
   val scheduleDocumentsSql: String = {
     val hv = TS.hash60(s"('${Curriculum.CurriculumSalt}' || CAST(doc_id AS VARCHAR))")
     s"""WITH b AS (
        |  SELECT doc_id,
        |    CAST(${TS.nTokens("text")} AS BIGINT) AS n_tokens,
-       |    least(CAST(${TS.nTokens("text")} AS BIGINT) // ${Curriculum.BandTokens},
-       |          ${Curriculum.NumBands - 1L}) AS band,
+       |    ${bandSqlOf(s"CAST(${TS.nTokens("text")} AS BIGINT)")} AS band,
        |    $hv AS hv
        |  FROM documents)
        |SELECT doc_id, band, n_tokens,
