@@ -522,6 +522,9 @@ object SparkEntry {
     // exploded tokens x broadcast weight-TABLE join, matched hits only to
     // the doc-keyed shuffle, integer cross-multiplied accept decision
     "text_quality_model" -> (QualityModel.scoreDocuments _),
+    // agreement contingency of the heuristic gate vs the model classifier
+    // — the table behind swapping (or staging) the two quality screens
+    "text_quality_calibration" -> (QualityCalibration.contingencyDocuments _),
     // corpus-self unigram surprisal (the LM-perplexity proxy): floored
     // micro ln once per DISTINCT token, integer sums per doc — no float
     // crosses an aggregation
@@ -969,6 +972,7 @@ object SparkEntry {
     "pipeline_corpus_diff_streaming_file" -> CorpusDiffSql.diffDocumentsSql,
     "pipeline_delta_dedup" -> CorpusDiffSql.deltaDedupDocumentsSql,
     "text_quality_model" -> QualityModelSql.scoreDocumentsSql,
+    "text_quality_calibration" -> QualityCalibrationSql.contingencyDocumentsSql,
     "text_surprisal" -> SurprisalSql.scoreDocumentsSql,
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,
