@@ -63,6 +63,7 @@ object SparkEntry {
     "pipeline_budget_sample_streaming_file",
     "pipeline_group_sample_streaming_file",
     "pipeline_interleave_streaming_file",
+    "q_m4_downsample_streaming_file",
     "dedup_exact_streaming_file",
     "dedup_normalized_streaming_file",
     "dedup_winnow_streaming_file",
@@ -228,6 +229,10 @@ object SparkEntry {
     // Poisson-overdispersion screen on the zero-filled hourly grid —
     // integer dispersion numerator, milli var-to-mean
     "q_burstiness" -> (Burstiness.reportEvents _),
+    // M4 maintained incrementally over file micro-batches: per-bucket
+    // extremes are monotone ORDERED TUPLES, folded by min/max on readback
+    "q_m4_downsample_streaming_file" -> ((s, d) =>
+      streaming.StreamingM4.downsampleFromFiles(s, d)),
     // per-source token-band histogram on the curriculum's band spelling
     "pipeline_length_histogram" -> (LengthHistogram.histogramDocuments _),
     // NTILE quartile report: total-order window so bucket boundaries pin
@@ -886,6 +891,7 @@ object SparkEntry {
     "q_anomaly_mad" -> Relational.anomalyMadSql,
     "q_cusum_drift" -> CusumDriftSql.driftEventsSql,
     "q_m4_downsample" -> M4DownsampleSql.downsampleEventsSql,
+    "q_m4_downsample_streaming_file" -> M4DownsampleSql.downsampleEventsSql,
     "q_burstiness" -> BurstinessSql.reportEventsSql,
     "pipeline_length_histogram" -> LengthHistogramSql.histogramDocumentsSql,
     "q_ntile" -> Relational.ntileQuartilesSql,

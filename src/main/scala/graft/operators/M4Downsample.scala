@@ -34,8 +34,14 @@ object M4Downsample {
   /** Pixel width: 6 h of micros — ~120 buckets over the fixture month. */
   val BucketMicros = 21600000000L
 
-  /** (event_type, bucket, n_points, first/last/min/max point pairs). */
-  def downsample(events: DataFrame): DataFrame = {
+  /** The bucketed struct-extreme aggregation (struct columns unflattened)
+    * — shared with [[graft.streaming.StreamingM4]], where it runs
+    * unchanged as an update-mode streaming aggregation: every running
+    * extreme is MONOTONE under its struct order (mins only decrease,
+    * maxes only increase, counts only grow), so the twin's readback fold
+    * is the same min/max over emissions.
+    */
+  private[graft] def aggregated(events: DataFrame): DataFrame = {
     val pts = events.select(col("event_type"),
         unix_micros(col("ts").cast("timestamp")).as("us"),
         col("event_id"),
@@ -47,13 +53,22 @@ object M4Downsample {
         max(struct(col("us"), col("event_id"), col("v_cents"))).as("__l"),
         min(struct(col("v_cents"), col("us"), col("event_id"))).as("__mn"),
         max(struct(col("v_cents"), col("us"), col("event_id"))).as("__mx"))
-      .select(col("event_type"), col("bucket"), col("n_points"),
+  }
+
+  /** The presentation projection over [[aggregated]]'s struct columns —
+    * the twin applies it after its fold, so both forms share one tail.
+    */
+  private[graft] def flatten(agg: DataFrame): DataFrame =
+    agg.select(col("event_type"), col("bucket"), col("n_points"),
         col("__f.us").as("first_us"), col("__f.v_cents").as("first_cents"),
         col("__l.us").as("last_us"), col("__l.v_cents").as("last_cents"),
         col("__mn.us").as("min_us"), col("__mn.v_cents").as("min_cents"),
         col("__mx.us").as("max_us"), col("__mx.v_cents").as("max_cents"))
       .orderBy(col("event_type"), col("bucket"))
-  }
+
+  /** (event_type, bucket, n_points, first/last/min/max point pairs). */
+  def downsample(events: DataFrame): DataFrame =
+    flatten(aggregated(events))
 
   /** Driver query: the M4 reduction of the events stream. */
   def downsampleEvents(spark: SparkSession, dir: String): DataFrame =
