@@ -42,6 +42,7 @@ object SparkEntry {
     "mqtt_windowed_streaming_file",
     "mqtt_state_streaming", "mqtt_state_streaming_file",
     "dedup_clusters",
+    "dedup_minhash_clusters",
     "emb_kmeans_step_streaming_file",
     "q_approx_distinct_streaming_file",
     "q_approx_distinct_streaming_tws",
@@ -632,6 +633,18 @@ object SparkEntry {
       Decontaminate.contaminated(docs, Decontaminate.probeBenchmarks(docs))
         .orderBy(col("doc_id"))
     }),
+    // the benchmark-side view of the same contamination join: which eval
+    // items leaked, into how many training docs, through how many shingles
+    "pipeline_contamination_report" -> ((s, d) => {
+      val docs = sources.Tables.documents(s, d)
+      Decontaminate.benchReport(docs, Decontaminate.probeBenchmarks(docs))
+    }),
+    // pairs -> clusters on the jaccard-VERIFIED minhash pair graph — the
+    // exact keep-list the attribution report's greedy doc_b rule bounds
+    "dedup_minhash_clusters" -> ((s, d) => DedupClusters.components(
+      Dedup.minhashLsh(sources.Tables.documents(s, d))
+        .select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))),
     // --- dedup extensions ---
     "dedup_exact" -> ((s, d) => Dedup.exact(sources.Tables.documents(s, d))
       .orderBy(col("content_hash"))),
@@ -1005,6 +1018,9 @@ object SparkEntry {
     "q_exact_median" -> ExactQuantilesSql.mediansEventsSql,
     "q_ship_latency" -> ShipLatencySql.histogramTablesSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
+    "pipeline_contamination_report" -> DecontaminateSql.benchReportSql(),
+    "dedup_minhash_clusters" -> DedupClustersSql.componentsSql(
+      s"pairs AS (SELECT doc_a, doc_b FROM (${DedupSql.minhashLshSql()}) mp)"),
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_attribution" -> DedupAttributionSql.attributionDocumentsSql,
     "dedup_source_report" -> DedupSourceReportSql.reportDocumentsSql,

@@ -77,6 +77,28 @@ object Decontaminate {
   def probeBenchmarks(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 100 === ProbeResidue)
       .select((-(col("doc_id") + 1)).as("doc_id"), col("text"))
+
+  /** The benchmark-side view of the SAME contamination join: per
+    * benchmark item, how many corpus documents it leaks into and through
+    * how many distinct shingles — the "which eval rows are compromised"
+    * table an eval owner reads (an item leaked into thousands of training
+    * documents is dead regardless of decontamination, because paraphrases
+    * the shingle screen misses are near-certain). Identical join and
+    * guard; only the aggregation key flips to bench_id.
+    */
+  def benchReport(docs: DataFrame, bench: DataFrame,
+      n: Int = Dedup.ShingleN): DataFrame = {
+    val corpusInv = Dedup.hashedShingleSets(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val benchInv = Dedup.hashedShingleSets(bench, n)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("s"))
+    corpusInv.join(broadcast(benchInv), Seq("s"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("bench_id")
+      .agg(countDistinct("doc_id").as("n_corpus_docs"),
+        countDistinct("s").as("n_hit_shingles"))
+      .orderBy(col("bench_id"))
+  }
 }
 
 /** DuckDB oracle for [[Decontaminate]] over the probe benchmark suite.
@@ -106,4 +128,29 @@ object DecontaminateSql {
        |FROM cinv c JOIN binv b ON c.s = b.s AND c.doc_id <> b.bench_id
        |GROUP BY c.doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** Mirror of [[Decontaminate.benchReport]] — the same join CTEs with the
+    * aggregation keyed on bench_id.
+    */
+  def benchReportSql(n: Int = Dedup.ShingleN): String =
+    s"""WITH bench AS (
+       |  SELECT -(doc_id + 1) AS doc_id, text
+       |  FROM documents WHERE doc_id % 100 = ${Decontaminate.ProbeResidue}),
+       |ct AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM documents
+       |       WHERE ${TS.nTokens("text")} >= $n),
+       |cinv AS (
+       |  SELECT doc_id, unnest(list_distinct(${TS.shingles("text", n)})) AS s
+       |  FROM ct),
+       |bt AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM bench
+       |       WHERE ${TS.nTokens("text")} >= $n),
+       |binv AS (
+       |  SELECT doc_id AS bench_id,
+       |         unnest(list_distinct(${TS.shingles("text", n)})) AS s
+       |  FROM bt)
+       |SELECT b.bench_id,
+       |       count(DISTINCT c.doc_id) AS n_corpus_docs,
+       |       count(DISTINCT c.s) AS n_hit_shingles
+       |FROM cinv c JOIN binv b ON c.s = b.s AND c.doc_id <> b.bench_id
+       |GROUP BY b.bench_id
+       |ORDER BY bench_id""".stripMargin
 }
