@@ -65,6 +65,7 @@ object SparkEntry {
     "pipeline_group_sample_streaming_file",
     "pipeline_interleave_streaming_file",
     "q_m4_downsample_streaming_file",
+    "pipeline_oversample_streaming_file",
     "dedup_exact_streaming_file",
     "dedup_normalized_streaming_file",
     "dedup_winnow_streaming_file",
@@ -236,6 +237,13 @@ object SparkEntry {
       streaming.StreamingM4.downsampleFromFiles(s, d)),
     // per-source token-band histogram on the curriculum's band spelling
     "pipeline_length_histogram" -> (LengthHistogram.histogramDocuments _),
+    // deterministic upweighting manifest: fractional replication toward
+    // the largest source, epoch-capped at 4x, content-addressed coin
+    "pipeline_oversample" -> (Oversample.manifestDocuments _),
+    // the oversample with its per-source token mass built INCREMENTALLY
+    // from file micro-batches (monotone max-fold; one counter per source)
+    "pipeline_oversample_streaming_file" -> ((s, d) =>
+      streaming.StreamingOversample.manifestFromFiles(s, d)),
     // NTILE quartile report: total-order window so bucket boundaries pin
     "q_ntile" -> (Relational.ntileQuartiles _),
     // the remaining §2.5 rank family: percent_rank / cume_dist / running
@@ -907,6 +915,8 @@ object SparkEntry {
     "q_m4_downsample_streaming_file" -> M4DownsampleSql.downsampleEventsSql,
     "q_burstiness" -> BurstinessSql.reportEventsSql,
     "pipeline_length_histogram" -> LengthHistogramSql.histogramDocumentsSql,
+    "pipeline_oversample" -> OversampleSql.manifestDocumentsSql,
+    "pipeline_oversample_streaming_file" -> OversampleSql.manifestDocumentsSql,
     "q_ntile" -> Relational.ntileQuartilesSql,
     "q_value_ranks" -> Relational.valueRanksSql,
     "q_range_join" -> RangeJoin.inTransitCountsSql,
