@@ -81,7 +81,7 @@ object StreamStreamJoin {
   /** Fingerprint of the events parquet under `dir` (path, size, mtime per
     * leaf file) — metadata-only, one driver-side listing. Listed through
     * the session's configured Hadoop filesystem (recursive), so non-local
-    * URIs (hdfs://, s3a://) and nested part-subdirectory layouts are
+    * URIs (HDFS, object stores) and nested part-subdirectory layouts are
     * observed — a java.io.File listing sees nothing for those and the
     * fingerprint would degenerate to a constant, silently re-enabling the
     * stale-replay hazard this key exists to prevent. The digest is the

