@@ -539,6 +539,9 @@ object SparkEntry {
     // agreement contingency of the heuristic gate vs the model classifier
     // — the table behind swapping (or staging) the two quality screens
     "text_quality_calibration" -> (QualityCalibration.contingencyDocuments _),
+    // int8 reconstruction-error report (the PqDistortion discipline on the
+    // int8 family): outlier-crushed vectors surface as heavy error tails
+    "emb_quantize_error" -> (QuantizeError.reportEmbeddings _),
     // corpus-self unigram surprisal (the LM-perplexity proxy): floored
     // micro ln once per DISTINCT token, integer sums per doc — no float
     // crosses an aggregation
@@ -1002,6 +1005,7 @@ object SparkEntry {
     "pipeline_delta_dedup" -> CorpusDiffSql.deltaDedupDocumentsSql,
     "text_quality_model" -> QualityModelSql.scoreDocumentsSql,
     "text_quality_calibration" -> QualityCalibrationSql.contingencyDocumentsSql,
+    "emb_quantize_error" -> QuantizeErrorSql.reportEmbeddingsSql,
     "text_surprisal" -> SurprisalSql.scoreDocumentsSql,
     "q_approx_distinct" -> SketchesSql.approxDistinctUsersSql,
     "q_approx_quantiles" -> SketchesSql.approxQuantilesByTypeSql,

@@ -167,4 +167,8 @@ class LayoutInvarianceSpec extends SparkSpec {
   test("pipeline_interleave schedules identically on any input layout") {
     assertInvariant("pipeline_interleave")(Interleave.order)
   }
+
+  test("pipeline_oversample replicates identically on any input layout") {
+    assertInvariant("pipeline_oversample")(Oversample.manifest)
+  }
 }
