@@ -66,6 +66,7 @@ object SparkEntry {
     "pipeline_interleave_streaming_file",
     "q_m4_downsample_streaming_file",
     "pipeline_oversample_streaming_file",
+    "pipeline_length_histogram_streaming_file",
     "dedup_exact_streaming_file",
     "dedup_normalized_streaming_file",
     "dedup_winnow_streaming_file",
@@ -237,6 +238,10 @@ object SparkEntry {
       streaming.StreamingM4.downsampleFromFiles(s, d)),
     // per-source token-band histogram on the curriculum's band spelling
     "pipeline_length_histogram" -> (LengthHistogram.histogramDocuments _),
+    // the histogram built INCREMENTALLY from file micro-batches (monotone
+    // per-(source, band) counters, max-fold; share tail shared verbatim)
+    "pipeline_length_histogram_streaming_file" -> ((s, d) =>
+      streaming.StreamingLengthHistogram.histogramFromFiles(s, d)),
     // deterministic upweighting manifest: fractional replication toward
     // the largest source, epoch-capped at 4x, content-addressed coin
     "pipeline_oversample" -> (Oversample.manifestDocuments _),
@@ -918,6 +923,8 @@ object SparkEntry {
     "q_m4_downsample_streaming_file" -> M4DownsampleSql.downsampleEventsSql,
     "q_burstiness" -> BurstinessSql.reportEventsSql,
     "pipeline_length_histogram" -> LengthHistogramSql.histogramDocumentsSql,
+    "pipeline_length_histogram_streaming_file" ->
+      LengthHistogramSql.histogramDocumentsSql,
     "pipeline_oversample" -> OversampleSql.manifestDocumentsSql,
     "pipeline_oversample_streaming_file" -> OversampleSql.manifestDocumentsSql,
     "q_ntile" -> Relational.ntileQuartilesSql,

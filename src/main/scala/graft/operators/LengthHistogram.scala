@@ -23,18 +23,32 @@ import graft.sources.Tables
   */
 object LengthHistogram {
 
-  /** (source, band, n_docs, n_tokens, doc_ppm), ordered. */
-  def histogram(docs: DataFrame): DataFrame =
+  /** The per-(source, band) counting aggregation — shared verbatim with
+    * [[graft.streaming.StreamingLengthHistogram]], where it runs as an
+    * update-mode streaming aggregation (both counters are monotone
+    * nondecreasing, so emissions fold by max).
+    */
+  private[graft] def bandCounts(docs: DataFrame): DataFrame =
     docs.select(col("source"),
         TF.nTokens(col("text")).cast("long").as("n_tokens"))
       .withColumn("band", expr(Curriculum.BandExpr))
       .groupBy(col("source"), col("band"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** The within-source share tail over the band table — shared with the
+    * streaming twin's readback.
+    */
+  private[graft] def withShares(counts: DataFrame): DataFrame =
+    counts
       .withColumn("__tot",
         sum(col("n_docs")).over(Window.partitionBy(col("source"))))
       .select(col("source"), col("band"), col("n_docs"), col("n_tokens"),
         expr("(n_docs * 1000000) div __tot").as("doc_ppm"))
       .orderBy(col("source"), col("band"))
+
+  /** (source, band, n_docs, n_tokens, doc_ppm), ordered. */
+  def histogram(docs: DataFrame): DataFrame =
+    withShares(bandCounts(docs))
 
   /** Driver query: the band histogram of the documents corpus. */
   def histogramDocuments(spark: SparkSession, dir: String): DataFrame =
