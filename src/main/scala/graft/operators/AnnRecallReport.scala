@@ -29,24 +29,59 @@ import graft.sources.Tables
   */
 object AnnRecallReport {
 
-  /** (family, hits, n_exact, recall_ppm), ordered by family. */
+  /** (family, hits, n_exact, recall_ppm), ordered by family.
+    *
+    * Trunk sharing (the r17 caching lever applied to the round's own
+    * heaviest instrument): the LSH (vec_id, bk) bucket table and the IVF
+    * corpus->cell assignment are each built ONCE and cached; the
+    * exact-bucket/multi-probe LSH pair and the probe-4/
+    * probe-6 IVF pair run over the shared trunk via the `*From` seams —
+    * the stage SPELLINGS are still the certified operators' verbatim
+    * (the seams are the operators' own bodies parameterized on their
+    * trunk), so the dashboard remains the sum of its certified parts.
+    *
+    * Zero-hit visibility: a family with NO exact hits — the worst
+    * possible serving outcome — must render as recall_ppm = 0, not
+    * vanish (a semi-join + groupBy drops it). Hits are left-joined back
+    * onto the static family list and coalesced to 0 in BOTH engines.
+    */
   def report(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val exact = Caching.cached(Similarity.bruteForceTopK(emb)
+    // withNorm itself stays UNCACHED: it is a narrow stats-bearing parquet
+    // projection, and replacing it with a stats-free RDD-cache leaf flips
+    // the corpus-side equi-joins from broadcast to sort-merge in the
+    // static plan (measured 21 -> 28 exchanges). The cached trunks are the
+    // DERIVED frames whose recomputation is the real duplicate work: the
+    // LSH bucket table and the IVF corpus->cell assignment.
+    val withNorm = Similarity.withNormOf(emb)
+    val buckets = Caching.cached(Similarity.lshBuckets(emb))
+    // 16 = ivfTopK's default codebook size (mirrored by ivfTopKSql)
+    val centroids = Similarity.centroidsOf(withNorm, 16)
+    val assigned = Caching.cached(Similarity.nearestCentroids(
+      withNorm, centroids, "vec_id", "embedding", "nrm", 1))
+    val exact = Caching.cached(Similarity.bruteForceTopKFrom(withNorm)
       .select(col("query_id"), col("vec_id")))
     val families: Seq[(String, DataFrame)] = Seq(
-      "ivf" -> Similarity.ivfTopK(emb),
-      "ivf_rerank" -> Similarity.ivfRerankTopK(emb),
-      "lsh" -> Similarity.lshTopK(emb),
-      "lsh_rerank" -> Similarity.lshRerankTopK(emb),
+      "ivf" -> Similarity.ivfTopKFrom(withNorm, centroids, assigned,
+        nProbe = 4, queryMaxId = 8, k = 5),
+      "ivf_rerank" -> Similarity.ivfTopKFrom(withNorm, centroids, assigned,
+        nProbe = Similarity.IvfRerankProbe, queryMaxId = 8, k = 5),
+      "lsh" -> Similarity.lshTopKFrom(withNorm, buckets, probeRadius = 0),
+      "lsh_rerank" -> Similarity.lshTopKFrom(withNorm, buckets,
+        probeRadius = Similarity.LshProbeRadius),
       "pq_rerank" -> ProductQuantization.ivfPqResRerankTopK(emb))
     val pairs = families.map { case (f, df) =>
       df.select(lit(f).as("family"), col("query_id"), col("vec_id"))
     }.reduce(_.unionAll(_))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    pairs
+    val familyList = families.map(_._1).toDF("family")
+    val hits = pairs
       .join(broadcast(exact), Seq("query_id", "vec_id"), "left_semi")
-      .groupBy(col("family")).agg(count(lit(1)).as("hits"))
+      .groupBy(col("family")).agg(count(lit(1)).as("__hits"))
+    familyList
+      .join(broadcast(hits), Seq("family"), "left")
+      .select(col("family"), coalesce(col("__hits"), lit(0L)).as("hits"))
       .crossJoin(broadcast(nExact))
       .select(col("family"), col("hits"), col("n_exact"),
         expr("(hits * 1000000) div n_exact").as("recall_ppm"))
@@ -70,11 +105,14 @@ object AnnRecallReportSql {
     val union = families.map { case (f, sql) =>
       s"SELECT '$f' AS family, query_id, vec_id FROM ($sql) t_$f"
     }.mkString("\nUNION ALL\n")
+    val familyValues =
+      families.map { case (f, _) => s"('$f')" }.mkString(", ")
     s"""WITH exact AS (
        |  SELECT query_id, vec_id
        |  FROM (${SimilaritySql.bruteForceTopKSql()}) t_exact),
        |fam AS (
        |$union),
+       |families(family) AS (VALUES $familyValues),
        |hits AS (
        |  SELECT family, count(*) AS hits
        |  FROM fam
@@ -83,9 +121,10 @@ object AnnRecallReportSql {
        |                  AND e.vec_id = fam.vec_id)
        |  GROUP BY family),
        |n AS (SELECT count(*) AS n_exact FROM exact)
-       |SELECT family, hits, n_exact,
-       |  (hits * 1000000) // n_exact AS recall_ppm
-       |FROM hits CROSS JOIN n
-       |ORDER BY family""".stripMargin
+       |SELECT fl.family, coalesce(h.hits, 0) AS hits, n_exact,
+       |  (coalesce(h.hits, 0) * 1000000) // n_exact AS recall_ppm
+       |FROM families fl LEFT JOIN hits h ON fl.family = h.family
+       |CROSS JOIN n
+       |ORDER BY fl.family""".stripMargin
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -14,9 +15,11 @@ import graft.sources.Tables
   * choosing which screens to run at 100 TB — a near-dup pass is ~100×
   * the cost of the hash passes, and this report shows exactly how much
   * of its catch the cheaper screens already cover (the probes make each
-  * regime non-vacuous: exact copies are caught by ALL three, shouted
-  * twins only by normalized + near-dup, token-edited pairs only by
-  * near-dup).
+  * regime non-vacuous: exact copies are caught by ALL three screens;
+  * shouted twins ONLY by the normalized screen — shingles are
+  * case-sensitive, so an uppercased twin shares zero shingles with its
+  * original and the near-dup screen cannot see it; token-edited pairs
+  * ONLY by the near-dup screen).
   *
   * Each stage is the certified operator's spelling VERBATIM:
   * [[Dedup.contentHash]] (`dedup_exact`), the normalized hash grouping
@@ -35,20 +38,27 @@ import graft.sources.Tables
   * flag joins read it).
   *
   * Probe fixture: [[Dedup.normProbeAugmented]]'s shouted twins
-  * (+1,000,000; doc_id % 250 == 7) plus byte-exact copies at
-  * +[[ExactProbeOffset]] (doc_id % 250 == 3) — offsets follow the
-  * per-family probe-id convention (1e6 normalized, 2e6 fuzzy, 3e6
-  * containment, 4e6 exact).
+  * (+1,000,000; doc_id % 250 == 7), token-edited twins at
+  * +[[TokenEditProbeOffset]] (doc_id % 250 == 13, a 'zz ' token
+  * prepended — [[Dedup.fuzzyProbeAugmented]]'s +2e6 family's spelling),
+  * and byte-exact copies at +[[ExactProbeOffset]] (doc_id % 250 == 3) —
+  * offsets follow the per-family probe-id convention (1e6 normalized,
+  * 2e6 fuzzy/token-edit, 3e6 containment, 4e6 exact).
   */
 object DedupAttribution {
 
   val ExactProbeOffset = 4000000L
+  val TokenEditProbeOffset = 2000000L
 
-  /** [[Dedup.normProbeAugmented]] plus byte-exact copies — every cascade
-    * stage provably catches something at every test scale.
+  /** [[Dedup.normProbeAugmented]] plus token-edited twins plus byte-exact
+    * copies — every cascade stage (and every first_stage regime) provably
+    * catches something at every test scale.
     */
   def probeAugmented(docs: DataFrame): DataFrame =
     Dedup.normProbeAugmented(docs)
+      .unionAll(docs.filter(col("doc_id") % 250 === 13)
+        .select((col("doc_id") + TokenEditProbeOffset).as("doc_id"),
+          concat(lit("zz "), col("text")).as("text")))
       .unionAll(docs.filter(col("doc_id") % 250 === 3)
         .select((col("doc_id") + ExactProbeOffset).as("doc_id"), col("text")))
 
@@ -58,20 +68,31 @@ object DedupAttribution {
   def attribution(docs0: DataFrame): DataFrame = {
     val docs = Caching.cached(probeAugmented(docs0)
       .select(col("doc_id"), col("text")))
-    def dupFlag(keyed: DataFrame, flag: String): DataFrame = {
-      val keep = keyed.groupBy(col("__k")).agg(min(col("doc_id")).as("__keep"))
-      keyed.join(keep, Seq("__k"))
-        .select(col("doc_id"),
-          when(col("doc_id") =!= col("__keep"), 1L).otherwise(0L).as(flag))
-    }
-    val ex = dupFlag(docs.select(col("doc_id"),
-      Dedup.contentHash(col("text")).as("__k")), "exact_dup")
-    val nm = dupFlag(TextAnalysis.normalize(docs)
-      .select(col("doc_id"), col("norm_hash").as("__k")), "norm_dup")
+    // the ONE (doc_id, content_hash, norm_hash) projection both hash
+    // stages read — one pass over the corpus, cached, so the md5s and the
+    // normalize chain run once per doc instead of once per dupFlag
+    // consumer (each stage reads its keys twice: the keep-min aggregation
+    // and the join back)
+    val keys = Caching.cached(docs.select(col("doc_id"),
+      Dedup.contentHash(col("text")).as("__ck"),
+      TextAnalysis.normHashCol.as("__nk")))
+    // Both keep-min flags in ONE pass over the cached keys: each stage is
+    // a keep-min WINDOW over its hash (the oracle's spelling — one
+    // key-partitioned exchange per stage), and the two flags ride the
+    // same rows, so the old per-stage frames' doc_id join-back disappears
+    // with them (plan index: 14 -> 11 exchanges, 7 -> 4 SMJ vs the
+    // groupBy + join-back form). Dup groups are small, so the per-key
+    // windows carry no skew a 100 TB run would feel.
+    def dupFlag(key: Column, flag: String): Column =
+      when(col("doc_id") =!= min(col("doc_id"))
+        .over(Window.partitionBy(key)), 1L).otherwise(0L).as(flag)
+    val exNm = keys.select(col("doc_id"),
+      dupFlag(col("__ck"), "exact_dup"),
+      dupFlag(col("__nk"), "norm_dup"))
     val nearIds = Dedup.minhashLsh(docs)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("near_dup", lit(1L))
-    ex.join(nm, Seq("doc_id"))
+    exNm
       .join(nearIds, Seq("doc_id"), "left")
       .select(col("doc_id"), col("exact_dup"), col("norm_dup"),
         coalesce(col("near_dup"), lit(0L)).as("near_dup"))
@@ -105,6 +126,9 @@ object DedupAttributionSql {
        |    translate(text, 'abcdefghijklmnopqrstuvwxyz',
        |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' !!!'
        |  FROM documents WHERE doc_id % 250 = 7
+       |  UNION ALL
+       |  SELECT doc_id + ${DedupAttribution.TokenEditProbeOffset}, 'zz ' || text
+       |  FROM documents WHERE doc_id % 250 = 13
        |  UNION ALL
        |  SELECT doc_id + ${DedupAttribution.ExactProbeOffset}, text
        |  FROM documents WHERE doc_id % 250 = 3),

@@ -50,12 +50,19 @@ object Oversample {
     */
   private[graft] def manifestFromSourceTokens(toks: DataFrame,
       srcTokens: DataFrame): DataFrame = {
+    // `greatest(src_tokens, 1)` guards the zero-mass edge: under the shared
+    // split convention nTokens('') = 1 so no source can reach mass 0 from
+    // `toks`, but an externally-supplied srcTokens table could — and the
+    // engines would then DIVERGE silently (Spark non-ANSI div yields null
+    // and drops the source; DuckDB // raises). The guard (mirrored in the
+    // oracle) makes both engines price a zero-mass source at the cap
+    // instead: the defined, loud-in-the-manifest choice.
     val factors = srcTokens
       .withColumn("max_tokens", max(col("src_tokens"))
         .over(Window.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
       .select(col("source"),
-        expr(s"least(${CapMilli}L, (max_tokens * 1000) div src_tokens)")
+        expr(s"least(${CapMilli}L, (max_tokens * 1000) div greatest(src_tokens, 1L))")
           .as("f_milli"))
     val fracCoin = TF.hash60(concat(lit(Salt), col("doc_id").cast("string"))) % 1000L
     toks.join(broadcast(factors), Seq("source"))
@@ -95,7 +102,7 @@ object OversampleSql {
        |  SELECT source,
        |    least(${Oversample.CapMilli},
        |      (max(CAST(sum(n_tokens) AS BIGINT)) OVER () * 1000) //
-       |        CAST(sum(n_tokens) AS BIGINT)) AS f_milli
+       |        greatest(CAST(sum(n_tokens) AS BIGINT), 1)) AS f_milli
        |  FROM toks GROUP BY source),
        |c AS (
        |  SELECT t.doc_id, t.source,

@@ -90,10 +90,16 @@ object Similarity {
     * or switch to an indexed family below — there is no shuffle spelling
     * that saves an exact all-pairs scan.
     */
-  def bruteForceTopK(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5): DataFrame = {
+  def bruteForceTopK(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5): DataFrame =
     // norms once per vector below the join (not per pair) — same doubles
-    val withNorm = emb.select(col("vec_id"), col("embedding"),
-      VF.norm(col("embedding")).as("nrm"))
+    bruteForceTopKFrom(emb.select(col("vec_id"), col("embedding"),
+      VF.norm(col("embedding")).as("nrm")), queryMaxId, k)
+
+  /** [[bruteForceTopK]] from a pre-built normed corpus — the trunk seam
+    * for instruments that cache [[withNormOf]] across families.
+    */
+  private[operators] def bruteForceTopKFrom(withNorm: DataFrame,
+      queryMaxId: Long = 8, k: Int = 5): DataFrame = {
     val queries = withNorm.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
     val scored = withNorm.as("c")
@@ -157,9 +163,16 @@ object Similarity {
     * (public: VLDB'07) — a near neighbor that misses the query's exact
     * bucket almost always lands in a bucket differing in few plane signs,
     * so probing the Hamming ball recovers recall WITHOUT more tables
-    * (query-side-only cost; the corpus index is unchanged).
+    * (query-side-only cost; the corpus index is unchanged). Mask
+    * generation stops at Hamming weight 2 (the pinned serve radius), so a
+    * wider `radius` is REJECTED rather than silently truncated — a caller
+    * widening the probe ball must not read unchanged recall with no
+    * signal why.
     */
   private[operators] def probeMasks(planes: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= 2,
+      s"probe radius $radius unsupported: masks are generated only for " +
+        "Hamming radius 0..2 (extend probeMasks before widening the ball)")
     val singles = (0 until planes).map(p => 1L << p)
     Seq(0L) ++
       (if (radius >= 1) singles else Nil) ++
@@ -180,10 +193,20 @@ object Similarity {
     * (AnnBatchRerankSpec pins plan and result equality).
     */
   private def lshScored(emb: DataFrame, queryMaxId: Long,
-      tables: Int, planes: Int, probeRadius: Int = 0): DataFrame = {
-    val withNorm = emb.select(col("vec_id"), col("embedding"),
-      VF.norm(col("embedding")).as("nrm"))
-    val bucketed = lshBuckets(emb, tables, planes)
+      tables: Int, planes: Int, probeRadius: Int = 0): DataFrame =
+    lshScoredFrom(emb.select(col("vec_id"), col("embedding"),
+        VF.norm(col("embedding")).as("nrm")),
+      lshBuckets(emb, tables, planes), queryMaxId, planes, probeRadius)
+
+  /** [[lshScored]] from pre-built trunk frames — the seam that lets a
+    * multi-family instrument ([[AnnRecallReport]]) CACHE the (vec_id, bk)
+    * bucket table and the normed corpus once and run the exact-bucket and
+    * multi-probe forms over the same trunk instead of rebuilding both per
+    * family. `bucketed` must be [[lshBuckets]] of the same corpus as
+    * `withNorm` at the same (tables, planes).
+    */
+  private def lshScoredFrom(withNorm: DataFrame, bucketed: DataFrame,
+      queryMaxId: Long, planes: Int, probeRadius: Int): DataFrame = {
     // multi-probe expansion is QUERY-side only: nq x tables rows fan out to
     // nq x tables x |masks| (still KBs — the broadcast side), the corpus
     // bucket table is untouched, and the join stays the same bucket
@@ -218,6 +241,14 @@ object Similarity {
   def lshTopK(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5,
       tables: Int = TopKTables, planes: Int = TopKPlanes): DataFrame =
     rankTopK(lshScored(emb, queryMaxId, tables, planes), k)
+
+  /** [[lshTopK]] / [[lshRerankTopK]] over a shared pre-built trunk (see
+    * [[lshScoredFrom]]); `probeRadius` 0 is the exact-bucket form.
+    */
+  private[operators] def lshTopKFrom(withNorm: DataFrame, bucketed: DataFrame,
+      probeRadius: Int, queryMaxId: Long = 8, k: Int = 5,
+      planes: Int = TopKPlanes): DataFrame =
+    rankTopK(lshScoredFrom(withNorm, bucketed, queryMaxId, planes, probeRadius), k)
 
   /** Hamming probe radius for the serve-quality LSH form — pinned by the
     * sf0.1 measurement in AnnRecallSf01Spec (see [[lshRerankTopK]]).
@@ -345,14 +376,25 @@ object Similarity {
     val centroids =
       if (trained) trainedCentroidsOf(emb, nCentroids)
       else centroidsOf(withNorm, nCentroids)
-    def nearest(side: DataFrame, idCol: String, vecCol: String,
-        nrmCol: String, keep: Int): DataFrame =
-      nearestCentroids(side, centroids, idCol, vecCol, nrmCol, keep)
-    val assigned = nearest(withNorm, "vec_id", "embedding", "nrm", 1)
+    val assigned =
+      nearestCentroids(withNorm, centroids, "vec_id", "embedding", "nrm", 1)
+    ivfTopKFrom(withNorm, centroids, assigned, nProbe, queryMaxId, k)
+  }
+
+  /** [[ivfTopK]] from pre-built trunk frames — the seam that lets a
+    * multi-family instrument ([[AnnRecallReport]]) CACHE the corpus->cell
+    * assignment (and the normed corpus) once and run the probe-4 and
+    * probe-[[IvfRerankProbe]] forms over the same trunk. `assigned` must
+    * be [[nearestCentroids]] of `withNorm` against `centroids` at keep=1.
+    */
+  private[operators] def ivfTopKFrom(withNorm: DataFrame,
+      centroids: DataFrame, assigned: DataFrame, nProbe: Int,
+      queryMaxId: Long, k: Int): DataFrame = {
     val queries = withNorm.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
-    val probes = nearest(
-      queries.select(col("query_id"), col("qv"), col("qn")), "query_id", "qv", "qn", nProbe)
+    val probes = nearestCentroids(
+      queries.select(col("query_id"), col("qv"), col("qn")),
+      centroids, "query_id", "qv", "qn", nProbe)
     val cands = probes.join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))

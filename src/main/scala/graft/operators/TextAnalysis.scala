@@ -368,10 +368,22 @@ object TextAnalysis {
     * UTF-16-code-unit vs codepoint length cannot diverge). Narrow,
     * shuffle-free, codegen'd — pipelines with the scan at any scale.
     */
-  def normalize(docs: DataFrame): DataFrame = {
+  /** The canonical collapsed form of `text` — ONE spelling shared by
+    * [[normalize]] and [[normHashCol]].
+    */
+  private def collapsedCol: Column = {
     val lowered = translate(col("text"), AsciiLower.toUpperCase, AsciiLower)
-    val collapsed =
-      trim(regexp_replace(regexp_replace(lowered, "[^a-z0-9 ]", " "), " +", " "))
+    trim(regexp_replace(regexp_replace(lowered, "[^a-z0-9 ]", " "), " +", " "))
+  }
+
+  /** Column form of [[normalize]]'s norm_hash — for callers (the dedup
+    * cascade attribution) that fold it into a wider single-pass
+    * projection instead of a standalone frame.
+    */
+  private[graft] def normHashCol: Column = md5(collapsedCol.cast("binary"))
+
+  def normalize(docs: DataFrame): DataFrame = {
+    val collapsed = collapsedCol
     docs.select(col("doc_id"),
       md5(collapsed.cast("binary")).as("norm_hash"),
       length(collapsed).as("n_chars_norm"),
