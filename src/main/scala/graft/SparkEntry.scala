@@ -44,6 +44,7 @@ object SparkEntry {
     "dedup_clusters",
     "dedup_minhash_clusters",
     "emb_kmeans_step_streaming_file",
+    "emb_pq_codes_streaming_file",
     "q_approx_distinct_streaming_file",
     "q_approx_distinct_streaming_tws",
     "q_kmv_distinct_streaming_file",
@@ -792,6 +793,8 @@ object SparkEntry {
     "ann_recall_report" -> (AnnRecallReport.report _),
     // the PQ index materialized: persist once, serve ann_pq and ann_ivf_pq
     "emb_pq_codes" -> (ProductQuantization.pqCodes _),
+    "emb_pq_codes_streaming_file" -> ((s, d) =>
+      streaming.StreamingPqCodes.codesFromFiles(s, d)),
     // per-subspace quantization error on the encoder's distance stage
     "emb_pq_distortion" -> (PqDistortion.reportEmbeddings _),
     // one k-means refinement step (broadcast-argmax assign + exact scaled-
@@ -1081,6 +1084,7 @@ object SparkEntry {
       queryMaxId = ProductQuantization.BatchQueries),
     "ann_recall_report" -> AnnRecallReportSql.reportSql,
     "emb_pq_codes" -> ProductQuantizationSql.pqCodesSql,
+    "emb_pq_codes_streaming_file" -> ProductQuantizationSql.pqCodesSql,
     "emb_pq_distortion" -> PqDistortionSql.reportEmbeddingsSql,
     "emb_kmeans_step" -> SimilaritySql.kmeansStepSql(),
     "emb_kmeans_step_streaming_file" -> SimilaritySql.kmeansStepSql(),

@@ -94,6 +94,33 @@ class AnnRecallSf01Spec extends SparkSpec {
     assert(r5rr >= r5resTr, "the refine stage made recall WORSE than raw ADC")
   }
 
+  test("the batch shuffle-hash re-rank keeps its own serve floor at sf0.1",
+      SlowTest) {
+    // AnnBatchRerankSpec pins the batch form's PLAN (SHJ >= 2) and its
+    // result-identity to the broadcast spelling at the shared nq; this pin
+    // gives the nq=64 batch form a recall floor OF ITS OWN, measured
+    // against the exact squared-distance top-5 over its full query load —
+    // the floor no longer rides transitively on the nq=8 sibling's.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.sources.Tables.embeddings(spark, sf01)
+    val nq = ProductQuantization.BatchQueries
+    val queries = emb.filter($"vec_id" < nq)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"d", $"vec_id")
+    val exact5 = pairs(emb.as("c")
+      .join(broadcast(queries), $"query_id" =!= $"c.vec_id")
+      .select($"query_id", $"c.vec_id".as("vec_id"),
+        graft.functions.VectorFunctions.sqDist($"qv", $"c.embedding").as("d"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 5))
+    assert(exact5.size === nq * 5)
+    val got = pairs(ProductQuantization.ivfPqResRerankBatchTopK(emb))
+    val recall = (got & exact5).size.toDouble / exact5.size
+    info(f"sf0.1: batch rerank recall@5 = $recall%.3f (nq = $nq)")
+    assert(recall >= 0.9,
+      f"batch re-rank recall@5 below the serve floor at sf0.1: $recall%.3f")
+  }
+
   test("range search keeps no-false-positives and its recall floor at sf0.1",
       SlowTest) {
     val emb = Dedup.probeAugmented(graft.sources.Tables.embeddings(spark, sf01))
