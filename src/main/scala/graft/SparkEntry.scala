@@ -45,6 +45,8 @@ object SparkEntry {
     "dedup_minhash_clusters",
     "emb_kmeans_step_streaming_file",
     "emb_pq_codes_streaming_file",
+    "emb_ivf_assign_streaming_file",
+    "ann_lsh_buckets_streaming_file",
     "q_approx_distinct_streaming_file",
     "q_approx_distinct_streaming_tws",
     "q_kmv_distinct_streaming_file",
@@ -192,6 +194,7 @@ object SparkEntry {
     // token-budget shard manifest: PrefixSum distributed scan (one Long
     // per partition to the driver) + one aggregation to the shard domain
     "pipeline_shard_manifest" -> (ShardManifest.manifestDocuments _),
+    "pipeline_resume_manifest" -> (ShardManifest.resumeManifestDocuments _),
     // full Jaccard curve over the shared df-capped scored-pair stage
     "dedup_jaccard_histogram" -> (JaccardHistogram.histogramDocuments _),
     // L2-norm bands: the pre-cosine normalization sanity check
@@ -479,6 +482,7 @@ object SparkEntry {
       sources.Tables.documents(s, d)).orderBy(col("doc_id"))),
     // corpus vocabulary head: top-k tokens by term frequency (+doc freq)
     "text_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(sources.Tables.documents(s, d))),
+    "text_vocab_growth" -> (VocabGrowth.growthDocuments _),
     "text_zipf" -> (Zipf.decadesDocuments _),
     // canonical normalization (ASCII case-fold, scrub, collapse): the
     // dedup/matching preprocessor, narrow and codegen'd
@@ -830,6 +834,17 @@ object SparkEntry {
     "emb_silhouette" -> (Silhouette.cohesionEmbeddings _),
     // trained-IVF cell sizes on the certified assignment stage verbatim
     "emb_ivf_balance" -> (IvfBalance.reportEmbeddings _),
+    "emb_ivf_assign" -> ((s, d) =>
+      Similarity.ivfAssign(sources.Tables.embeddings(s, d))),
+    "emb_ivf_assign_streaming_file" -> ((s, d) =>
+      streaming.StreamingIvfAssign.assignFromFiles(s, d)),
+    "ann_lsh_buckets" -> ((s, d) =>
+      Similarity.lshBucketIndex(sources.Tables.embeddings(s, d))),
+    "ann_lsh_buckets_streaming_file" -> ((s, d) =>
+      streaming.StreamingLshBuckets.bucketsFromFiles(s, d)),
+    "emb_pq_codes_delta" -> (ProductQuantization.pqCodesDelta _),
+    "mm_dedup_exact" -> ((s, d) =>
+      Multimodal.mediaDedupExact(sources.Tables.documents(s, d))),
     // per-table LSH bucket occupancy on the search's own bucket stage
     "ann_lsh_balance" -> (LshBalance.reportEmbeddings _),
     // --- multimodal extensions ---
@@ -903,6 +918,7 @@ object SparkEntry {
     "q_monthly_events" -> Relational.monthlyEventsSql,
     "q_hour_heatmap" -> Relational.hourHeatmapSql,
     "pipeline_shard_manifest" -> ShardManifestSql.manifestDocumentsSql,
+    "pipeline_resume_manifest" -> ShardManifestSql.resumeManifestDocumentsSql,
     "dedup_jaccard_histogram" -> JaccardHistogramSql.histogramDocumentsSql(),
     "emb_norm_histogram" -> NormHistogramSql.histogramEmbeddingsSql,
     "q_gap_fill_hourly" -> Resample.hourlyEventsSql,
@@ -998,6 +1014,7 @@ object SparkEntry {
     "text_sample_stratified" -> TextAnalysisSql.sampleStratifiedSql,
     "text_pack_sequences" -> TextAnalysisSql.packSequencesSql,
     "text_vocab_topk" -> TextAnalysisSql.vocabTopKSql,
+    "text_vocab_growth" -> VocabGrowthSql.growthDocumentsSql,
     "text_zipf" -> ZipfSql.decadesDocumentsSql,
     "text_normalize" -> TextAnalysisSql.normalizeSql,
     "text_bigram_novelty" -> TextAnalysisSql.bigramNoveltySql(),
@@ -1095,6 +1112,12 @@ object SparkEntry {
     "emb_outliers" -> SimilaritySql.labelOutliersSql(),
     "emb_silhouette" -> SilhouetteSql.cohesionEmbeddingsSql,
     "emb_ivf_balance" -> IvfBalanceSql.reportEmbeddingsSql,
+    "emb_ivf_assign" -> SimilaritySql.ivfAssignSql(),
+    "emb_ivf_assign_streaming_file" -> SimilaritySql.ivfAssignSql(),
+    "ann_lsh_buckets" -> SimilaritySql.lshBucketIndexSql(),
+    "ann_lsh_buckets_streaming_file" -> SimilaritySql.lshBucketIndexSql(),
+    "emb_pq_codes_delta" -> ProductQuantizationSql.pqCodesDeltaSql,
+    "mm_dedup_exact" -> MultimodalSql.mediaDedupExactSql,
     "ann_lsh_balance" -> LshBalanceSql.reportEmbeddingsSql,
     "mm_metadata" -> MultimodalSql.metadataSql,
     "mm_frame_sample" -> MultimodalSql.frameSampleSql,

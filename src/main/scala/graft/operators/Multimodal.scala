@@ -196,6 +196,37 @@ object Multimodal {
         Row(id, w, h, i, feat)
       }
     }
+
+  /** Byte-exact media dedup — the blob-store pass of a multimodal
+    * pipeline: two media rows are duplicates iff their PAYLOAD BYTES are
+    * identical ([[asMedia]]'s content_md5, computed over the binary
+    * column), regardless of container metadata or media_type (a mirrored
+    * file re-uploaded under a different extension is still the same
+    * asset, which is why the key is the bytes hash alone). Keep-min rule
+    * and window spelling shared with [[DedupAttribution]]; probe fixture
+    * is the byte-exact +[[DedupAttribution.ExactProbeOffset]] family
+    * (doc_id % 250 == 3), so duplicate groups exist at every test scale.
+    *
+    * Scale shape: ONE hash-keyed window over (doc_id, md5, byte_len)
+    * rows — media bytes are touched only by the md5 projection and never
+    * shuffle; at 100 TB of blobs the exchange carries 48-byte rows.
+    */
+  def mediaDedupExact(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val aug = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 250 === 3)
+        .select((col("doc_id") + DedupAttribution.ExactProbeOffset)
+          .as("doc_id"), col("text")))
+    val media = asMedia(aug).select(col("doc_id"),
+      col("meta.content_md5").as("__h"), col("meta.byte_len").as("byte_len"))
+    media
+      .select(col("doc_id"),
+        min(col("doc_id")).over(Window.partitionBy(col("__h")))
+          .as("keeper_id"),
+        col("byte_len").cast("long").as("byte_len"))
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .orderBy(col("doc_id"))
+  }
 }
 
 /** DuckDB oracle SQL for the expression-level multimodal queries. */
@@ -299,4 +330,26 @@ object MultimodalSql {
        |FROM documents, (SELECT unnest(range($dims)) AS dim)
        |ORDER BY doc_id, dim""".stripMargin
   }
+
+  /** Mirror of [[Multimodal.mediaDedupExact]] — same probe family, same
+    * bytes hash (DuckDB md5 hashes the string's UTF-8 bytes, exactly the
+    * payload [[Multimodal.asMedia]] encodes), same keep-min window.
+    */
+  val mediaDedupExactSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${DedupAttribution.ExactProbeOffset}, text
+       |  FROM documents WHERE doc_id % 250 = 3),
+       |m AS (
+       |  SELECT doc_id, md5(text) AS h,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+       |  FROM aug),
+       |k AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS keeper_id,
+       |    byte_len
+       |  FROM m)
+       |SELECT doc_id, keeper_id, byte_len
+       |FROM k WHERE doc_id <> keeper_id
+       |ORDER BY doc_id""".stripMargin
 }

@@ -521,6 +521,29 @@ object ProductQuantization {
     encode(emb, subCodebook(emb))
       .orderBy(col("vec_id"), col("m"))
   }
+
+  /** Driver query: the snapshot-DELTA index build — codes for only the
+    * vectors NEW since the previous snapshot, encoded against the
+    * previous build's FROZEN codebook. This is the recrawl-scale
+    * complement of `emb_pq_codes_streaming_file`'s row-at-a-time form:
+    * between snapshots a serving system re-encodes the anti-join of the
+    * corpora (here [[CorpusDiff.AddedMod]]'s carve — the same
+    * deterministic previous-snapshot convention as the corpus diff/delta
+    * dedup family), never the full corpus. The codebook comes from the
+    * OLD snapshot by construction (a delta encode against a codebook the
+    * old codes never saw would silently mix two index generations).
+    *
+    * Scale shape: one left-anti equi-join on vec_id (ids only — vectors
+    * are fetched after the carve), then [[encode]]'s packed argmin over
+    * delta-sized input.
+    */
+  def pqCodesDelta(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val old = emb.filter(col("vec_id") % CorpusDiff.AddedMod =!= 0)
+    val frozenCb = subCodebook(old)
+    val delta = emb.join(old.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    encode(delta, frozenCb).orderBy(col("vec_id"), col("m"))
+  }
 }
 
 /** DuckDB oracle for [[ProductQuantization]] — same codebook convention,
@@ -583,6 +606,36 @@ object ProductQuantizationSql {
        |enc AS (
        |  SELECT e.vec_id, ms.m, ${slc("e.embedding", "ms.m")} AS sv
        |  FROM embeddings e, ms),
+       |dists AS (
+       |  SELECT enc.vec_id, enc.m, cb.code,
+       |    row_number() OVER (PARTITION BY enc.vec_id, enc.m
+       |      ORDER BY ${dMicro("enc.sv", "cb.cvec")}, cb.code) AS rn
+       |  FROM enc JOIN cb ON enc.m = cb.m)
+       |SELECT vec_id, CAST(m AS INT) AS m, code FROM dists WHERE rn = 1
+       |ORDER BY vec_id, m""".stripMargin
+  }
+
+  /** Mirror of [[ProductQuantization.pqCodesDelta]]: same old-snapshot
+    * carve, same frozen old-snapshot codebook, same anti-join delta.
+    */
+  val pqCodesDeltaSql: String = {
+    def slc(v: String, m: String) =
+      s"list_slice($v, $m * $SubDim + 1, $m * $SubDim + $SubDim)"
+    val dMicro = (a: String, b: String) =>
+      s"CAST(floor(${VS.sqDist(a, b)} * 1e6) AS BIGINT)"
+    s"""WITH ms AS (SELECT unnest(range($NumSub)) AS m),
+       |old AS (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id % ${CorpusDiff.AddedMod} <> 0),
+       |cb AS (
+       |  SELECT CAST(e.vec_id AS INT) AS code, ms.m,
+       |         ${slc("e.embedding", "ms.m")} AS cvec
+       |  FROM old e, ms WHERE e.vec_id < $NumCodes),
+       |delta AS (
+       |  SELECT e.vec_id, e.embedding FROM embeddings e
+       |  WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.vec_id = e.vec_id)),
+       |enc AS (
+       |  SELECT e.vec_id, ms.m, ${slc("e.embedding", "ms.m")} AS sv
+       |  FROM delta e, ms),
        |dists AS (
        |  SELECT enc.vec_id, enc.m, cb.code,
        |    row_number() OVER (PARTITION BY enc.vec_id, enc.m

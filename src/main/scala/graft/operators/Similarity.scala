@@ -150,7 +150,7 @@ object Similarity {
     * (table << 32) + bucket so buckets never collide across tables —
     * ONE spelling shared by the LSH search and [[LshBalance]]'s report.
     */
-  private[operators] def lshBuckets(emb: DataFrame,
+  private[graft] def lshBuckets(emb: DataFrame,
       tables: Int = TopKTables, planes: Int = TopKPlanes): DataFrame =
     emb.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
@@ -180,6 +180,32 @@ object Similarity {
         for { p <- 0 until planes; q <- p + 1 until planes }
           yield (1L << p) | (1L << q)
       else Nil)
+  }
+
+  /** The LSH bucket index itself, materialized — the (vec_id, bk) rows a
+    * serving system PERSISTS once and probes forever (the artifact behind
+    * [[lshTopK]]/[[lshRerankTopK]]/[[lshRange]]): at 100 TB the bucket
+    * build is the expensive pass; queries then equi-join the bucket
+    * table. Bucketing is [[lshBuckets]] verbatim (pure per-row plane
+    * signs — see the streaming twin for the incremental form); ordered
+    * for the oracle, the write-side layout would bucket by bk
+    * ([[graft.sources.StorageLayout]] pattern) so probe joins prune.
+    */
+  def lshBucketIndex(emb: DataFrame, tables: Int = TopKTables,
+      planes: Int = TopKPlanes): DataFrame =
+    lshBuckets(emb, tables, planes).orderBy(col("vec_id"), col("bk"))
+
+  /** The IVF assignment artifact, materialized — the (vec_id, cid)
+    * inverted-list membership a serving system persists (the corpus side
+    * of every [[ivfTopK]] probe join). The assignment is
+    * [[nearestCentroids]] at keep=1 against the default untrained
+    * codebook — [[ivfTopK]]'s corpus stage verbatim.
+    */
+  def ivfAssign(emb: DataFrame, nCentroids: Int = 16): DataFrame = {
+    val withNorm = withNormOf(emb)
+    nearestCentroids(withNorm, centroidsOf(withNorm, nCentroids),
+      "vec_id", "embedding", "nrm", 1)
+      .orderBy(col("vec_id"))
   }
 
   /** Batch contract (applies to [[lshTopK]], [[lshRerankTopK]], and
@@ -565,9 +591,12 @@ object SimilaritySql {
       s"(CASE WHEN ${VS.dot(v, plane)} > 0.0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  def ivfTopKSql(nCentroids: Int = 16, nProbe: Int = 4,
-      queryMaxId: Long = 8, k: Int = 5): String =
-    s"""WITH cents AS (
+  /** The cents + assigned CTE bodies — ONE spelling shared by
+    * [[ivfTopKSql]] and [[ivfAssignSql]] so the materialized assignment
+    * artifact and the search form cannot drift.
+    */
+  private def ivfAssignCtes(nCentroids: Int): String =
+    s"""cents AS (
        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
        |  WHERE vec_id < $nCentroids),
        |assigned AS (
@@ -576,7 +605,30 @@ object SimilaritySql {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${VS.cosine("e.embedding", "c.cvec")} DESC, c.cid) AS crn
        |    FROM embeddings e CROSS JOIN cents c)
-       |  WHERE crn = 1),
+       |  WHERE crn = 1)""".stripMargin
+
+  /** Mirror of [[Similarity.ivfAssign]]: the assigned CTE, projected. */
+  def ivfAssignSql(nCentroids: Int = 16): String =
+    s"""WITH ${ivfAssignCtes(nCentroids)}
+       |SELECT vec_id, cid FROM assigned ORDER BY vec_id""".stripMargin
+
+  /** Mirror of [[Similarity.lshBucketIndex]]: per table, the bucket
+    * expression plane-for-plane plus the table offset above bit 32.
+    */
+  def lshBucketIndexSql(tables: Int = TopKTables,
+      planes: Int = TopKPlanes): String = {
+    val perTable = (0 until tables).map { t =>
+      s"SELECT vec_id, ${tableBucketSql("embedding", t, planes)} + " +
+        s"${t.toLong << 32} AS bk FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT vec_id, bk FROM (
+       |$perTable
+       |) b ORDER BY vec_id, bk""".stripMargin
+  }
+
+  def ivfTopKSql(nCentroids: Int = 16, nProbe: Int = 4,
+      queryMaxId: Long = 8, k: Int = 5): String =
+    s"""WITH ${ivfAssignCtes(nCentroids)},
        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
        |      WHERE vec_id < $queryMaxId),
        |probes AS (

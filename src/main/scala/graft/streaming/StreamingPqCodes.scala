@@ -40,7 +40,7 @@ object StreamingPqCodes {
   /** The frozen codebook reshaped for the stream side: one row per
     * subspace, codewords as a (code, cvec) struct array sorted by code.
     */
-  private[streaming] def codebookRows(cb: DataFrame): DataFrame =
+  private[graft] def codebookRows(cb: DataFrame): DataFrame =
     cb.groupBy(col("m"))
       .agg(array_sort(collect_list(struct(col("code"), col("cvec"))))
         .as("cbs"))
@@ -48,7 +48,7 @@ object StreamingPqCodes {
   /** The stateless per-row encode — shared by the streaming aggregation
     * and the spec's batch-frame pinning run.
     */
-  private[streaming] def encodeRows(rows: DataFrame,
+  private[graft] def encodeRows(rows: DataFrame,
       cbRows: DataFrame): DataFrame =
     rows
       .select(col("vec_id"),

@@ -45,9 +45,20 @@ class PlanAuditSpec extends SparkSpec {
     "ann_ivf_pq" -> 2, "ann_ivf_pq_res" -> 2, "ann_ivf_pq_res_trained" -> 2,
     "ann_ivf_pq_rerank" -> 2, "ann_ivf_rerank" -> 2,
     "ann_rerank_batch" -> 2,
-    // ann_recall_report unions the certified stages: brute exact (1) +
-    // ivf (2) + ivf_rerank (2) + pq_rerank (2); the LSH families add none
+    // ann_recall_report unions the certified stages over SHARED cached
+    // trunks (r18): brute exact (1) + ONE shared ivf assignment (1) + the
+    // two probe stages (2) + pq_rerank (2) — the duplicate per-family
+    // assignment scans are gone with the trunk cache
     "ann_recall_report" -> 7,
+    // emb_ivf_assign: the ivfTopK assignment stage standalone — one
+    // broadcast-codebook argmax cross (1)
+    "emb_ivf_assign" -> 1,
+    // text_vocab_growth: the single-row max-id aggregate broadcasts into
+    // both band histograms (type first-seen + doc mass) (2)
+    "text_vocab_growth" -> 2,
+    // pipeline_resume_manifest: the single-row half-mass resume point
+    // broadcasts into the offset filter (1)
+    "pipeline_resume_manifest" -> 1,
     "ann_ivf_trained" -> 3,
     "emb_kmeans_step" -> 1, "text_tfidf" -> 1, "q_bloom_join" -> 1,
     "dedup_semantic" -> 1, "q_cms_join_size" -> 1, "q_kmv_overlap" -> 2,
