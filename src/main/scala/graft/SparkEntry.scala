@@ -47,6 +47,7 @@ object SparkEntry {
     "emb_pq_codes_streaming_file",
     "emb_ivf_assign_streaming_file",
     "ann_lsh_buckets_streaming_file",
+    "text_vocab_growth_streaming_file",
     "q_approx_distinct_streaming_file",
     "q_approx_distinct_streaming_tws",
     "q_kmv_distinct_streaming_file",
@@ -483,6 +484,13 @@ object SparkEntry {
     // corpus vocabulary head: top-k tokens by term frequency (+doc freq)
     "text_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(sources.Tables.documents(s, d))),
     "text_vocab_growth" -> (VocabGrowth.growthDocuments _),
+    "text_vocab_growth_streaming_file" -> ((s, d) =>
+      streaming.StreamingVocabGrowth.growthFromFiles(s, d)),
+    "q_session_gap_sweep" -> (SessionGapSweep.sweepEvents _),
+    "dedup_shingle_profile" -> ((s, d) =>
+      Dedup.shingleDfProfile(sources.Tables.documents(s, d))),
+    "ann_rerank_depth_curve" -> ((s, d) =>
+      ProductQuantization.rerankDepthCurve(s, d)),
     "text_zipf" -> (Zipf.decadesDocuments _),
     // canonical normalization (ASCII case-fold, scrub, collapse): the
     // dedup/matching preprocessor, narrow and codegen'd
@@ -1015,6 +1023,10 @@ object SparkEntry {
     "text_pack_sequences" -> TextAnalysisSql.packSequencesSql,
     "text_vocab_topk" -> TextAnalysisSql.vocabTopKSql,
     "text_vocab_growth" -> VocabGrowthSql.growthDocumentsSql,
+    "text_vocab_growth_streaming_file" -> VocabGrowthSql.growthDocumentsSql,
+    "q_session_gap_sweep" -> SessionGapSweepSql.sweepEventsSql,
+    "dedup_shingle_profile" -> DedupSql.shingleDfProfileSql(),
+    "ann_rerank_depth_curve" -> ProductQuantizationSql.rerankDepthCurveSql(),
     "text_zipf" -> ZipfSql.decadesDocumentsSql,
     "text_normalize" -> TextAnalysisSql.normalizeSql,
     "text_bigram_novelty" -> TextAnalysisSql.bigramNoveltySql(),

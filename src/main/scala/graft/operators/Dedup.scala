@@ -244,6 +244,32 @@ object Dedup {
     * stay bit-identical. Sizes are counted from the capped index, so both
     * numerator and denominator see the same universe.
     */
+  /** Shingle document-frequency profile — the curve that JUSTIFIES
+    * [[MaxShingleDf]]: per df decade (0-9 docs, 10-99, ...), how many
+    * distinct shingles sit there and how many index postings they carry.
+    * A shingle at df f contributes O(f²) candidate pairs to the inverted
+    * self-join, so the top decades' posting mass is exactly the work the
+    * stop-shingle cap deletes — a pipeline owner reads this before moving
+    * the cap, instead of guessing. Decade spelling is the house integer
+    * log10 ([[GapHistogram]]/Zipf rule: length(CAST) - 1).
+    *
+    * Scale shape: the inverted index explode is the certified
+    * [[hashedShingleSets]] stage; df is ONE map-side-combined count per
+    * shingle key, and the profile folds to the ~log10(max df) decade
+    * domain. Nothing here is pair-quadratic — the profile prices the
+    * quadratic risk without incurring it.
+    */
+  def shingleDfProfile(docs: DataFrame, n: Int = ShingleN): DataFrame =
+    hashedShingleSets(docs, n)
+      .select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .select((length(col("df").cast("string")) - 1).cast("long")
+        .as("df_decade"), col("df"))
+      .groupBy(col("df_decade"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("n_postings"), max(col("df")).as("max_df"))
+      .orderBy(col("df_decade"))
+
   /** The UNTHRESHOLDED scored co-shingle pairs — one spelling shared by
     * [[ngramJaccard]] (which filters it) and the Jaccard histogram (which
     * bands the whole curve): (doc_a, doc_b, common, sz_a, sz_b, jaccard).
@@ -762,6 +788,21 @@ object DedupSql {
        |sets AS (
        |  SELECT doc_id, list_distinct(${TS.shingles("text", n)}) AS sh FROM toks)"""
       .stripMargin
+
+  /** Mirror of [[Dedup.shingleDfProfile]] — same shingle sets (string
+    * keys stand in for the 60-bit hashes, the certified equivalence of
+    * every shingle-family oracle), same decade spelling.
+    */
+  def shingleDfProfileSql(n: Int = ShingleN): String =
+    s"""WITH ${shingleCte(n)},
+       |inv AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+       |df AS (SELECT s, count(*) AS df FROM inv GROUP BY s)
+       |SELECT CAST(length(CAST(df AS VARCHAR)) - 1 AS BIGINT) AS df_decade,
+       |  count(*) AS n_shingles,
+       |  CAST(sum(df) AS BIGINT) AS n_postings,
+       |  max(df) AS max_df
+       |FROM df GROUP BY 1
+       |ORDER BY df_decade""".stripMargin
 
   def ngramJaccardSql(threshold: Double = 0.4, n: Int = ShingleN,
       maxShingleDf: Int = MaxShingleDf): String =

@@ -392,6 +392,62 @@ object ProductQuantization {
   def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
     ivfPqResRerankTopK(Tables.embeddings(spark, dir))
 
+  /** The candidate depths the re-rank curve is sampled at; the deepest is
+    * [[RerankCandidates]] — the serve form's pinned knob.
+    */
+  val DepthCurvePoints: Seq[Int] = Seq(10, 25, 50, 100, RerankCandidates)
+
+  /** Recall-vs-candidate-depth curve for the exact-re-rank serve form —
+    * the knob curve behind [[ivfPqResRerankTopK]]'s C =
+    * [[RerankCandidates]]: an exact re-rank over ADC top-C recovers
+    * exactly (exact top-k) ∩ (ADC top-C), so recall@k at depth C is a
+    * pure function of where the exact top-k pairs sit in the ADC
+    * ranking. The operator reads each exact-top-5 pair's ADC rank ONCE
+    * and prices every depth from that single pass — the sweep costs one
+    * chain, not |depths| chains. A serving team reads this before
+    * trading re-rank fetch volume (C full vectors per query) against
+    * recall.
+    *
+    * Scale shape: one ADC chain at the deepest C (the certified
+    * `ann_ivf_pq_res_trained` stage verbatim) + one exact
+    * squared-distance baseline (the certified re-rank metric, nq
+    * broadcast); the join is nq x k against nq x C broadcast ranks, and
+    * every depth is a conditional count over those nq x k rows.
+    * Exactness: integer micro distances, integer counts and ppm `div`.
+    */
+  def rerankDepthCurve(spark: SparkSession, dir: String,
+      queryMaxId: Long = 8, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val maxC = DepthCurvePoints.max
+    val adc = ivfPqResidualTopK(emb, queryMaxId = queryMaxId, k = maxC,
+      trained = true).select(col("query_id"), col("vec_id"), col("rank"))
+    val queries = emb.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d_micro"), col("vec_id"))
+    val exactK = emb.as("c")
+      .join(broadcast(queries), col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+        floor(VF.sqDist(col("qv"), col("c.embedding")) * 1e6).cast("long")
+          .as("d_micro"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val hitAggs = DepthCurvePoints.map(c =>
+      count(when(col("rank") <= c, 1)).as(s"__h_$c"))
+    val oneRow = exactK
+      .join(broadcast(adc), Seq("query_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"), hitAggs: _*)
+    oneRow
+      .select(explode(array(DepthCurvePoints.map(c =>
+        struct(lit(c).as("depth"), col(s"__h_$c").as("hits"))): _*))
+        .as("p"), col("n_exact"))
+      .select(col("p.depth").as("depth"), col("p.hits").as("hits"),
+        col("n_exact"),
+        expr("(p.hits * 1000000) div n_exact").as("recall_ppm"))
+      .orderBy(col("depth"))
+  }
+
   /** Batch size and candidate depth for the large-query-batch serve form —
     * nq scaled 8x past the point where per-query constants amortize, C
     * sized so nq x C is the frame whose broadcastability the operator
@@ -613,6 +669,43 @@ object ProductQuantizationSql {
        |  FROM enc JOIN cb ON enc.m = cb.m)
        |SELECT vec_id, CAST(m AS INT) AS m, code FROM dists WHERE rn = 1
        |ORDER BY vec_id, m""".stripMargin
+  }
+
+  /** Mirror of [[ProductQuantization.rerankDepthCurve]]: the trained
+    * residual ADC chain at the deepest depth, the exact squared-distance
+    * top-k, one left join, FILTER counts per depth.
+    */
+  def rerankDepthCurveSql(queryMaxId: Long = 8, k: Int = 5): String = {
+    val depths = DepthCurvePoints
+    val candSql = annIvfPqResSql(queryMaxId = queryMaxId, k = depths.max,
+      trained = true)
+    val hitCols = depths.map(c =>
+      s"count(*) FILTER (WHERE rank <= $c) AS h_$c").mkString(",\n|    ")
+    val perDepth = depths.map(c =>
+      s"SELECT $c AS depth, h_$c AS hits, n_exact, " +
+        s"(h_$c * 1000000) // n_exact AS recall_ppm FROM s")
+      .mkString("\nUNION ALL\n")
+    s"""WITH adc AS (
+       |  SELECT query_id, vec_id, rank FROM ($candSql) t),
+       |rq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |       WHERE vec_id < $queryMaxId),
+       |ex0 AS (
+       |  SELECT rq.query_id, c.vec_id,
+       |    row_number() OVER (PARTITION BY rq.query_id
+       |      ORDER BY CAST(floor(${VS.sqDist("rq.qv", "c.embedding")} * 1e6)
+       |                    AS BIGINT), c.vec_id) AS r
+       |  FROM embeddings c JOIN rq ON rq.query_id <> c.vec_id),
+       |exact_k AS (SELECT query_id, vec_id FROM ex0 WHERE r <= $k),
+       |j AS (
+       |  SELECT e.query_id, e.vec_id, a.rank
+       |  FROM exact_k e LEFT JOIN adc a
+       |    ON e.query_id = a.query_id AND e.vec_id = a.vec_id),
+       |s AS (
+       |  SELECT count(*) AS n_exact,
+       |    $hitCols
+       |  FROM j)
+       |$perDepth
+       |ORDER BY depth""".stripMargin
   }
 
   /** Mirror of [[ProductQuantization.pqCodesDelta]]: same old-snapshot

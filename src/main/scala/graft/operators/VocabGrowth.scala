@@ -31,14 +31,27 @@ object VocabGrowth {
   /** Number of equal doc_id bands the curve is sampled at. */
   val Bands = 8
 
+  /** The per-token first-seen aggregation — ONE spelling shared by the
+    * batch form (in-plan) and the streaming twin (update-mode, min-folded
+    * on readback: min(doc_id) is monotone nonincreasing).
+    */
+  private[graft] def firstSeenOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("__first"))
+
   /** (band, n_docs, n_tokens, new_types, docs_cum, tokens_cum,
     * types_cum), ordered by band.
     */
-  def growth(docs: DataFrame): DataFrame = {
+  def growth(docs: DataFrame): DataFrame =
+    growthFromFirstSeen(docs, firstSeenOf(docs))
+
+  /** The band/cumulative tail from an externally-supplied (tok, __first)
+    * table — shared verbatim by [[growth]] and the streaming twin.
+    * `firstSeen` must hold exactly the per-token min doc_ids of `docs`.
+    */
+  private[graft] def growthFromFirstSeen(docs: DataFrame,
+      firstSeen: DataFrame): DataFrame = {
     val maxId = docs.agg(max(col("doc_id")).as("__max"))
-    val firstSeen = docs
-      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
-      .groupBy(col("tok")).agg(min(col("doc_id")).as("__first"))
     val typeBands = firstSeen.crossJoin(broadcast(maxId))
       .select(expr(s"(__first * $Bands) div (__max + 1)").as("band"))
       .groupBy(col("band")).agg(count(lit(1)).as("new_types"))

@@ -53,6 +53,10 @@ class PlanAuditSpec extends SparkSpec {
     // emb_ivf_assign: the ivfTopK assignment stage standalone — one
     // broadcast-codebook argmax cross (1)
     "emb_ivf_assign" -> 1,
+    // ann_rerank_depth_curve: the trained-residual ADC chain's two
+    // codebook crosses (the ann_ivf_pq_res_trained count) + the exact
+    // squared-distance baseline's nq-broadcast cross (1)
+    "ann_rerank_depth_curve" -> 3,
     // text_vocab_growth: the single-row max-id aggregate broadcasts into
     // both band histograms (type first-seen + doc mass) (2)
     "text_vocab_growth" -> 2,
