@@ -43,6 +43,7 @@ object SparkEntry {
     "mqtt_state_streaming", "mqtt_state_streaming_file",
     "dedup_clusters",
     "dedup_minhash_clusters",
+    "dedup_cluster_sizes",
     "emb_kmeans_step_streaming_file",
     "emb_pq_codes_streaming_file",
     "emb_ivf_assign_streaming_file",
@@ -491,6 +492,8 @@ object SparkEntry {
       Dedup.shingleDfProfile(sources.Tables.documents(s, d))),
     "ann_rerank_depth_curve" -> ((s, d) =>
       ProductQuantization.rerankDepthCurve(s, d)),
+    "ann_ivf_probe_curve" -> ((s, d) =>
+      Similarity.ivfProbeCurve(sources.Tables.embeddings(s, d))),
     "text_zipf" -> (Zipf.decadesDocuments _),
     // canonical normalization (ASCII case-fold, scrub, collapse): the
     // dedup/matching preprocessor, narrow and codegen'd
@@ -674,6 +677,12 @@ object SparkEntry {
       Dedup.minhashLsh(sources.Tables.documents(s, d))
         .select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))),
+    // keep-list health: how many clusters of each size the verified pair
+    // graph collapses into (fat tail = boilerplate chaining)
+    "dedup_cluster_sizes" -> ((s, d) => DedupClusters.sizeHistogram(
+      DedupClusters.components(
+        Dedup.minhashLsh(sources.Tables.documents(s, d))
+          .select(col("doc_a"), col("doc_b"))))),
     // --- dedup extensions ---
     "dedup_exact" -> ((s, d) => Dedup.exact(sources.Tables.documents(s, d))
       .orderBy(col("content_hash"))),
@@ -1027,6 +1036,7 @@ object SparkEntry {
     "q_session_gap_sweep" -> SessionGapSweepSql.sweepEventsSql,
     "dedup_shingle_profile" -> DedupSql.shingleDfProfileSql(),
     "ann_rerank_depth_curve" -> ProductQuantizationSql.rerankDepthCurveSql(),
+    "ann_ivf_probe_curve" -> SimilaritySql.ivfProbeCurveSql(),
     "text_zipf" -> ZipfSql.decadesDocumentsSql,
     "text_normalize" -> TextAnalysisSql.normalizeSql,
     "text_bigram_novelty" -> TextAnalysisSql.bigramNoveltySql(),
@@ -1073,6 +1083,8 @@ object SparkEntry {
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
     "pipeline_contamination_report" -> DecontaminateSql.benchReportSql(),
     "dedup_minhash_clusters" -> DedupClustersSql.componentsSql(
+      s"pairs AS (SELECT doc_a, doc_b FROM (${DedupSql.minhashLshSql()}) mp)"),
+    "dedup_cluster_sizes" -> DedupClustersSql.sizeHistogramSql(
       s"pairs AS (SELECT doc_a, doc_b FROM (${DedupSql.minhashLshSql()}) mp)"),
     "dedup_exact" -> DedupSql.exactSql,
     "dedup_attribution" -> DedupAttributionSql.attributionDocumentsSql,

@@ -201,12 +201,42 @@ object DedupClusters {
     parent.keySet.forEach { n => val r = find(n); out += ((n, r, n == r)) }
     out.toSeq.toDF("doc_id", "cluster_id", "kept")
   }
+
+  /** Cluster-size histogram over a [[components]] label frame — the
+    * keep-list health profile: how many clusters of each size the pair
+    * graph collapses into (n_docs = size x clusters reconciles against
+    * the label count). A fat tail here means a near-universal template is
+    * chaining unrelated documents through shared boilerplate — the signal
+    * to tighten the pair threshold before the keep-list deletes half the
+    * corpus. Two map-side-combined aggregations over (doc_id, cluster_id)
+    * rows; the histogram domain is bounded by the largest cluster.
+    */
+  def sizeHistogram(labels: DataFrame): DataFrame =
+    labels
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
 }
 
 /** DuckDB oracle for [[DedupClusters]]: min reachable node via RECURSIVE CTE
   * over the symmetric edges of a pairs CTE named `pairs(doc_a, doc_b)`.
   */
 object DedupClustersSql {
+
+  /** Mirror of [[DedupClusters.sizeHistogram]] over [[componentsSql]]'s
+    * labels — the keep-list health profile.
+    */
+  def sizeHistogramSql(pairsCte: String): String =
+    s"""SELECT cluster_size, count(*) AS n_clusters,
+       |  cluster_size * count(*) AS n_docs
+       |FROM (
+       |  SELECT cluster_id, count(*) AS cluster_size
+       |  FROM (${componentsSql(pairsCte)}) labels
+       |  GROUP BY cluster_id) sizes
+       |GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
 
   def componentsSql(pairsCte: String): String =
     s"""WITH RECURSIVE $pairsCte,

@@ -348,16 +348,26 @@ object Similarity {
     * `side` (cosine, ties on cid) — shared by the IVF probe/assignment and
     * the k-means step. The centroid frame must carry (cid, cvec, cnrm).
     */
-  private[graft] def nearestCentroids(side: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, nrmCol: String, keep: Int): DataFrame = {
+  /** The FULL centroid ranking per row of `side` — (idCol, cid, crn),
+    * highest cosine first, ties on cid: [[nearestCentroids]] is its
+    * keep-prefix, and the probe-depth curve reads the whole ranking.
+    */
+  private[graft] def centroidRanks(side: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nrmCol: String): DataFrame = {
     val scored = side.join(broadcast(centroids))
       .withColumn("nn", col(nrmCol) * col("cnrm"))
       .withColumn("ccos", when(col("nn") === 0.0, 0.0)
         .otherwise(VF.dot(col(vecCol), col("cvec")) / col("nn")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
-    scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
-      .select(col(idCol), col("cid"))
+    scored.withColumn("crn", row_number().over(w))
+      .select(col(idCol), col("cid"), col("crn"))
   }
+
+  private[graft] def nearestCentroids(side: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nrmCol: String, keep: Int): DataFrame =
+    centroidRanks(side, centroids, idCol, vecCol, nrmCol)
+      .filter(col("crn") <= keep)
+      .select(col(idCol), col("cid"))
 
   private[graft] def withNormOf(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
@@ -384,6 +394,57 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("centroid_micro")))),
         x => x.getField("centroid_micro").cast("double") / 1e6).as("cvec"))
       .withColumn("cnrm", VF.norm(col("cvec"))))
+
+  /** The probe depths the IVF curve is sampled at; 4 is [[ivfTopK]]'s
+    * default, [[IvfRerankProbe]] the serve form's pinned knob, 16 the
+    * full scan.
+    */
+  val ProbeCurvePoints: Seq[Int] = Seq(1, 2, 4, IvfRerankProbe, 8, 16)
+
+  /** Recall-vs-probe-depth curve for the IVF family — the knob curve
+    * behind [[ivfTopK]]'s nProbe and [[ivfRerankTopK]]'s
+    * [[IvfRerankProbe]]: because IVF-flat scores candidates EXACTLY, an
+    * exact-top-k pair is recovered at depth p iff its assigned cell sits
+    * within the query's first p centroid ranks — so the whole curve
+    * falls out of ONE pass over the exact-top-k pairs joined to the
+    * assignment and the full centroid ranking (nCentroids rows per
+    * query, broadcast). Every depth is a conditional count; no IVF
+    * search runs per depth. The p=4 and p=[[IvfRerankProbe]] points are
+    * pinned equal to the certified operators' measured recall in
+    * IvfProbeCurveSpec — the curve IS those operators' knob, provably.
+    *
+    * Scale shape: the exact baseline is the certified [[bruteForceTopK]]
+    * (nq broadcast); the join against the corpus assignment is one
+    * vec_id equi-join over nq x k rows; scan fraction per depth
+    * (p/nCentroids of the corpus) is the trade the curve prices.
+    */
+  def ivfProbeCurve(emb: DataFrame, nCentroids: Int = 16,
+      queryMaxId: Long = 8, k: Int = 5): DataFrame = {
+    val withNorm = withNormOf(emb)
+    val centroids = centroidsOf(withNorm, nCentroids)
+    val assigned = nearestCentroids(withNorm, centroids,
+      "vec_id", "embedding", "nrm", 1)
+    val queries = withNorm.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val probeRanks = centroidRanks(queries, centroids, "query_id", "qv", "qn")
+    val exactK = bruteForceTopKFrom(withNorm, queryMaxId, k)
+      .select(col("query_id"), col("vec_id"))
+    val hitAggs = ProbeCurvePoints.map(p =>
+      count(when(col("crn") <= p, 1)).as(s"__h_$p"))
+    val oneRow = exactK
+      .join(assigned, Seq("vec_id"))
+      .join(broadcast(probeRanks), Seq("query_id", "cid"), "left")
+      .agg(count(lit(1)).as("n_exact"), hitAggs: _*)
+    oneRow
+      .select(explode(array(ProbeCurvePoints.map(p =>
+        struct(lit(p).as("n_probe"), col(s"__h_$p").as("hits"))): _*))
+        .as("p"), col("n_exact"))
+      .select(col("p.n_probe").as("n_probe"), col("p.hits").as("hits"),
+        col("n_exact"),
+        expr("(p.hits * 1000000) div n_exact").as("recall_ppm"))
+      .orderBy(col("n_probe"))
+  }
 
   /** Batch contract (applies to [[ivfRerankTopK]] too): the broadcast
     * frames are the codebook (nCentroids x Dim — corpus-scale-free, always
@@ -611,6 +672,43 @@ object SimilaritySql {
   def ivfAssignSql(nCentroids: Int = 16): String =
     s"""WITH ${ivfAssignCtes(nCentroids)}
        |SELECT vec_id, cid FROM assigned ORDER BY vec_id""".stripMargin
+
+  /** Mirror of [[Similarity.ivfProbeCurve]]: the shared assigned CTE,
+    * the full query-side centroid ranking, the exact cosine top-k, one
+    * join, FILTER counts per depth.
+    */
+  def ivfProbeCurveSql(nCentroids: Int = 16, queryMaxId: Long = 8,
+      k: Int = 5): String = {
+    val points = Similarity.ProbeCurvePoints
+    val hitCols = points.map(p =>
+      s"count(*) FILTER (WHERE crn <= $p) AS h_$p").mkString(",\n|    ")
+    val perPoint = points.map(p =>
+      s"SELECT $p AS n_probe, h_$p AS hits, n_exact, " +
+        s"(h_$p * 1000000) // n_exact AS recall_ppm FROM s")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${ivfAssignCtes(nCentroids)},
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |      WHERE vec_id < $queryMaxId),
+       |pr AS (
+       |  SELECT q.query_id, c.cid,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${VS.cosine("q.qv", "c.cvec")} DESC, c.cid) AS crn
+       |  FROM q CROSS JOIN cents c),
+       |exact_k AS (
+       |  SELECT query_id, vec_id
+       |  FROM (${bruteForceTopKSql(queryMaxId, k)}) t),
+       |j AS (
+       |  SELECT e.query_id, e.vec_id, pr.crn
+       |  FROM exact_k e
+       |  JOIN assigned a ON e.vec_id = a.vec_id
+       |  LEFT JOIN pr ON pr.query_id = e.query_id AND pr.cid = a.cid),
+       |s AS (
+       |  SELECT count(*) AS n_exact,
+       |    $hitCols
+       |  FROM j)
+       |$perPoint
+       |ORDER BY n_probe""".stripMargin
+  }
 
   /** Mirror of [[Similarity.lshBucketIndex]]: per table, the bucket
     * expression plane-for-plane plus the table offset above bit 32.

@@ -57,6 +57,10 @@ class PlanAuditSpec extends SparkSpec {
     // codebook crosses (the ann_ivf_pq_res_trained count) + the exact
     // squared-distance baseline's nq-broadcast cross (1)
     "ann_rerank_depth_curve" -> 3,
+    // ann_ivf_probe_curve: the corpus assignment cross (1) + the
+    // query-side full centroid ranking cross (1) + the exact cosine
+    // baseline's nq-broadcast cross (1)
+    "ann_ivf_probe_curve" -> 3,
     // text_vocab_growth: the single-row max-id aggregate broadcasts into
     // both band histograms (type first-seen + doc mass) (2)
     "text_vocab_growth" -> 2,
