@@ -1122,7 +1122,8 @@ object SparkEntry {
     "ann_ivf_pq_rerank" -> ProductQuantizationSql.annIvfPqRerankSql(),
     "ann_rerank_batch" -> ProductQuantizationSql.annIvfPqRerankSql(
       nCand = ProductQuantization.BatchCandidates,
-      queryMaxId = ProductQuantization.BatchQueries),
+      queryMaxId = ProductQuantization.BatchQueries,
+      nProbe = ProductQuantization.BatchProbe),
     "ann_recall_report" -> AnnRecallReportSql.reportSql,
     "emb_pq_codes" -> ProductQuantizationSql.pqCodesSql,
     "emb_pq_codes_streaming_file" -> ProductQuantizationSql.pqCodesSql,

@@ -368,8 +368,9 @@ object ProductQuantization {
     * operator here.
     */
   def ivfPqResRerankTopK(emb: DataFrame, nCand: Int = RerankCandidates,
-      queryMaxId: Long = 8, k: Int = 5): DataFrame = {
-    val cands = ivfPqResidualTopK(emb, queryMaxId = queryMaxId, k = nCand,
+      queryMaxId: Long = 8, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val cands = ivfPqResidualTopK(emb, nProbe = nProbe,
+      queryMaxId = queryMaxId, k = nCand,
       trained = true).select(col("query_id"), col("vec_id"))
     val queries = emb.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -448,13 +449,28 @@ object ProductQuantization {
       .orderBy(col("depth"))
   }
 
-  /** Batch size and candidate depth for the large-query-batch serve form —
-    * nq scaled 8x past the point where per-query constants amortize, C
-    * sized so nq x C is the frame whose broadcastability the operator
-    * refuses to assume.
+  /** Knobs for the large-query-batch serve form — nq scaled 8x past the
+    * point where per-query constants amortize, and (nProbe, C) set FROM
+    * THE MEASURED KNEE of the knob curves at the batch's own query load,
+    * not inherited from the nq=8 sibling. Round-18 finding (the reason
+    * these are not the nq=8 form's probe-4/C-200): pinning the batch
+    * form's own floor exposed that the nq=8 recall of 1.000 was a
+    * small-sample artifact — across the 64-query load, probe-4/C-50
+    * measures recall@5 = 0.294 and probe-4/C-200 only 0.506, recall
+    * plateaus in nProbe alone (0.503 at probe-10: the ADC ranking, not
+    * cell coverage, is the binding constraint), and the measured Pareto
+    * knee reaching the 0.9 serve floor is probe-12/C-1500 (0.938; the
+    * full sweep is in BENCH_NOTES_r18). A ~30% refine fraction is the
+    * honest price of serve-grade recall on THIS corpus — 64-d
+    * near-equidistant synthetic points give an 8-bit-per-subspace ADC
+    * very little to rank on (the documented distance-concentration
+    * finding); on real embedding manifolds the same curves locate a far
+    * cheaper knee, which is exactly why `ann_rerank_depth_curve` and
+    * `ann_ivf_probe_curve` exist as certified queries.
     */
   val BatchQueries = 64L
-  val BatchCandidates = 50
+  val BatchProbe = 12
+  val BatchCandidates = 1500
 
   /** The LARGE-QUERY-BATCH serve path: [[ivfPqResRerankTopK]]'s refine
     * stage with the broadcast assumption removed. Every other ann_*
@@ -482,8 +498,9 @@ object ProductQuantization {
     */
   def ivfPqResRerankBatchTopK(emb: DataFrame,
       nCand: Int = BatchCandidates, queryMaxId: Long = BatchQueries,
-      k: Int = 5): DataFrame = {
-    val cands = ivfPqResidualTopK(emb, queryMaxId = queryMaxId, k = nCand,
+      k: Int = 5, nProbe: Int = BatchProbe): DataFrame = {
+    val cands = ivfPqResidualTopK(emb, nProbe = nProbe,
+      queryMaxId = queryMaxId, k = nCand,
       trained = true).select(col("query_id"), col("vec_id"))
     val queries = emb.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -918,9 +935,9 @@ object ProductQuantizationSql {
     * vec_id tiebreak.
     */
   def annIvfPqRerankSql(nCand: Int = RerankCandidates,
-      queryMaxId: Long = 8, k: Int = 5): String = {
-    val candSql = annIvfPqResSql(queryMaxId = queryMaxId, k = nCand,
-      trained = true)
+      queryMaxId: Long = 8, k: Int = 5, nProbe: Int = 4): String = {
+    val candSql = annIvfPqResSql(nProbe = nProbe, queryMaxId = queryMaxId,
+      k = nCand, trained = true)
     s"""WITH cands AS (SELECT query_id, vec_id FROM ($candSql) t),
        |rq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
        |       WHERE vec_id < $queryMaxId),

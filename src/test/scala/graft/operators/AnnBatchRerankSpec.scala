@@ -30,7 +30,8 @@ class AnnBatchRerankSpec extends SparkSpec {
       .collect().toSeq
     val broadcastForm = ProductQuantization.ivfPqResRerankTopK(emb,
       nCand = ProductQuantization.BatchCandidates,
-      queryMaxId = ProductQuantization.BatchQueries)
+      queryMaxId = ProductQuantization.BatchQueries,
+      nProbe = ProductQuantization.BatchProbe)
       .collect().toSeq
     assert(batch.nonEmpty, "batch re-rank returned nothing — vacuous")
     assert(batch == broadcastForm,
