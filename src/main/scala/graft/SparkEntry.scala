@@ -49,6 +49,8 @@ object SparkEntry {
     "emb_ivf_assign_streaming_file",
     "ann_lsh_buckets_streaming_file",
     "text_vocab_growth_streaming_file",
+    "mm_dedup_exact_streaming_file",
+    "emb_quantize_streaming_file",
     "q_approx_distinct_streaming_file",
     "q_approx_distinct_streaming_tws",
     "q_kmv_distinct_streaming_file",
@@ -862,6 +864,10 @@ object SparkEntry {
     "emb_pq_codes_delta" -> (ProductQuantization.pqCodesDelta _),
     "mm_dedup_exact" -> ((s, d) =>
       Multimodal.mediaDedupExact(sources.Tables.documents(s, d))),
+    "mm_dedup_exact_streaming_file" -> ((s, d) =>
+      streaming.StreamingDedup.mediaWithinHorizonFromFiles(s, d)),
+    "emb_quantize_streaming_file" -> ((s, d) =>
+      streaming.StreamingQuantize.int8FromFiles(s, d)),
     // per-table LSH bucket occupancy on the search's own bucket stage
     "ann_lsh_balance" -> (LshBalance.reportEmbeddings _),
     // --- multimodal extensions ---
@@ -1143,6 +1149,8 @@ object SparkEntry {
     "ann_lsh_buckets_streaming_file" -> SimilaritySql.lshBucketIndexSql(),
     "emb_pq_codes_delta" -> ProductQuantizationSql.pqCodesDeltaSql,
     "mm_dedup_exact" -> MultimodalSql.mediaDedupExactSql,
+    "mm_dedup_exact_streaming_file" -> MultimodalSql.mediaKeySetSql,
+    "emb_quantize_streaming_file" -> QuantizeSql.int8Sql,
     "ann_lsh_balance" -> LshBalanceSql.reportEmbeddingsSql,
     "mm_metadata" -> MultimodalSql.metadataSql,
     "mm_frame_sample" -> MultimodalSql.frameSampleSql,

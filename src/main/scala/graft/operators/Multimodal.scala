@@ -335,6 +335,19 @@ object MultimodalSql {
     * bytes hash (DuckDB md5 hashes the string's UTF-8 bytes, exactly the
     * payload [[Multimodal.asMedia]] encodes), same keep-min window.
     */
+  /** Oracle for the streaming media-dedup twin: the distinct payload-hash
+    * key set of the same probe-augmented corpus (survivor identity is the
+    * key set — the StreamingDedup certification convention).
+    */
+  val mediaKeySetSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${DedupAttribution.ExactProbeOffset}, text
+       |  FROM documents WHERE doc_id % 250 = 3)
+       |SELECT DISTINCT md5(text) AS media_md5 FROM aug
+       |ORDER BY media_md5""".stripMargin
+
   val mediaDedupExactSql: String =
     s"""WITH aug AS (
        |  SELECT doc_id, text FROM documents

@@ -138,6 +138,37 @@ object StreamingDedup {
       .select(col("norm_hash")).orderBy(col("norm_hash"))
   }
 
+  /** The incremental twin of [[graft.operators.Multimodal.mediaDedupExact]]:
+    * an arriving media row whose PAYLOAD BYTES hash was already seen
+    * within the horizon is dropped at arrival — the ingest-time
+    * blob-store pass (asset re-uploads, mirrored files) so downstream
+    * decode/embed stages never touch the duplicate bytes. The key is the
+    * media content hash ([[graft.operators.Multimodal.asMedia]]'s
+    * content_md5 spelling — the RAW payload bytes, deliberately NOT the
+    * trimmed-text key of [[exactWithinHorizon]]: blob dedup has no
+    * whitespace semantics), state never holds the bytes, and the probe
+    * family (+4e6 byte-exact copies) proves the drop fires. Span-derived
+    * horizon (the StreamingWinnow rule — probe ids push arrivals ~46 days
+    * out). Oracle: the distinct payload-hash key set of the same
+    * augmented corpus.
+    */
+  def mediaWithinHorizonFromFiles(spark: SparkSession, dir: String,
+      chunks: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val aug = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 250 === 3)
+        .select((col("doc_id") +
+          graft.operators.DedupAttribution.ExactProbeOffset).as("doc_id"),
+          col("text")))
+    val horizon = spanHorizon(aug)
+    ReplayHarness.emissionsFromFiles(
+      spark, arrivalsFrame(aug), chunks, statePartitions = 4,
+      prefix = "mm_dedup_file", outputMode = "append",
+      col("ts"), col("doc_id"))(
+      deduppedBy(_, horizon, "media_md5", md5(encode(col("text"), "UTF-8"))))
+      .select(col("media_md5")).orderBy(col("media_md5"))
+  }
+
   /** The canonical form shared by the normalized twins: case-fold, scrub
     * non-alphanumerics, collapse runs — TextAnalysis.normalize's hash
     * contract expressed over `text`.
