@@ -47,6 +47,29 @@ object Dedup {
   val MaxHamming = 3
   val MaxBucket = 64 // LSH band-bucket size cap (skew hard bound)
   val MaxShingleDf = 128 // stop-shingle document-frequency cap
+
+  /** Probe-id space ceiling for the additive probe-family offsets (1e6
+    * normalized, 2e6 fuzzy/token-edit, 3e6 containment, 4e6 exact, 5e6
+    * old-twin): an additive offset aliases real documents once the corpus
+    * id space reaches the offset spacing (a real doc_id 1,000,013 collides
+    * with the normalized family's probe of doc 13, cross-linking two probe
+    * families into one false duplicate group), so every probe generator
+    * routes its offset through [[probeId]], which enforces
+    * `0 <= doc_id < ProbeIdSpace` AT ROW TIME — a violating corpus fails
+    * loudly instead of silently corrupting the fixtures. The guard is a
+    * codegen'd per-row branch over the probe SUBSET only (never the full
+    * corpus scan), and on any corpus satisfying the constraint it is
+    * behaviorally invisible, so the guard-free oracle mirrors stay
+    * bit-identical.
+    */
+  val ProbeIdSpace = 1000000L
+
+  private[graft] def probeId(offset: Long): Column =
+    when(col("doc_id") >= 0 && col("doc_id") < ProbeIdSpace,
+        col("doc_id") + offset)
+      .otherwise(raise_error(concat(
+        lit(s"probe-id offset $offset aliases corpus doc_id "),
+        col("doc_id").cast("string"))).cast("long"))
   val NearDupTables = 4 // sign-LSH OR-amplification tables for embeddings
 
   /** Skew hard bound shared by every banded/inverted-index operator: drop
@@ -96,7 +119,7 @@ object Dedup {
     val base = docs.select(col("doc_id"), col("text"))
     base.unionAll(
       base.filter(col("doc_id") % 250 === 7)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select(probeId(1000000L).as("doc_id"),
           concat(translate(col("text"), az, az.toUpperCase), lit(" !!!"))
             .as("text")))
   }
@@ -311,14 +334,15 @@ object Dedup {
     * with single spaces — a prefix's shingles are a strict subset of the
     * original's, so the pair's containment is 1.0 by construction). The raw
     * corpus has no guaranteed subset-duplicates, so without probes the
-    * oracle row could be a vacuous 0==0. Probe ids assume doc_id < 1e6.
+    * oracle row could be a vacuous 0==0. Probe ids ride [[probeId]], which
+    * ENFORCES doc_id < [[ProbeIdSpace]] at row time.
     */
   def containmentProbeAugmented(docs: DataFrame, n: Int = ShingleN): DataFrame = {
     val toks = TF.tokens(col("text"))
     val base = docs.select(col("doc_id"), col("text"))
     base.unionAll(
       docs.filter(col("doc_id") % 200 === 11 && size(toks) >= 2 * n)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
+        .select(probeId(3000000L).as("doc_id"),
           array_join(slice(toks, lit(1), (size(toks) / 2).cast("int")), " ")
             .as("text")))
   }
@@ -484,16 +508,17 @@ object Dedup {
     * a HEAD-edited twin ("zz " prefix, distance 3) — one probe per block
     * family, so the oracle row proves BOTH blocking keys recall their
     * guaranteed case (an edit confined to one half leaves the other
-    * half's block key intact). Probe ids assume doc_id < 1e6.
+    * half's block key intact). Probe ids ride [[probeId]], which ENFORCES
+    * doc_id < [[ProbeIdSpace]] at row time.
     */
   def fuzzyProbeAugmented(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     base
       .unionAll(base.filter(col("doc_id") % 250 === 7)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select(probeId(1000000L).as("doc_id"),
           concat(col("text"), lit(" zz")).as("text")))
       .unionAll(base.filter(col("doc_id") % 250 === 13)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
+        .select(probeId(2000000L).as("doc_id"),
           concat(lit("zz "), col("text")).as("text")))
   }
 

@@ -43,7 +43,10 @@ import graft.sources.Tables
   * prepended — [[Dedup.fuzzyProbeAugmented]]'s +2e6 family's spelling),
   * and byte-exact copies at +[[ExactProbeOffset]] (doc_id % 250 == 3) —
   * offsets follow the per-family probe-id convention (1e6 normalized,
-  * 2e6 fuzzy/token-edit, 3e6 containment, 4e6 exact).
+  * 2e6 fuzzy/token-edit, 3e6 containment, 4e6 exact), each applied
+  * through [[Dedup.probeId]], which ENFORCES doc_id < 1e6 at row time so
+  * a corpus that outgrows the offset spacing fails loudly instead of
+  * silently aliasing probe families onto real documents.
   */
 object DedupAttribution {
 
@@ -57,10 +60,10 @@ object DedupAttribution {
   def probeAugmented(docs: DataFrame): DataFrame =
     Dedup.normProbeAugmented(docs)
       .unionAll(docs.filter(col("doc_id") % 250 === 13)
-        .select((col("doc_id") + TokenEditProbeOffset).as("doc_id"),
+        .select(Dedup.probeId(TokenEditProbeOffset).as("doc_id"),
           concat(lit("zz "), col("text")).as("text")))
       .unionAll(docs.filter(col("doc_id") % 250 === 3)
-        .select((col("doc_id") + ExactProbeOffset).as("doc_id"), col("text")))
+        .select(Dedup.probeId(ExactProbeOffset).as("doc_id"), col("text")))
 
   /** (doc_id, exact_dup, norm_dup, near_dup, first_stage) for every doc
     * any stage catches, ordered by doc_id; flags are 0/1 BIGINTs.

@@ -445,7 +445,10 @@ object ProductQuantization {
         .as("p"), col("n_exact"))
       .select(col("p.depth").as("depth"), col("p.hits").as("hits"),
         col("n_exact"),
-        expr("(p.hits * 1000000) div n_exact").as("recall_ppm"))
+        // greatest(.., 1): an empty query set makes n_exact = 0, where
+        // Spark's non-ANSI div yields null but DuckDB `//` raises — the
+        // Oversample zero-mass guard applied symmetrically in both engines
+        expr("(p.hits * 1000000) div greatest(n_exact, 1)").as("recall_ppm"))
       .orderBy(col("depth"))
   }
 
@@ -700,7 +703,7 @@ object ProductQuantizationSql {
       s"count(*) FILTER (WHERE rank <= $c) AS h_$c").mkString(",\n|    ")
     val perDepth = depths.map(c =>
       s"SELECT $c AS depth, h_$c AS hits, n_exact, " +
-        s"(h_$c * 1000000) // n_exact AS recall_ppm FROM s")
+        s"(h_$c * 1000000) // greatest(n_exact, 1) AS recall_ppm FROM s")
       .mkString("\nUNION ALL\n")
     s"""WITH adc AS (
        |  SELECT query_id, vec_id, rank FROM ($candSql) t),

@@ -60,7 +60,12 @@ object SessionGapSweep {
         .as("p"), col("n_users"), col("n_events"))
       .select(col("p.gap_minutes").as("gap_minutes"),
         col("p.n_sessions").as("n_sessions"), col("n_users"),
-        expr("(n_events * 1000000) div p.n_sessions")
+        // greatest(.., 1): an EMPTY events table still emits one global-agg
+        // row (n_users = 0 -> n_sessions = 0), and Spark's non-ANSI div
+        // yields null where DuckDB `//` raises — the same engine-divergence
+        // class the Oversample zero-mass guard closes, guarded identically
+        // in both spellings
+        expr("(n_events * 1000000) div greatest(p.n_sessions, 1)")
           .as("events_per_session_ppm"))
       .orderBy(col("gap_minutes"))
   }
@@ -78,7 +83,7 @@ object SessionGapSweepSql {
         s"AS splits_$g").mkString(",\n|    ")
     val perGap = GapsMinutes.map(g =>
       s"SELECT $g AS gap_minutes, n_users + splits_$g AS n_sessions, " +
-        s"n_users, (n_events * 1000000) // (n_users + splits_$g) " +
+        s"n_users, (n_events * 1000000) // greatest(n_users + splits_$g, 1) " +
         s"AS events_per_session_ppm FROM s").mkString("\nUNION ALL\n")
     s"""WITH d AS (
        |  SELECT user_id,

@@ -442,7 +442,10 @@ object Similarity {
         .as("p"), col("n_exact"))
       .select(col("p.n_probe").as("n_probe"), col("p.hits").as("hits"),
         col("n_exact"),
-        expr("(p.hits * 1000000) div n_exact").as("recall_ppm"))
+        // greatest(.., 1): an empty query set makes n_exact = 0, where
+        // Spark's non-ANSI div yields null but DuckDB `//` raises — the
+        // Oversample zero-mass guard applied symmetrically in both engines
+        expr("(p.hits * 1000000) div greatest(n_exact, 1)").as("recall_ppm"))
       .orderBy(col("n_probe"))
   }
 
@@ -684,7 +687,7 @@ object SimilaritySql {
       s"count(*) FILTER (WHERE crn <= $p) AS h_$p").mkString(",\n|    ")
     val perPoint = points.map(p =>
       s"SELECT $p AS n_probe, h_$p AS hits, n_exact, " +
-        s"(h_$p * 1000000) // n_exact AS recall_ppm FROM s")
+        s"(h_$p * 1000000) // greatest(n_exact, 1) AS recall_ppm FROM s")
       .mkString("\nUNION ALL\n")
     s"""WITH ${ivfAssignCtes(nCentroids)},
        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
