@@ -44,6 +44,7 @@ object SparkEntry {
     "dedup_clusters",
     "dedup_minhash_clusters",
     "dedup_cluster_sizes",
+    "dedup_clusters_delta",
     "emb_kmeans_step_streaming_file",
     "emb_pq_codes_streaming_file",
     "emb_ivf_assign_streaming_file",
@@ -734,6 +735,15 @@ object SparkEntry {
       .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(sources.Tables.documents(s, d))
       .orderBy(col("doc_a"), col("doc_b"))),
+    // recrawl near-dup DELTA screen: probe only the delta docs against the
+    // OLD snapshot's FROZEN minhash band index (the emb_pq_codes_delta
+    // discipline applied to near-dup dedup) — the old corpus never reshuffles
+    "dedup_minhash_delta" -> (DedupDelta.minhashDeltaDocuments _),
+    // incremental keep-list maintenance: old labels collapse to star edges,
+    // union the delta screen's pairs, relabel — old-old pairs NEVER recomputed;
+    // the oracle rebuilds components from scratch, so the gate itself
+    // certifies incremental == rebuild on real data
+    "dedup_clusters_delta" -> (DedupDelta.clustersDeltaDocuments _),
     // estimator-vs-exact contingency on the SAME candidate/verify stages
     "dedup_minhash_calibration" -> (MinhashCalibration.contingencyDocuments _),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(sources.Tables.documents(s, d))
@@ -1105,6 +1115,8 @@ object SparkEntry {
     "dedup_containment" -> DedupSql.ngramContainmentSql(),
     "dedup_fuzzy" -> DedupSql.fuzzyDupsSql(),
     "dedup_minhash_lsh" -> DedupSql.minhashLshSql(),
+    "dedup_minhash_delta" -> DedupDeltaSql.minhashDeltaDocumentsSql(),
+    "dedup_clusters_delta" -> DedupDeltaSql.clustersDeltaDocumentsSql,
     "dedup_minhash_calibration" -> MinhashCalibrationSql.contingencyDocumentsSql,
     "dedup_simhash" -> DedupSql.simhashPairsSql(),
     "dedup_clusters" -> DedupClustersSql.componentsSql(DedupSql.simhashPairsCte()),

@@ -79,7 +79,7 @@ object Dedup {
     * silent (read via QueryExecutionListener). One window count over the
     * same hash partitioning the downstream self-join shuffles on.
     */
-  private def capGroups(df: DataFrame, keyCol: String, cap: Int,
+  private[operators] def capGroups(df: DataFrame, keyCol: String, cap: Int,
       metricName: String, metricCol: String): DataFrame =
     df.withColumn("__cnt", count("*")
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
@@ -111,8 +111,8 @@ object Dedup {
     * mirror-exact in both engines) with trailing punctuation — whose
     * CANONICAL form is byte-identical to the original's, so the oracle row
     * asserts non-zero normalized duplicate groups (the raw corpus has none;
-    * a 0==0 row would verify nothing). Probe ids assume doc_id < 1e6 (true
-    * at every driver sf) — an oracle fixture, not a scale surface.
+    * a 0==0 row would verify nothing). Probe ids ride [[probeId]], which
+    * ENFORCES doc_id < [[ProbeIdSpace]] at row time.
     */
   def normProbeAugmented(docs: DataFrame): DataFrame = {
     val az = "abcdefghijklmnopqrstuvwxyz"
@@ -884,12 +884,12 @@ object DedupSql {
        |WHERE CAST(common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  private def minhashExprs: String =
+  private[operators] def minhashExprs: String =
     (0 until NumHashes).map { i =>
       s"list_min(list_transform(hs, x -> (${hashA(i)} * x + ${hashB(i)}) % $Prime))"
     }.mkString("[", ",\n       ", "]")
 
-  private def bandKeyExpr: String = {
+  private[operators] def bandKeyExpr: String = {
     val parts = (1 to Rows).map(k => s"mh[$Rows*j+$k]::VARCHAR").mkString(" || '-' || ")
     s"list_transform(range($Bands), j -> j::VARCHAR || '-' || $parts)"
   }

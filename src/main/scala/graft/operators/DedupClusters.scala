@@ -202,6 +202,37 @@ object DedupClusters {
     out.toSeq.toDF("doc_id", "cluster_id", "kept")
   }
 
+  /** Incremental keep-list maintenance: relabel after a recrawl WITHOUT
+    * recomputing the old snapshot's pair graph. The old (doc_id,
+    * cluster_id) label frame collapses each old component to its STAR —
+    * edges (cluster_id, doc_id), one per labeled doc, roots as self-loops —
+    * which preserves exactly the old pair set's connectivity and its
+    * component minima (the representative IS the min id, so the star
+    * center is the min). Unioning the delta pairs and re-running
+    * [[components]] therefore yields labels IDENTICAL to a from-scratch
+    * rebuild over (old pairs ∪ delta pairs): delta docs attach to existing
+    * clusters, delta pairs bridging two old clusters merge them (both
+    * stars adopt the smaller minimum), untouched clusters relabel to
+    * themselves. Equivalence pinned adversarially in DedupDeltaSpec; the
+    * driver oracle recomputes the rebuild side on real data.
+    *
+    * Scale: the star frame is |labeled docs| rows — the PAIR-GRAPH-sized
+    * input [[components]] is already designed for (size-switched driver
+    * fast path / distributed propagation), and near-dup components
+    * converge in a handful of rounds regardless of which side the edges
+    * came from. The representative is the component MINIMUM id —
+    * determinism is the contract, not keep-policy: a delta doc with a
+    * smaller id (e.g. a negated mirror probe) becomes the new
+    * representative, and a keep-policy layer (e.g. [[Dedup.keepBest]]'s
+    * quality ranking) decides survivorship downstream.
+    */
+  def incremental(oldLabels: DataFrame, deltaPairs: DataFrame,
+      maxIters: Int = 15): DataFrame =
+    components(
+      oldLabels.select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
+        .unionAll(deltaPairs.select(col("doc_a"), col("doc_b"))),
+      maxIters)
+
   /** Cluster-size histogram over a [[components]] label frame — the
     * keep-list health profile: how many clusters of each size the pair
     * graph collapses into (n_docs = size x clusters reconciles against
