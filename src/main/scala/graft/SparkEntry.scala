@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_minhash_clusters",
     "dedup_cluster_sizes",
     "dedup_clusters_delta",
+    "dedup_minhash_delta_streaming_file",
     "emb_kmeans_step_streaming_file",
     "emb_pq_codes_streaming_file",
     "emb_ivf_assign_streaming_file",
@@ -744,6 +745,11 @@ object SparkEntry {
     // the oracle rebuilds components from scratch, so the gate itself
     // certifies incremental == rebuild on real data
     "dedup_clusters_delta" -> (DedupDelta.clustersDeltaDocuments _),
+    // ingest-time form of the delta screen: delta docs arrive as file
+    // micro-batches and probe the SAME frozen index via stateless
+    // stream-static joins — same oracle as the batch screen
+    "dedup_minhash_delta_streaming_file" -> ((s, d) =>
+      streaming.StreamingDedupDelta.minhashDeltaFromFiles(s, d)),
     // estimator-vs-exact contingency on the SAME candidate/verify stages
     "dedup_minhash_calibration" -> (MinhashCalibration.contingencyDocuments _),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(sources.Tables.documents(s, d))
@@ -1116,6 +1122,7 @@ object SparkEntry {
     "dedup_fuzzy" -> DedupSql.fuzzyDupsSql(),
     "dedup_minhash_lsh" -> DedupSql.minhashLshSql(),
     "dedup_minhash_delta" -> DedupDeltaSql.minhashDeltaDocumentsSql(),
+    "dedup_minhash_delta_streaming_file" -> DedupDeltaSql.minhashDeltaDocumentsSql(),
     "dedup_clusters_delta" -> DedupDeltaSql.clustersDeltaDocumentsSql,
     "dedup_minhash_calibration" -> MinhashCalibrationSql.contingencyDocumentsSql,
     "dedup_simhash" -> DedupSql.simhashPairsSql(),

@@ -399,9 +399,16 @@ object Dedup {
     * MinHash x-values are the first 32 md5 bits == hash60 >>> 28, so the
     * hashed shingle array feeds signatures directly (no re-hashing).
     */
-  private def signatureExpr: Column = {
+  private def signatureExpr: Column = signatureOf(col("sh"))
+
+  /** The same signature fold over an explicit hashed-shingle column — the
+    * form the streaming delta screen applies to its file-scan-backed probe
+    * rows ([[graft.streaming.StreamingDedupDelta]]); expression-identical
+    * to [[signatureExpr]] by construction.
+    */
+  private[graft] def signatureOf(sh: Column): Column = {
     val perms = (0 until NumHashes).map { i =>
-      array_min(transform(col("sh"), x =>
+      array_min(transform(sh, x =>
         (lit(hashA(i)) * shiftright(x, 28) + lit(hashB(i))) % lit(Prime)))
     }
     array(perms: _*)
@@ -476,7 +483,7 @@ object Dedup {
     * their precomputed intersection size — shared by [[pairJaccard]] and
     * [[MinhashCalibration]] so the verify arithmetic cannot drift.
     */
-  private[operators] def jaccardOf(sha: Column, shb: Column,
+  private[graft] def jaccardOf(sha: Column, shb: Column,
       common: Column): Column =
     common.cast("double") / (size(sha) + size(shb) - common).cast("double")
 
