@@ -669,6 +669,15 @@ object SparkEntry {
       Decontaminate.contaminated(docs, Decontaminate.probeBenchmarks(docs))
         .orderBy(col("doc_id"))
     }),
+    // fuzzy (fractional-containment) decontamination: per benchmark item,
+    // the worst-offender containment ppm + leak-threshold doc count, banded
+    // by ppm decile; four probe regimes (exact / paraphrase / partial /
+    // clean) keep every band class non-vacuous
+    "text_decontaminate_fuzzy" -> ((s, d) => {
+      val docs = sources.Tables.documents(s, d)
+      Decontaminate.fuzzyContaminated(docs,
+        Decontaminate.fuzzyProbeBenchmarks(docs))
+    }),
     // the benchmark-side view of the same contamination join: which eval
     // items leaked, into how many training docs, through how many shingles
     "pipeline_contamination_report" -> ((s, d) => {
@@ -1103,6 +1112,7 @@ object SparkEntry {
     "q_exact_median" -> ExactQuantilesSql.mediansEventsSql,
     "q_ship_latency" -> ShipLatencySql.histogramTablesSql,
     "text_decontaminate" -> DecontaminateSql.contaminatedSql(),
+    "text_decontaminate_fuzzy" -> DecontaminateSql.fuzzyContaminatedSql(),
     "pipeline_contamination_report" -> DecontaminateSql.benchReportSql(),
     "dedup_minhash_clusters" -> DedupClustersSql.componentsSql(
       s"pairs AS (SELECT doc_a, doc_b FROM (${DedupSql.minhashLshSql()}) mp)"),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextSql => TS}
+import graft.functions.{TextFunctions => TF, TextSql => TS}
 
 /** Benchmark decontamination — the training-pipeline step that finds corpus
   * documents overlapping an evaluation suite, so they can be dropped before
@@ -86,6 +86,95 @@ object Decontaminate {
     * the shingle screen misses are near-certain). Identical join and
     * guard; only the aggregation key flips to bench_id.
     */
+  /** Fuzzy (fractional-overlap) decontamination — the paraphrase-aware form
+    * [[contaminated]] cannot be: flagging on >= 1 shared shingle treats a
+    * lightly-paraphrased benchmark item (most shingles still present, a few
+    * edited away) identically to a one-idiom coincidence, so an eval owner
+    * cannot RANK leakage severity. This form scores each benchmark item by
+    * CONTAINMENT — the fraction of the item's shingles present in a single
+    * corpus document, the asymmetric [[Dedup.ngramContainment]] denominator
+    * choice (the BENCH side, because a short eval item embedded in a long
+    * training document is full leakage regardless of the document's size) —
+    * and reports, per item, the worst-offender containment and how many
+    * corpus documents exceed the [[FlagPpm]] leak threshold.
+    *
+    * Arithmetic is integer ppm end-to-end (`common * 1e6 div bench_sz`, the
+    * Oversample rule), so both engines band identically; `band` is the ppm
+    * decile (0..10 — 10 is byte-exact shingle containment 1.0). Items whose
+    * shingles hit NOTHING in the corpus surface as band-0 rows (left join
+    * from the bench side): "this item is clean" is a verdict, not an
+    * absence.
+    *
+    * Scale shape: identical to [[contaminated]] — the benchmark inverted
+    * index is the broadcast side, the corpus never shuffles its postings,
+    * and the per-(item, doc) hit counts aggregate map-side on 16-byte keys.
+    * The per-item fold is |bench|-sized.
+    */
+  val FlagPpm = 500000L
+
+  def fuzzyContaminated(docs: DataFrame, bench: DataFrame,
+      n: Int = Dedup.ShingleN): DataFrame = {
+    val benchSets = Dedup.hashedShingleSets(bench, n)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    val corpusInv = Dedup.hashedShingleSets(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val benchInv = benchSets
+      .select(col("bench_id"), explode(col("sh")).as("s"))
+    val ppm = corpusInv.join(broadcast(benchInv), Seq("s"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("bench_id"), col("doc_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(benchSets.select(col("bench_id"),
+        size(col("sh")).cast("long").as("bench_sz"))), Seq("bench_id"))
+      .withColumn("ppm", expr("(common * 1000000) div bench_sz"))
+    val perItem = ppm.groupBy(col("bench_id"))
+      .agg(max(col("ppm")).as("max_containment_ppm"),
+        sum(when(col("ppm") >= FlagPpm, 1L).otherwise(0L)).as("n_flagged_docs"))
+    benchSets.select(col("bench_id"))
+      .join(perItem, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("max_containment_ppm"), lit(0L)).as("max_containment_ppm"),
+        expr("coalesce(max_containment_ppm, 0) div 100000").as("band"),
+        coalesce(col("n_flagged_docs"), lit(0L)).as("n_flagged_docs"))
+      .orderBy(col("bench_id"))
+  }
+
+  /** Probe benchmark suite for the FUZZY form — four leakage regimes so
+    * every band class is non-vacuous at any scale (ids negative, disjoint
+    * from the corpus id space at any corpus size; family spacing rides
+    * [[Dedup.probeId]]'s guarded offsets):
+    *
+    *  - byte-exact copies (band 10): the [[probeBenchmarks]] residue.
+    *  - paraphrase stand-ins (high fractional band): one token prepended —
+    *    every original shingle survives, exactly the zz-window shingles are
+    *    novel.
+    *  - partial leaks (mid band): the document's leading tokens followed by
+    *    item-unique junk — roughly half the item's shingles hit.
+    *  - clean items (band 0): fully synthetic text sharing no shingle with
+    *    any document.
+    */
+  def fuzzyProbeBenchmarks(docs: DataFrame): DataFrame = {
+    import Dedup.ProbeIdSpace
+    val exact = probeBenchmarks(docs)
+    val para = docs.filter(col("doc_id") % 100 === 23)
+      .select((-(Dedup.probeId(ProbeIdSpace) + 1)).as("doc_id"),
+        concat(lit("zz "), col("text")).as("text"))
+    val partial = docs.filter(col("doc_id") % 100 === 41 &&
+        TF.nTokens(col("text")) >= 16)
+      .select((-(Dedup.probeId(2 * ProbeIdSpace) + 1)).as("doc_id"),
+        concat(
+          concat_ws(" ", slice(TF.tokens(col("text")), 1, 8)),
+          lit(" "),
+          concat_ws(" ", (1 to 8).map(i =>
+            concat(lit(s"uq$i"), col("doc_id").cast("string"))): _*))
+          .as("text"))
+    val clean = docs.filter(col("doc_id") % 100 === 59)
+      .select((-(Dedup.probeId(3 * ProbeIdSpace) + 1)).as("doc_id"),
+        concat_ws(" ", (1 to 4).map(i =>
+          concat(lit(s"cl$i"), col("doc_id").cast("string"))): _*).as("text"))
+    exact.unionAll(para).unionAll(partial).unionAll(clean)
+  }
+
   def benchReport(docs: DataFrame, bench: DataFrame,
       n: Int = Dedup.ShingleN): DataFrame = {
     val corpusInv = Dedup.hashedShingleSets(docs, n)
@@ -128,6 +217,58 @@ object DecontaminateSql {
        |FROM cinv c JOIN binv b ON c.s = b.s AND c.doc_id <> b.bench_id
        |GROUP BY c.doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** Mirror of [[Decontaminate.fuzzyContaminated]] over
+    * [[Decontaminate.fuzzyProbeBenchmarks]] — same four probe families, same
+    * integer-ppm containment arithmetic, same band deciles, same
+    * clean-items-as-band-0 left join.
+    */
+  def fuzzyContaminatedSql(n: Int = Dedup.ShingleN): String = {
+    val junk = (1 to 8).map(i => s"' uq$i' || doc_id::VARCHAR").mkString(" || ")
+    val cleanText = (1 to 4).map(i => s"'cl$i' || doc_id::VARCHAR")
+      .mkString(" || ' ' || ")
+    s"""WITH bench AS (
+       |  SELECT -(doc_id + 1) AS doc_id, text
+       |  FROM documents WHERE doc_id % 100 = ${Decontaminate.ProbeResidue}
+       |  UNION ALL
+       |  SELECT -(doc_id + 1000001), 'zz ' || text
+       |  FROM documents WHERE doc_id % 100 = 23
+       |  UNION ALL
+       |  SELECT -(doc_id + 2000001),
+       |    array_to_string((${TS.tokens("text")})[1:8], ' ') || $junk
+       |  FROM documents WHERE doc_id % 100 = 41 AND ${TS.nTokens("text")} >= 16
+       |  UNION ALL
+       |  SELECT -(doc_id + 3000001), $cleanText
+       |  FROM documents WHERE doc_id % 100 = 59),
+       |bt AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM bench
+       |       WHERE ${TS.nTokens("text")} >= $n),
+       |bsets AS (
+       |  SELECT doc_id AS bench_id, list_distinct(${TS.shingles("text", n)}) AS sh
+       |  FROM bt),
+       |binv AS (SELECT bench_id, unnest(sh) AS s FROM bsets),
+       |ct AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM documents
+       |       WHERE ${TS.nTokens("text")} >= $n),
+       |cinv AS (
+       |  SELECT doc_id, unnest(list_distinct(${TS.shingles("text", n)})) AS s
+       |  FROM ct),
+       |hits AS (
+       |  SELECT b.bench_id, c.doc_id, count(*) AS common
+       |  FROM cinv c JOIN binv b ON c.s = b.s AND c.doc_id <> b.bench_id
+       |  GROUP BY 1, 2),
+       |ppm AS (
+       |  SELECT h.bench_id AS bid, (h.common * 1000000) // len(bs.sh) AS ppm
+       |  FROM hits h JOIN bsets bs ON h.bench_id = bs.bench_id),
+       |per AS (
+       |  SELECT bid AS bench_id, max(ppm) AS max_containment_ppm,
+       |    count(*) FILTER (WHERE ppm >= ${Decontaminate.FlagPpm}) AS n_flagged_docs
+       |  FROM ppm GROUP BY 1)
+       |SELECT b.bench_id,
+       |  coalesce(p.max_containment_ppm, 0) AS max_containment_ppm,
+       |  coalesce(p.max_containment_ppm, 0) // 100000 AS band,
+       |  coalesce(p.n_flagged_docs, 0) AS n_flagged_docs
+       |FROM bsets b LEFT JOIN per p ON b.bench_id = p.bench_id
+       |ORDER BY 1""".stripMargin
+  }
 
   /** Mirror of [[Decontaminate.benchReport]] — the same join CTEs with the
     * aggregation keyed on bench_id.

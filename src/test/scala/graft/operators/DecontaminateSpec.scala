@@ -113,4 +113,57 @@ class DecontaminateSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(probes == Set((-8L, "a b c d"), (-108L, "e f g h")))
   }
+
+  test("fuzzy containment: ppm arithmetic, band deciles, flag threshold, clean rows") {
+    // corpus doc with 16 distinct tokens -> 14 distinct 3-shingles
+    val docText = (1 to 16).map(i => s"t$i").mkString(" ")
+    val corpus = df((1L, docText))
+    val bench = df(
+      (-10L, docText),                                    // exact: 14/14
+      // partial: first 8 tokens + 8 junk -> 14 item shingles, 6 contained
+      (-20L, (1 to 8).map(i => s"t$i").mkString(" ") + " " +
+        (1 to 8).map(i => s"j$i").mkString(" ")),
+      (-30L, "x1 x2 x3 x4"))                              // clean: 0 hits
+    val got = Decontaminate.fuzzyContaminated(corpus, bench)
+      .select($"bench_id", $"max_containment_ppm", $"band", $"n_flagged_docs")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (-10L, 1000000L, 10L, 1L),
+      (-20L, 428571L, 4L, 0L), // floor(6e6/14) < FlagPpm -> not flagged
+      (-30L, 0L, 0L, 0L)))     // clean items surface as band-0 rows
+  }
+
+  test("fuzzy containment keeps the worst offender and counts flagged docs per item") {
+    val docText = (1 to 16).map(i => s"t$i").mkString(" ")
+    // doc 1 contains the item byte-exactly; doc 2 contains ~3/4 of it:
+    // tokens t1..t12 -> item shingles fully inside t1..t12 = 10 of 14
+    val corpus = df((1L, docText), (2L, (1 to 12).map(i => s"t$i").mkString(" ")))
+    val bench = df((-10L, docText))
+    val got = Decontaminate.fuzzyContaminated(corpus, bench)
+      .select($"max_containment_ppm", $"band", $"n_flagged_docs")
+      .as[(Long, Long, Long)].collect().toSeq
+    // max over offenders is the exact copy; BOTH docs clear the 0.5 flag
+    // (10/14 = 714285 ppm >= FlagPpm)
+    assert(got == Seq((1000000L, 10L, 2L)))
+  }
+
+  test("fuzzy plan broadcasts the benchmark side like the exact form") {
+    val corpus = df((1L, benchText))
+    val plan = Decontaminate.fuzzyContaminated(corpus, df((-10L, benchText)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("fuzzy probe suite: four regimes under disjoint guarded negative id spaces") {
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val corpus = df((7L, base), (23L, base), (41L, base), (59L, base))
+    val probes = Decontaminate.fuzzyProbeBenchmarks(corpus)
+      .as[(Long, String)].collect().toMap
+    assert(probes.keySet == Set(-8L, -1000024L, -2000042L, -3000060L))
+    assert(probes(-8L) == base)                      // exact copy
+    assert(probes(-1000024L) == s"zz $base")         // paraphrase stand-in
+    assert(probes(-2000042L).startsWith("w1 w2 w3 w4 w5 w6 w7 w8 uq1"))
+    assert(probes(-3000060L).startsWith("cl1"))      // fully synthetic
+  }
 }
