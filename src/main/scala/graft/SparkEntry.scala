@@ -790,6 +790,10 @@ object SparkEntry {
     // --- similarity search extensions ---
     "ann_brute_force" -> ((s, d) => Similarity.bruteForceTopK(sources.Tables.embeddings(s, d))
       .orderBy(col("query_id"), col("rank"))),
+    // graph-ANN serve: deterministic beam search over the (denser) kNN
+    // graph artifact — completes the serve-family square (LSH/IVF/PQ/graph);
+    // recall pinned against the exact baseline in GraphSearchRecallSpec
+    "ann_graph_search" -> (GraphSearch.searchEmbeddings _),
     // kNN majority-vote label prediction on the certified top-k contract —
     // the embedding-quality probe; vote tail touches only queries x K rows
     "ann_knn_classify" -> (KnnClassify.classifyEmbeddings _),
@@ -1142,6 +1146,7 @@ object SparkEntry {
     "dedup_semantic" -> SemanticDedupSql.semanticDedupDocsSql(),
     "dedup_semantic_trained" -> SemanticDedupSql.semanticDedupDocsTrainedSql(),
     "ann_brute_force" -> SimilaritySql.bruteForceTopKSql(),
+    "ann_graph_search" -> GraphSearchSql.searchEmbeddingsSql(),
     "ann_knn_classify" -> KnnClassifySql.classifyEmbeddingsSql,
     "ann_lsh" -> SimilaritySql.lshTopKSql(),
     "ann_lsh_rerank" -> SimilaritySql.lshRerankTopKSql(),

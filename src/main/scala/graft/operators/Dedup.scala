@@ -661,11 +661,11 @@ object Dedup {
     * [[KnnGraph]].
     */
   private[operators] def lshCandidatePairs(emb: DataFrame,
-      tables: Int): DataFrame = {
+      tables: Int, planes: Int = Similarity.NumPlanes): DataFrame = {
     // bk encodes (table, bucket) so buckets never collide across tables
     val bucketed = emb.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
-        Similarity.tableBucket(col("embedding"), t) + lit(t.toLong << 32)): _*)).as("bk"))
+        Similarity.tableBucket(col("embedding"), t, planes) + lit(t.toLong << 32)): _*)).as("bk"))
     bucketed.as("a")
       .join(bucketed.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => VF, VectorSql => VS}
+import graft.sources.Tables
+
+/** Graph-based ANN serve — beam search over the corpus kNN graph
+  * ([[KnnGraph]]), completing the serve-family square (LSH / IVF / PQ /
+  * graph): starting from a fixed seed set, each hop expands the current
+  * beam's out-edges, scores the expanded candidate set against the query,
+  * and keeps the best [[Beam]] nodes; after [[Hops]] hops the beam's top-k
+  * (query excluded) is the answer. Deterministic end-to-end: fixed seeds
+  * (smallest non-query ids), cosine ties broken on vec_id, hop count fixed
+  * — so the oracle replays the identical search, unrolled hop by hop.
+  *
+  * The SERVE graph is built denser than the analysis artifact
+  * ([[ServeGraphK]] = 8 out-edges vs `ann_knn_graph`'s 3) — the standard
+  * graph-ANN trade (HNSW's M): a 3-edge graph strands the walk in local
+  * optima, while the build cost stays one window over the SAME certified
+  * LSH candidate stage (the [[KnnGraph.graph]] spelling verbatim,
+  * parameterized k). Recall@5 against the exact baseline is pinned at
+  * sf0.1 in GraphSearchRecallSpec (the IvfProbeCurveSpec discipline).
+  *
+  * Scale shape: hops are BOUNDED equi-join rounds — beam rows join the
+  * edge table on node id (at deployment scale the edge table is bucketed
+  * by vec_id, exchange-free; here it is a cached frame), candidates are
+  * <= nq x Beam x (ServeGraphK + 1) rows per hop, and scoring joins the
+  * bounded candidate set against the corpus on vec_id with the nq-row
+  * query set broadcast. Nothing scans the corpus per query — the whole
+  * point of serving from the graph artifact. The seed cross join is a
+  * broadcast of a [[NumSeeds]]-row constant frame; it sits inside the
+  * cached beam-0 relation, so PlanAuditSpec's BNLJ grep never sees it —
+  * recorded here with the same single-row-broadcast rationale the counted
+  * exemptions carry.
+  */
+object GraphSearch {
+
+  /** Out-degree of the serve graph (denser than the analysis kNN graph).
+    *
+    * Knobs sit at the MEASURED recall knee at sf0.1 (the ann_rerank_batch
+    * discipline — sweep first, pin the knee, floor in-suite). Recall@5 vs
+    * the exact baseline:
+    *
+    *   graphK=8:  beam 16/hops 3 0.200 · beam 32/hops 6 0.875 (plateau)
+    *   graphK=12: beam 32/hops 6 0.900 · beam 48/hops 6 0.925
+    *   graphK=16: beam 32/hops 4 0.975 (knee — hops 6 and beam 48 add 0)
+    *
+    * The graphK=8 plateau is REACHABILITY, not walk budget (hops 6 -> 10
+    * moves nothing): a thin graph strands true neighbors with no in-path
+    * from the seeds. Density buys the ceiling; beam/hops stop mattering
+    * right after.
+    */
+  val ServeGraphK = 16
+
+  /** The serve graph draws its edges from the TOP-K LSH regime
+    * ([[Similarity.TopKPlanes]]-plane buckets, the `ann_lsh` trade): a
+    * navigable graph needs edges spanning ordinary neighbor distances
+    * (cos ~ 0.5). The near-dup regime's 6-plane buckets connect only
+    * near-identical vectors, stranding the walk in its seed neighborhood —
+    * measured recall@5 0.200 at sf0.1 before this knob, 0.9+ after.
+    */
+  val ServePlanes: Int = Similarity.TopKPlanes
+  val ServeTables: Int = Similarity.TopKTables
+
+  /** Fixed entry points: the [[NumSeeds]] smallest non-query vec_ids. */
+  val NumSeeds = 4
+
+  /** Beam width kept per query per hop. */
+  val Beam = 32
+
+  /** Expansion rounds (graph diameter budget). */
+  val Hops = 4
+
+  /** Beam search over `graph` (columns vec_id, nbr_id) for the standard
+    * query set (vec_id < queryMaxId, the ann-family convention).
+    */
+  def search(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5,
+      beam: Int = Beam, hops: Int = Hops, numSeeds: Int = NumSeeds,
+      graphK: Int = ServeGraphK): DataFrame = {
+    val corpus = emb.select(col("vec_id").as("node"),
+      col("embedding").as("nv"))
+    val queries = emb.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val edges = Caching.cached(
+      KnnGraph.graph(emb, graphK, ServeTables, ServePlanes)
+        .select(col("vec_id"), col("nbr_id")))
+    val seeds = emb.filter(col("vec_id") >= queryMaxId)
+      .select(col("vec_id").as("node")).orderBy(col("node")).limit(numSeeds)
+
+    // score a (query_id, node) candidate set; the query side is an nq-row
+    // broadcast, the candidate side is beam-bounded
+    def score(cand: DataFrame): DataFrame =
+      cand.join(corpus, Seq("node"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          VF.cosine(col("qv"), col("nv")).as("s"))
+
+    def topBeam(scored: DataFrame, width: Int): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("s").desc, col("node"))
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= width).drop("__r")
+    }
+
+    // each hop references the previous beam TWICE (keep ∪ expand), so an
+    // uncached chain doubles the upstream subtree per hop — 2^hops copies
+    // of the seed stage and one full graph rebuild per hop (measured: 61
+    // exchanges / 16 BNLJ in the 4-hop plan). Caching every beam (nq x
+    // Beam rows — trivial) makes the executed work linear in hops; the
+    // caches are lazy, so the query stays a plain lazy DataFrame.
+    val beam0 = Caching.cached(topBeam(score(
+      broadcast(queries.select(col("query_id"))).crossJoin(seeds)), beam))
+    val after = (1 to hops).foldLeft(beam0) { (b, _) =>
+      val expanded = b.select(col("query_id"), col("node"))
+        .unionAll(b.join(edges, b("node") === edges("vec_id"))
+          .select(col("query_id"), col("nbr_id").as("node")))
+        .distinct()
+      Caching.cached(topBeam(score(expanded), beam))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("node"))
+    after.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("node").as("vec_id"),
+        round(col("s"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Driver query: graph-ANN top-5 for the standard query set. */
+  def searchEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    search(Tables.embeddings(spark, dir))
+}
+
+/** DuckDB oracle for [[GraphSearch]]: the SAME serve graph (the
+  * [[KnnGraphSql.graphCtes]] chain at [[GraphSearch.ServeGraphK]]), the
+  * same fixed seeds, and the beam recursion UNROLLED hop by hop — each hop
+  * one expand-score-rank CTE pair, identical beam arithmetic and tie
+  * order.
+  */
+object GraphSearchSql {
+  import GraphSearch._
+
+  def searchEmbeddingsSql(queryMaxId: Long = 8, k: Int = 5,
+      beam: Int = Beam, hops: Int = Hops, numSeeds: Int = NumSeeds,
+      graphK: Int = ServeGraphK): String = {
+    val cos = VS.cosine("q.qv", "e.embedding")
+    def beamCte(h: Int, candSrc: String): String =
+      s"""beam$h AS (
+         |  SELECT query_id, node, s FROM (
+         |    SELECT c.query_id, c.node, $cos AS s, row_number() OVER (
+         |      PARTITION BY c.query_id ORDER BY $cos DESC, c.node) AS r
+         |    FROM ($candSrc) c
+         |    JOIN embeddings e ON c.node = e.vec_id
+         |    JOIN qs q ON c.query_id = q.query_id)
+         |  WHERE r <= $beam)""".stripMargin
+    val hopCtes = (1 to hops).map { h =>
+      val prev = s"beam${h - 1}"
+      beamCte(h,
+        s"""SELECT query_id, node FROM $prev
+           |      UNION
+           |      SELECT b.query_id, g.nbr_id AS node
+           |      FROM $prev b JOIN knn_edges g ON b.node = g.vec_id""".stripMargin)
+    }.mkString(",\n")
+    s"""WITH ${KnnGraphSql.graphCtes(graphK, ServeTables, ServePlanes)},
+       |qs AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < $queryMaxId),
+       |seeds AS (
+       |  SELECT vec_id AS node FROM embeddings WHERE vec_id >= $queryMaxId
+       |  ORDER BY vec_id LIMIT $numSeeds),
+       |${beamCte(0, "SELECT q.query_id, sd.node FROM qs q CROSS JOIN seeds sd")},
+       |$hopCtes
+       |SELECT query_id, r AS rank, node AS vec_id, round(s, 6) AS cos FROM (
+       |  SELECT query_id, node, s, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY s DESC, node) AS r
+       |  FROM beam$hops WHERE node <> query_id)
+       |WHERE r <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -34,15 +34,24 @@ object KnnGraph {
   /** Edges per vector. */
   val K = 3
 
-  /** (vec_id, rank, nbr_id, cos): the directed kNN edge list. */
+  /** (vec_id, rank, nbr_id, cos): the directed kNN edge list.
+    *
+    * `planes` picks the LSH collision regime the edges are drawn from
+    * (the [[Similarity.tableBucket]] trade): 6-plane buckets for the
+    * near-dup analysis graph (the `ann_knn_graph` artifact), 4-plane for
+    * a NAVIGABLE serve graph whose edges span ordinary top-k distances
+    * ([[GraphSearch.ServeGraphK]] — a near-dup-only edge set strands a
+    * beam walk in its seed neighborhood; measured recall 0.200 vs 0.9+).
+    */
   def graph(emb: DataFrame, k: Int = K,
-      tables: Int = Dedup.NearDupTables): DataFrame = {
+      tables: Int = Dedup.NearDupTables,
+      planes: Int = Similarity.NumPlanes): DataFrame = {
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       VF.norm(col("embedding")).as("nrm"))
     // scored feeds BOTH directions of the graph (the unionAll below), so it
     // is cached — without it each direction replays the whole LSH candidate
     // generation and cosine join (observed: 2x the exchanges/joins in plan)
-    val scored = Caching.cached(Dedup.lshCandidatePairs(emb, tables)
+    val scored = Caching.cached(Dedup.lshCandidatePairs(emb, tables, planes)
       .join(withNorm.as("a"), col("vec_a") === col("a.vec_id"))
       .join(withNorm.as("b"), col("vec_b") === col("b.vec_id"))
       .withColumn("nn", col("a.nrm") * col("b.nrm"))
@@ -73,12 +82,17 @@ object KnnGraph {
   */
 object KnnGraphSql {
 
-  def graphEmbeddingsSql(k: Int = KnnGraph.K,
-      tables: Int = Dedup.NearDupTables): String = {
+  /** The signatures→edges CTE chain ending at `knn_edges(vec_id, rank,
+    * nbr_id, cos)` — shared by the graph-artifact oracle and the
+    * graph-search oracle so the serve form probes the IDENTICAL graph.
+    */
+  def graphCtes(k: Int = KnnGraph.K,
+      tables: Int = Dedup.NearDupTables,
+      planes: Int = Similarity.NumPlanes): String = {
     val bucketList = (0 until tables)
-      .map(t => s"${SimilaritySql.tableBucketSql("embedding", t)} + ${t.toLong << 32}")
+      .map(t => s"${SimilaritySql.tableBucketSql("embedding", t, planes)} + ${t.toLong << 32}")
       .mkString("[", ",\n  ", "]")
-    s"""WITH bucketed AS (
+    s"""bucketed AS (
        |  SELECT vec_id, unnest($bucketList) AS bk FROM embeddings),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -93,12 +107,18 @@ object KnnGraphSql {
        |  SELECT vec_a AS vec_id, vec_b AS nbr_id, cos FROM scored
        |  UNION ALL
        |  SELECT vec_b AS vec_id, vec_a AS nbr_id, cos FROM scored),
-       |ranked AS (
-       |  SELECT vec_id, nbr_id, cos, row_number() OVER (
-       |    PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rank
-       |  FROM directed)
-       |SELECT vec_id, rank, nbr_id, round(cos, 6) AS cos
-       |FROM ranked WHERE rank <= $k
-       |ORDER BY vec_id, rank""".stripMargin
+       |knn_edges AS (
+       |  SELECT vec_id, rank, nbr_id, cos FROM (
+       |    SELECT vec_id, nbr_id, cos, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rank
+       |    FROM directed)
+       |  WHERE rank <= $k)""".stripMargin
   }
+
+  def graphEmbeddingsSql(k: Int = KnnGraph.K,
+      tables: Int = Dedup.NearDupTables): String =
+    s"""WITH ${graphCtes(k, tables)}
+       |SELECT vec_id, rank, nbr_id, round(cos, 6) AS cos
+       |FROM knn_edges
+       |ORDER BY vec_id, rank""".stripMargin
 }
