@@ -448,6 +448,10 @@ object SparkEntry {
     // all-corpus kNN edge list: the near-dup LSH candidate stage verbatim,
     // one cosine fold per undirected pair, high-cardinality top-k window
     "ann_knn_graph" -> (KnnGraph.graphEmbeddings _),
+    // incremental graph maintenance: frozen old edges + delta-touching
+    // pairs re-ranked — the oracle is the full-rebuild spelling VERBATIM,
+    // so the gate itself certifies incremental == rebuild
+    "ann_knn_graph_delta" -> (KnnGraph.deltaGraphEmbeddings _),
     // pairwise dimension co-moments (covariance/PCA prep): one reused
     // element exchange, map-side combine to the |Dim|^2/2 pair domain
     "emb_covariance" -> (EmbCovariance.comomentsEmbeddings _),
@@ -1050,6 +1054,7 @@ object SparkEntry {
     "pipeline_corpus_profile" -> CorpusProfileSql.profileDocumentsSql,
     "pipeline_source_overlap" -> SourceOverlapSql.overlapDocumentsSql(),
     "ann_knn_graph" -> KnnGraphSql.graphEmbeddingsSql(),
+    "ann_knn_graph_delta" -> KnnGraphSql.graphEmbeddingsSql(),
     "emb_covariance" -> EmbCovarianceSql.comomentsEmbeddingsSql,
     "pipeline_dataset_card" -> DatasetCardSql.cardDocumentsSql,
     "emb_distance_histogram" -> DistanceHistogramSql.histogramEmbeddingsSql(),
