@@ -787,6 +787,10 @@ object SparkEntry {
     "ann_range" -> ((s, d) => Similarity.lshRange(
       Dedup.probeAugmented(sources.Tables.embeddings(s, d)))),
     "dedup_semantic" -> (SemanticDedup.semanticDedupDocs _),
+    // SemDeDup of the recrawl delta against the FROZEN old codebook +
+    // keep-list: dup_of_old (mirror case, id order irrelevant) and the
+    // intra-delta greedy rule, both probe-certified
+    "dedup_semantic_delta" -> (SemanticDedup.semanticDedupDeltaDocs _),
     // the paper's actual shape: k-means-TRAINED clusters (one exact-
     // integer Lloyd step, the trained-IVF codebook chain), same scoping
     // and keep rule
@@ -1149,6 +1153,7 @@ object SparkEntry {
     "dedup_embedding" -> DedupSql.embeddingNearDupSql(),
     "ann_range" -> SimilaritySql.lshRangeSql(),
     "dedup_semantic" -> SemanticDedupSql.semanticDedupDocsSql(),
+    "dedup_semantic_delta" -> SemanticDedupSql.semanticDedupDeltaDocsSql(),
     "dedup_semantic_trained" -> SemanticDedupSql.semanticDedupDocsTrainedSql(),
     "ann_brute_force" -> SimilaritySql.bruteForceTopKSql(),
     "ann_graph_search" -> GraphSearchSql.searchEmbeddingsSql(),

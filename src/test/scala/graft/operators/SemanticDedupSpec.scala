@@ -78,4 +78,56 @@ class SemanticDedupSpec extends SparkSpec {
     val df2 = frame(rows: _*).repartition(11)
     assert(run(df1).toSeq.sortBy(_._1) == run(df2).toSeq.sortBy(_._1))
   }
+
+  private def runDelta(old: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame, cap: Long = 512L) =
+    SemanticDedup.semanticDedupDelta(old, delta, k = 2, cap = cap)
+      .select($"vec_id", $"capped", $"dup_of_old", $"kept")
+      .as[(Long, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("delta: existing content wins regardless of id order") {
+    // old member 9 holds content u; delta id 5 < 9 re-crawls the same
+    // content — the delta copy is dropped (dup_of_old), NOT the old one:
+    // the frozen keep-list is immutable, unlike the intra-batch min-id rule
+    val u = Array(1f, 0f, 0.5f, 0f)
+    val got = runDelta(frame(0L -> c0, 1L -> c1, 9L -> u), frame(5L -> u))
+    assert(got(5L) == ((false, true, false)), got)
+  }
+
+  test("delta: dropped old members do not dominate — only the kept corpus does") {
+    // y5 ~ y9 (cos 0.961 >= 0.95): old dedup keeps 5, drops 9. Delta z is
+    // within threshold of the DROPPED 9 only (cos 0.961) and below it to
+    // the kept 5 (cos 0.848) -> z survives: it does not duplicate anything
+    // that actually enters training
+    def ray(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, 0f,
+      math.sin(math.toRadians(deg)).toFloat, 0f)
+    val got = runDelta(
+      frame(0L -> c0, 1L -> c1, 5L -> ray(0), 9L -> ray(16)),
+      frame(40L -> ray(32)))
+    assert(got(40L) == ((false, false, true)), got)
+  }
+
+  test("delta: intra-batch greedy min-id among the arrivals themselves") {
+    // cos(x, c0) = 1/sqrt(1.25) = 0.894 < 0.95: leans cluster 0 without
+    // near-dupping its kept member (the centroid vector itself)
+    val x = Array(1f, 0f, 0.5f, 0f)
+    val got = runDelta(frame(0L -> c0, 1L -> c1),
+      frame(20L -> x, 30L -> x))
+    assert(got(20L) == ((false, false, true)), got)
+    assert(got(30L) == ((false, false, false)), got) // dominated by 20
+  }
+
+  test("delta: the probe-time census caps on old-kept + arriving members") {
+    // x stays below threshold to c0 (0.894) so old member 5 survives the
+    // old dedup and the census really counts old-KEPT members
+    val x = Array(1f, 0f, 0.5f, 0f)
+    // cluster 0 census: old kept {0, 5} + delta {20, 30} = 4 > cap=3 ->
+    // delta members flagged and kept even though 20/30 are identical
+    val got = runDelta(frame(0L -> c0, 1L -> c1, 5L -> x),
+      frame(20L -> x, 30L -> x), cap = 3L)
+    assert(got(20L) == ((true, false, true)), got)
+    assert(got(30L) == ((true, false, true)), got)
+  }
 }
