@@ -802,6 +802,15 @@ object SparkEntry {
     // graph artifact — completes the serve-family square (LSH/IVF/PQ/graph);
     // recall pinned against the exact baseline in GraphSearchRecallSpec
     "ann_graph_search" -> (GraphSearch.searchEmbeddings _),
+    // hybrid retrieval: integral reciprocal-rank fusion of the BM25
+    // lexical list and the exact-cosine vector list (nq x depth rows each
+    // — fusion is corpus-size-free; cost lives in the certified legs)
+    "ann_hybrid_rrf" -> (Bm25.hybridDocuments _),
+    // lexical retrieval serve: MoreLikeThis top-idf query-term selection
+    // (the tfidf spelling) + BM25 scoring in floored integral micro-nats
+    // over the ONE posting-frame corpus explode; candidates are
+    // posting-union-sized via the broadcast query-term probe
+    "text_bm25_topk" -> (Bm25.bm25Documents _),
     // kNN majority-vote label prediction on the certified top-k contract —
     // the embedding-quality probe; vote tail touches only queries x K rows
     "ann_knn_classify" -> (KnnClassify.classifyEmbeddings _),
@@ -1157,6 +1166,8 @@ object SparkEntry {
     "dedup_semantic_trained" -> SemanticDedupSql.semanticDedupDocsTrainedSql(),
     "ann_brute_force" -> SimilaritySql.bruteForceTopKSql(),
     "ann_graph_search" -> GraphSearchSql.searchEmbeddingsSql(),
+    "ann_hybrid_rrf" -> Bm25Sql.hybridDocumentsSql(),
+    "text_bm25_topk" -> Bm25Sql.bm25DocumentsSql(),
     "ann_knn_classify" -> KnnClassifySql.classifyEmbeddingsSql,
     "ann_lsh" -> SimilaritySql.lshTopKSql(),
     "ann_lsh_rerank" -> SimilaritySql.lshRerankTopKSql(),

@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, TextSql => TS}
+import graft.sources.Tables
+
+/** Lexical retrieval serve over the corpus posting index: BM25 top-k
+  * (Lucene-style "more-like-this") and hybrid lexical+vector fusion via
+  * reciprocal-rank fusion — the two retrieval shapes a RAG/training-data
+  * pipeline runs beside the embedding ANN families ([[Similarity]]).
+  *
+  * Design, Spark-first:
+  *  - The corpus explodes ONCE into the (doc_id, term, tf) posting frame —
+  *    the same inverted-index discipline as [[TextAnalysis.tfidfTopTerms]];
+  *    document frequency, document length, and the corpus-level (N,
+  *    total_len) statistics all derive from that already-aggregated frame,
+  *    so no second explode and no extra corpus scan. At 100 TB the posting
+  *    frame IS the persisted index artifact (term-bucketed on disk, the
+  *    [[graft.sources.StorageLayout]] layout); the in-query build prices
+  *    index construction the way `ann_ivf_pq_rerank` prices codebook
+  *    training — build and serve in one certified query.
+  *  - Query-term selection is Lucene MoreLikeThis: each query document
+  *    keeps only its [[QueryTerms]] most distinctive terms by the CERTIFIED
+  *    tf-idf spelling ([[TextAnalysis.tfidfTopTerms]]'s smoothed idf,
+  *    rounded before ranking so near-tie float ordering cannot diverge) —
+  *    the knob that bounds serve cost to nq x QueryTerms posting lists
+  *    instead of nq full documents. The selected terms (with their df,
+  *    already joined) are a <= nq x QueryTerms row frame, broadcast into
+  *    the posting join: the corpus index never reshuffles, candidates are
+  *    posting-union-sized, never corpus x nq.
+  *  - Scoring is integral end-to-end past one double expression: each
+  *    (query, term, doc) BM25 contribution — idf = ln(1 + (N - df + 0.5) /
+  *    (df + 0.5)), tf saturation k1 = 1.2 / length normalization b = 0.75,
+  *    avgdl spelled as the exact integer ratio len x N / total_len — is
+  *    floored to BIGINT micro-nats ([[BigramSurprisal]]'s discipline: the
+  *    1-ulp ln residual is the accepted trade), so the per-candidate sum is
+  *    an INTEGER sum — associative, order-independent, identical in both
+  *    engines regardless of partial-aggregation order.
+  *  - The per-query top-k is a windowed row_number over
+  *    (score_unats desc, doc_id) — a total order, ties cannot reorder
+  *    across engines. Self-matches are excluded, mirroring
+  *    [[Similarity.bruteForceTopK]], so the two serve families' lists fuse
+  *    1:1 in [[hybridRrf]].
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Query documents: doc_id < QueryCount — the same ids (and the same
+    * entities: the driver's documents and embeddings tables share the
+    * 0..N-1 id space) as the ANN families' vec_id < 8 query set, so hybrid
+    * fusion is a per-id join, not an alignment guess.
+    */
+  val QueryCount = 8L
+
+  /** Distinctive terms kept per query document (the MoreLikeThis serve-cost
+    * bound). 16 terms over the synthetic vocabulary keeps every query's
+    * candidate set well-populated at all test scales while bounding the
+    * posting join; at 100 TB this is the knob that decides how many posting
+    * lists a query fans out to.
+    */
+  val QueryTerms = 16
+
+  val TopK = 5
+
+  /** The standard RRF constant (Cormack et al. 2009). */
+  val RrfK = 60
+
+  /** Per-system candidate-list depth fused by [[hybridRrf]] — deeper than
+    * the served top-k so a document ranked 12th by both systems can outrank
+    * one ranked 3rd by a single system (the case fusion exists for).
+    */
+  val FusionDepth = 20
+
+  /** The (doc_id, term, tf) posting frame — the ONE corpus explode, term
+    * frequencies combined map-side before the (doc_id, term) shuffle.
+    * Empty-string tokens (blank documents) are dropped, matching
+    * [[TextAnalysis.vocabTopK]]; corpus statistics below therefore count
+    * exactly the documents that can match at all.
+    */
+  private def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-k BM25 retrieval for the [[QueryCount]] query documents.
+    * Returns (query_id, rank, doc_id, n_terms, score_unats) — the score in
+    * floored micro-nats, n_terms the matched-term count (the WAND-style
+    * candidate-quality signal).
+    */
+  def bm25TopK(docs: DataFrame, k: Int = TopK): DataFrame = {
+    // one cached pass over the corpus feeds df / doclen / stats / probe —
+    // plan reuse for the in-query build; a deployment reads the persisted
+    // term-bucketed posting index instead
+    val tf = Caching.cached(postings(docs))
+    val doclen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val dfFrame = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = doclen.agg(count(lit(1)).as("n"), sum(col("len")).as("total_len"))
+
+    // MoreLikeThis term selection: the certified tfidf spelling (smoothed
+    // idf, ROUNDED before ranking) over the query docs only; df rides along
+    // so the broadcast probe frame carries everything term-level
+    val qtf = tf.filter(col("doc_id") < QueryCount)
+    val selW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("sel_score").desc, col("term"))
+    val qterms = qtf.join(dfFrame, Seq("term"))
+      .crossJoin(broadcast(stats.select(col("n"))))
+      .withColumn("sel_score",
+        round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .withColumn("__r", row_number().over(selW))
+      .filter(col("__r") <= QueryTerms)
+      .select(col("doc_id").as("query_id"), col("term"), col("df"))
+
+    // posting probe: candidates are posting-union-sized; doclen joins on
+    // doc_id AFTER the candidate filter, so only matched docs pay it
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val sat = col("tf") * (K1 + 1.0) /
+      (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("len") * col("n") / col("total_len")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_unats").desc, col("doc_id"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(doclen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", floor(idf * sat * 1e6))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_unats"), count(lit(1)).as("n_terms"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_terms"), col("score_unats"))
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical list and
+    * the exact-cosine vector list ([[Similarity.bruteForceTopK]] — the
+    * certified exact baseline, so the fusion itself is exactly testable;
+    * swapping in an ANN family is a one-line substitution at deploy time).
+    *
+    * rrf(d) = Σ_systems 1e6 div (60 + rank_d) — ranks are integers, the
+    * division is INTEGRAL, so fusion is exact in both engines by
+    * construction: zero float risk. A document absent from one system's
+    * top-[[FusionDepth]] contributes 0 from that system (rank reported as 0
+    * — "not retrieved" — keeping the output columns non-null so the two
+    * engines' null handling never meets the comparator).
+    *
+    * Scale shape: both inputs are nq x depth rows — fusion costs nothing at
+    * any corpus size; the expense lives in the two (independently certified
+    * and independently scalable) retrieval legs.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame,
+      k: Int = TopK, depth: Int = FusionDepth): DataFrame = {
+    val lex = bm25TopK(docs, depth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val vec = Similarity.bruteForceTopK(emb, QueryCount, depth)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("vec_rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+      .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0L)))
+      .withColumn("rrf_ppm",
+        when(col("lex_rank") > 0, expr(s"1000000L div (${RrfK}L + lex_rank)"))
+          .otherwise(0L) +
+        when(col("vec_rank") > 0, expr(s"1000000L div (${RrfK}L + vec_rank)"))
+          .otherwise(0L))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_ppm"))
+  }
+
+  /** Driver query: BM25 top-k over the documents table. */
+  def bm25Documents(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(Tables.documents(spark, dir))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Driver query: hybrid RRF over documents + embeddings. */
+  def hybridDocuments(spark: SparkSession, dir: String): DataFrame =
+    hybridRrf(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+      .orderBy(col("query_id"), col("rank"))
+}
+
+/** DuckDB oracle for [[Bm25]] — same tokenizer, same constants, same
+  * paren-for-paren double expression inside the floor, same integral sums
+  * and integral RRF division.
+  */
+object Bm25Sql {
+  import Bm25._
+
+  /** CTE chain ending in `bm_ranked(query_id, rank, doc_id, n_terms,
+    * score_unats)` — shared by the standalone query and the hybrid oracle.
+    */
+  private def bm25Ctes: String =
+    s"""bm_tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(${TS.tokens("text")}) AS term FROM documents)
+       |  WHERE length(term) > 0 GROUP BY 1, 2),
+       |bm_len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+       |  FROM bm_tf GROUP BY 1),
+       |bm_df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM bm_tf GROUP BY 1),
+       |bm_stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(len) AS BIGINT) AS total_len FROM bm_len),
+       |bm_qsel AS (
+       |  SELECT doc_id AS query_id, term, df, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY
+       |      round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) DESC, term
+       |  ) AS __r
+       |  FROM bm_tf JOIN bm_df USING (term), bm_stats
+       |  WHERE doc_id < $QueryCount),
+       |bm_qterms AS (SELECT query_id, term, df FROM bm_qsel
+       |  WHERE __r <= $QueryTerms),
+       |bm_scored AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    CAST(sum(CAST(floor(
+       |      ln(1.0 + (s.n - q.df + 0.5) / (q.df + 0.5)) *
+       |      (t.tf * (${K1} + 1.0) /
+       |        (t.tf + ${K1} * (1.0 - ${B} + ${B} * l.len * s.n / s.total_len)))
+       |      * 1e6) AS BIGINT)) AS BIGINT) AS score_unats,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM bm_tf t
+       |  JOIN bm_qterms q USING (term)
+       |  JOIN bm_len l ON t.doc_id = l.doc_id, bm_stats s
+       |  WHERE t.doc_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |bm_ranked AS (
+       |  SELECT query_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score_unats DESC, doc_id) AS rank,
+       |    doc_id, n_terms, score_unats
+       |  FROM bm_scored)""".stripMargin
+
+  def bm25DocumentsSql(k: Int = TopK): String =
+    s"""WITH $bm25Ctes
+       |SELECT query_id, rank, doc_id, n_terms, score_unats
+       |FROM bm_ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  def hybridDocumentsSql(k: Int = TopK, depth: Int = FusionDepth): String = {
+    import graft.functions.{VectorSql => VS}
+    s"""WITH $bm25Ctes,
+       |lex AS (SELECT query_id, doc_id, rank AS lex_rank
+       |  FROM bm_ranked WHERE rank <= $depth),
+       |vq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < $QueryCount),
+       |vscored AS (
+       |  SELECT vq.query_id, c.vec_id AS doc_id,
+       |    ${VS.cosine("vq.qv", "c.embedding")} AS cos
+       |  FROM embeddings c JOIN vq ON vq.query_id <> c.vec_id),
+       |vec AS (
+       |  SELECT query_id, doc_id, vec_rank FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, doc_id) AS vec_rank
+       |    FROM vscored)
+       |  WHERE vec_rank <= $depth),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+       |    CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank
+       |  FROM lex FULL OUTER JOIN vec USING (query_id, doc_id)),
+       |rrf AS (
+       |  SELECT query_id, doc_id, lex_rank, vec_rank,
+       |    (CASE WHEN lex_rank > 0 THEN 1000000 // ($RrfK + lex_rank) ELSE 0 END
+       |     + CASE WHEN vec_rank > 0 THEN 1000000 // ($RrfK + vec_rank) ELSE 0 END
+       |    ) AS rrf_ppm
+       |  FROM fused)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |  lex_rank, vec_rank, CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id) AS rank
+       |  FROM rrf)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}

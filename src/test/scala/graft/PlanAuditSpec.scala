@@ -106,7 +106,16 @@ class PlanAuditSpec extends SparkSpec {
     "q_peak_concurrency" -> 1,
     // mqtt_stale_topics: the newest-message single-row aggregate
     // broadcasts back into the topic-age fold (1)
-    "mqtt_stale_topics" -> 1)
+    "mqtt_stale_topics" -> 1,
+    // text_bm25_topk: the corpus (N, total_len) SINGLE-ROW aggregate
+    // broadcasts into the query-term selection and the scoring pass (the
+    // text_tfidf shape, twice) (2)
+    "text_bm25_topk" -> 2,
+    // ann_hybrid_rrf: inherits the bm25 leg's two single-row stat
+    // crosses (2) + the exact-cosine leg's nq-broadcast cross
+    // (ann_brute_force's count) (1); the fusion itself is a full-outer
+    // equi-join of two nq x depth frames
+    "ann_hybrid_rrf" -> 3)
   test("no driver query plans a cartesian or nested-loop join") {
     // eager (streaming/iterative) queries are skipped via the ONE shared
     // exclusion set — see SparkEntry.eagerQueries for the rationale
