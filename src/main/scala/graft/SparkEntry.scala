@@ -767,6 +767,11 @@ object SparkEntry {
     "dedup_minhash_calibration" -> (MinhashCalibration.contingencyDocuments _),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(sources.Tables.documents(s, d))
       .orderBy(col("doc_a"), col("doc_b"))),
+    // the delta screen on the SIMHASH index — completes the delta matrix
+    // (exact/minhash/semantic/simhash all have frozen-index delta forms);
+    // the doubled-text probe family pins the signature's term-bag
+    // invariance (hamming provably 0) that no other screen certifies
+    "dedup_simhash_delta" -> (DedupDelta.simhashDeltaDocuments _),
     // pairs -> clusters -> keep-list: distributed min-label propagation vs a
     // DuckDB RECURSIVE CTE fixpoint (transitive A~B~C collapses to 1 survivor)
     "dedup_clusters" -> ((s, d) => DedupClusters.components(
@@ -1158,6 +1163,7 @@ object SparkEntry {
     "dedup_clusters_delta" -> DedupDeltaSql.clustersDeltaDocumentsSql,
     "dedup_minhash_calibration" -> MinhashCalibrationSql.contingencyDocumentsSql,
     "dedup_simhash" -> DedupSql.simhashPairsSql(),
+    "dedup_simhash_delta" -> DedupDeltaSql.simhashDeltaDocumentsSql(),
     "dedup_clusters" -> DedupClustersSql.componentsSql(DedupSql.simhashPairsCte()),
     "dedup_embedding" -> DedupSql.embeddingNearDupSql(),
     "ann_range" -> SimilaritySql.lshRangeSql(),

@@ -599,18 +599,24 @@ object Dedup {
     * boilerplate corpus slice collapsing to one sub-key) are dropped — with
     * an observed count, never silently.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = MaxHamming,
-      maxBucket: Int = MaxBucket): DataFrame = {
-    val sigs = simhash(docs)
+  /** (doc_id, simhash, bk) band rows for a signature frame — the banding
+    * spelling shared by the intra-snapshot screen and the frozen-index
+    * delta screen ([[DedupDelta.simhashDeltaDocuments]]).
+    */
+  private[operators] def simhashBanded(sigs: DataFrame): DataFrame = {
     val bandWidth = SimHashBits / SimHashBands // 15
     val bandCols = (0 until SimHashBands).map { b =>
       concat_ws(":", lit(b.toString),
         shiftright(col("simhash"), b * bandWidth)
           .bitwiseAND(lit((1L << bandWidth) - 1)).cast("string"))
     }
-    val banded = capGroups(
-      sigs.select(col("doc_id"), col("simhash"),
-        explode(array(bandCols: _*)).as("bk")),
+    sigs.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bk"))
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = MaxHamming,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val banded = capGroups(simhashBanded(simhash(docs)),
       "bk", maxBucket, "simhash_caps", "dropped_band_rows")
     banded.as("a")
       .join(banded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -979,24 +985,41 @@ object DedupSql {
        |FROM d WHERE dist <= $maxDist ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** CTE producing (doc_id, simhash), mirroring [[Dedup.simhash]]. */
-  val simhashCte: String = {
+  /** One tokenize→bit-majority→signature chain under a CTE-name prefix
+    * over source relation `src`, ending in `${p}sigs(doc_id, simhash)` —
+    * shared by the intra-snapshot oracle and the delta-screen oracle
+    * ([[DedupDeltaSql]]), so the signature spelling cannot drift.
+    */
+  private[operators] def simhashChain(p: String, src: String): String = {
     val bitCase = (0 until SimHashBits)
       .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(",\n    ")
     val sig = (0 until SimHashBits)
       .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
-    s"""tok AS (
+    s"""${p}tok AS (
        |  SELECT doc_id, ${TS.hash60("unnest(" + TextSqlTokens + ")")} AS h
-       |  FROM documents),
-       |bits AS (
+       |  FROM $src),
+       |${p}bits AS (
        |  SELECT doc_id,
        |    $bitCase
-       |  FROM tok GROUP BY doc_id),
-       |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)"""
+       |  FROM ${p}tok GROUP BY doc_id),
+       |${p}sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM ${p}bits)"""
       .stripMargin
   }
+
+  /** The banded sub-key expression over a `simhash` column, mirroring
+    * [[Dedup.simhashBanded]] — shared with [[DedupDeltaSql]].
+    */
+  private[operators] def simhashBandExpr: String = {
+    val bandWidth = SimHashBits / SimHashBands
+    val mask = (1L << bandWidth) - 1
+    s"unnest(list_transform(range($SimHashBands),\n    " +
+      s"b -> b::VARCHAR || ':' || (((simhash >> (b * $bandWidth)) & $mask))::VARCHAR))"
+  }
+
+  /** CTE producing (doc_id, simhash), mirroring [[Dedup.simhash]]. */
+  val simhashCte: String = simhashChain("", "documents")
   private def TextSqlTokens: String = TS.tokens("text")
 
   /** The whole simhash pair pipeline as a CTE chain ending in
@@ -1005,12 +1028,9 @@ object DedupSql {
     */
   def simhashPairsCte(maxHamming: Int = MaxHamming,
       maxBucket: Int = MaxBucket): String = {
-    val bandWidth = SimHashBits / SimHashBands
-    val mask = (1L << bandWidth) - 1
     s"""$simhashCte,
        |banded AS (
-       |  SELECT doc_id, simhash, unnest(list_transform(range($SimHashBands),
-       |    b -> b::VARCHAR || ':' || (((simhash >> (b * $bandWidth)) & $mask))::VARCHAR)) AS bk
+       |  SELECT doc_id, simhash, $simhashBandExpr AS bk
        |  FROM sigs),
        |bounded AS (
        |  SELECT doc_id, simhash, bk FROM (

@@ -142,6 +142,71 @@ object DedupDelta {
     probePairs(oldSets, deltaSets).orderBy(col("doc_id"), col("old_id"))
   }
 
+  /** Doubled-text probe family for the SIMHASH delta screen
+    * ([[simhashDeltaDocuments]]): `text || ' ' || text` doubles every term
+    * frequency, so every signature bit's majority margin exactly doubles
+    * and NO sign flips — hamming to the source document is provably 0
+    * (pinned in spec) while the byte content, the exact hash, and the
+    * shingle set all differ. This is the signature property the simhash
+    * screen certifies that the exact and minhash screens cannot: term-bag
+    * similarity independent of arrangement or repetition. Residue and
+    * id offset disjoint from every other probe family.
+    */
+  val DoubledResidue = 11L
+  val DoubledTextOffset = 7000000L
+
+  /** Simhash probe set: the SAME recrawl delta the minhash screen probes
+    * ([[deltaDocs]] — mirrors and token-edit twins included), plus the
+    * simhash-specific doubled-text family.
+    */
+  def simhashDeltaDocs(docs: DataFrame): DataFrame =
+    deltaDocs(docs)
+      .unionAll(CorpusDiff.oldSnapshot(docs)
+        .filter(col("doc_id") % CorpusDiff.MirrorMod === DoubledResidue)
+        .select(Dedup.probeId(DoubledTextOffset).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text")))
+
+  /** Driver query: the near-dup delta screen on the SIMHASH index — the
+    * [[minhashDeltaDocuments]] discipline applied to the second near-dup
+    * family, completing the delta matrix (exact, minhash, semantic and
+    * simhash screens all have frozen-index delta forms). The old
+    * snapshot's banded 60-bit fingerprints ([[Dedup.simhashBanded]], the
+    * intra-snapshot spelling verbatim) freeze with the bucket cap applied
+    * at INDEX time; delta documents band their own signatures and
+    * equi-join the frozen index (candidates bounded by bands x cap per
+    * probe, the old corpus never reshuffles); hamming verification is one
+    * xor + bit_count per surviving pair. Emits (doc_id, old_id, hamming)
+    * for every delta document within [[Dedup.MaxHamming]] of an old one.
+    */
+  def simhashDeltaDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    simhashProbePairs(oldAugmented(docs), simhashDeltaDocs(docs))
+      .orderBy(col("doc_id"), col("old_id"))
+  }
+
+  /** (doc_id, old_id, hamming) for every probe document within
+    * `maxHamming` of an old document — the frozen-simhash-index probe,
+    * exposed as a seam so the spec pins probe ≡ rebuild directly.
+    */
+  def simhashProbePairs(oldDocs: DataFrame, probeDocs: DataFrame,
+      maxHamming: Int = Dedup.MaxHamming,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    val frozen = Dedup.capGroups(
+      Dedup.simhashBanded(Dedup.simhash(oldDocs))
+        .select(col("doc_id").as("old_id"), col("simhash").as("old_sig"),
+          col("bk")),
+      "bk", maxBucket, "simhash_delta_caps", "dropped_band_rows")
+    Dedup.simhashBanded(Dedup.simhash(probeDocs))
+      .join(frozen, Seq("bk"))
+      // a CHANGED doc's new signature meets its own superseded version —
+      // the diff already owns that verdict (the minhash-delta rationale)
+      .filter(col("doc_id") =!= col("old_id"))
+      .select(col("doc_id"), col("old_id"),
+        bit_count(col("simhash").bitwiseXOR(col("old_sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Driver query: incremental keep-list maintenance — the OLD snapshot's
     * cluster labels (components over the certified intra-old minhash
     * screen, which the old-twin probes make non-trivial) UNIONED with the
@@ -197,12 +262,11 @@ object DedupDeltaSql {
        |${p}_banded AS (SELECT doc_id, unnest(${DedupSql.bandKeyExpr}) AS bk
        |  FROM ${p}_mh)""".stripMargin
 
-  /** Fixture + frozen-index + probe + verify CTEs, ending at `dpairs`
-    * (unthresholded delta-vs-old jaccard pairs) — shared by the screen
-    * oracle and the incremental-clusters oracle.
+  /** Fixture CTEs (old_base / old_docs / new_docs / delta_docs): the
+    * snapshot carve + probe families — ONE spelling shared by the minhash
+    * and simhash delta oracles.
     */
-  private def deltaScreenCtes(n: Int = ShingleN,
-      maxBucket: Int = MaxBucket): String =
+  private def fixtureCtes: String =
     s"""old_base AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % $ChangedMod = 0 THEN text || ' [stale]'
@@ -224,7 +288,15 @@ object DedupDeltaSql {
        |  WHERE doc_id % $MirrorMod = $MirrorResidue
        |  UNION ALL
        |  SELECT doc_id + $TokenEditOffset, 'zz ' || text FROM old_base
-       |  WHERE doc_id % $MirrorMod = $TokenEditResidue),
+       |  WHERE doc_id % $MirrorMod = $TokenEditResidue)""".stripMargin
+
+  /** Fixture + frozen-index + probe + verify CTEs, ending at `dpairs`
+    * (unthresholded delta-vs-old jaccard pairs) — shared by the screen
+    * oracle and the incremental-clusters oracle.
+    */
+  private def deltaScreenCtes(n: Int = ShingleN,
+      maxBucket: Int = MaxBucket): String =
+    s"""$fixtureCtes,
        |${chainCtes("o", "old_docs", n)},
        |${chainCtes("d", "delta_docs", n)},
        |o_frozen AS (
@@ -253,6 +325,40 @@ object DedupDeltaSql {
        |  FROM d_common c
        |  JOIN d_sizes sa ON c.doc_id = sa.doc_id
        |  JOIN o_sizes sb ON c.old_id = sb.doc_id)""".stripMargin
+
+  /** Mirror of [[DedupDelta.simhashDeltaDocuments]] — same carve, same
+    * probe families plus the doubled-text family, same signature/band/cap
+    * spellings via [[DedupSql.simhashChain]]/[[DedupSql.simhashBandExpr]].
+    */
+  def simhashDeltaDocumentsSql(maxHamming: Int = Dedup.MaxHamming,
+      maxBucket: Int = MaxBucket): String =
+    s"""WITH $fixtureCtes,
+       |sd_docs AS (
+       |  SELECT doc_id, text FROM delta_docs
+       |  UNION ALL
+       |  SELECT doc_id + $DoubledTextOffset, text || ' ' || text FROM old_base
+       |  WHERE doc_id % $MirrorMod = $DoubledResidue),
+       |${DedupSql.simhashChain("os_", "old_docs")},
+       |${DedupSql.simhashChain("ds_", "sd_docs")},
+       |os_banded AS (
+       |  SELECT doc_id, simhash, ${DedupSql.simhashBandExpr} AS bk
+       |  FROM os_sigs),
+       |ds_banded AS (
+       |  SELECT doc_id, simhash, ${DedupSql.simhashBandExpr} AS bk
+       |  FROM ds_sigs),
+       |os_frozen AS (
+       |  SELECT doc_id, simhash, bk FROM (
+       |    SELECT doc_id, simhash, bk, count(*) OVER (PARTITION BY bk) AS bsz
+       |    FROM os_banded)
+       |  WHERE bsz <= $maxBucket),
+       |sd_pairs AS (
+       |  SELECT DISTINCT d.doc_id, o.doc_id AS old_id,
+       |         bit_count(xor(d.simhash, o.simhash)) AS hamming
+       |  FROM ds_banded d JOIN os_frozen o ON d.bk = o.bk
+       |    AND d.doc_id <> o.doc_id)
+       |SELECT doc_id, old_id, hamming FROM sd_pairs
+       |WHERE hamming <= $maxHamming
+       |ORDER BY doc_id, old_id""".stripMargin
 
   def minhashDeltaDocumentsSql(threshold: Double = 0.5, n: Int = ShingleN,
       maxBucket: Int = MaxBucket): String =

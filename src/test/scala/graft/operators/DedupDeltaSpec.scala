@@ -149,4 +149,52 @@ class DedupDeltaSpec extends SparkSpec {
     assert(labels.exists(l =>
       l._1 >= DedupDelta.TokenEditOffset && l._1 < DedupDelta.OldTwinOffset))
   }
+
+  test("simhash delta-probe == full old∪delta rebuild restricted to delta-vs-old pairs") {
+    val bigCap = 1 << 20
+    val docs = Tables.documents(spark, sf0001)
+    val old = DedupDelta.oldAugmented(docs)
+    val delta = DedupDelta.simhashDeltaDocs(docs)
+    val probed = DedupDelta.simhashProbePairs(old, delta, maxBucket = bigCap)
+      .select($"doc_id", $"old_id", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // rebuild: signatures are per-doc functions, so the union changes no
+    // signatures; re-key delta ids (span [-1e6, 8e6) — the doubled family
+    // sits at +7e6) into a disjoint high space, as in the minhash test
+    val Off = 100000000L
+    val DeltaLow = Off - 2000000L
+    val rekeyed = delta.select(($"doc_id" + Off).as("doc_id"), $"text")
+    val rebuilt = Dedup.simhashPairs(old.unionAll(rekeyed), maxBucket = bigCap)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Long)].collect()
+    val rebuiltDeltaOld = rebuilt.collect {
+      case (a, b, h) if a < DeltaLow && b >= DeltaLow && b - Off != a =>
+        (b - Off, a, h) // orient (delta_id, old_id); drop the changed-doc
+                        // self-pair simhashProbePairs excludes by contract
+    }.toSet
+    assert(probed == rebuiltDeltaOld,
+      s"probe screen diverged from the rebuild: only-probe=" +
+        s"${(probed -- rebuiltDeltaOld).take(5)} only-rebuild=" +
+        s"${(rebuiltDeltaOld -- probed).take(5)}")
+    // both verdict regimes fired: exact-signature matches (hamming 0:
+    // mirrors and doubled-text probes) and near-dup-only (0 < hamming <= 3)
+    assert(probed.exists(_._3 == 0L))
+    assert(probed.exists(p => p._3 > 0L && p._3 <= Dedup.MaxHamming))
+  }
+
+  test("doubled text and token permutation leave the simhash unchanged") {
+    // doubling every term frequency doubles every bit margin (no sign
+    // flips); permuting tokens changes no term frequency at all — both are
+    // hamming-0 by construction, the term-bag property the simhash screen
+    // certifies that the exact-hash and shingle screens cannot
+    val base = "a b c a zz qq b"
+    val doubled = base + " " + base
+    val permuted = base.split(" ").reverse.mkString(" ")
+    val sigRows = Dedup.simhash(
+        Seq(0L -> base, 1L -> doubled, 2L -> permuted).toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigRows(1L) === sigRows(0L), "doubled text must hash identically")
+    assert(sigRows(2L) === sigRows(0L), "permuted text must hash identically")
+  }
 }
