@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_cluster_sizes",
     "dedup_clusters_delta",
     "dedup_minhash_delta_streaming_file",
+    "text_bm25_topk_streaming_file",
     "emb_kmeans_step_streaming_file",
     "emb_pq_codes_streaming_file",
     "emb_ivf_assign_streaming_file",
@@ -816,6 +817,11 @@ object SparkEntry {
     // over the ONE posting-frame corpus explode; candidates are
     // posting-union-sized via the broadcast query-term probe
     "text_bm25_topk" -> (Bm25.bm25Documents _),
+    // serve-on-ingest twin: query plans arrive as file micro-batches and
+    // probe the FROZEN posting index statelessly; per-(query, doc) scores
+    // accumulate as a monotone update-mode aggregation — SAME oracle
+    "text_bm25_topk_streaming_file" -> ((s, d) =>
+      streaming.StreamingBm25.bm25FromFiles(s, d)),
     // kNN majority-vote label prediction on the certified top-k contract —
     // the embedding-quality probe; vote tail touches only queries x K rows
     "ann_knn_classify" -> (KnnClassify.classifyEmbeddings _),
@@ -1174,6 +1180,7 @@ object SparkEntry {
     "ann_graph_search" -> GraphSearchSql.searchEmbeddingsSql(),
     "ann_hybrid_rrf" -> Bm25Sql.hybridDocumentsSql(),
     "text_bm25_topk" -> Bm25Sql.bm25DocumentsSql(),
+    "text_bm25_topk_streaming_file" -> Bm25Sql.bm25DocumentsSql(),
     "ann_knn_classify" -> KnnClassifySql.classifyEmbeddingsSql,
     "ann_lsh" -> SimilaritySql.lshTopKSql(),
     "ann_lsh_rerank" -> SimilaritySql.lshRerankTopKSql(),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,11 +82,66 @@ object Bm25 {
     * [[TextAnalysis.vocabTopK]]; corpus statistics below therefore count
     * exactly the documents that can match at all.
     */
-  private def postings(docs: DataFrame): DataFrame =
+  private[graft] def postings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+
+  /** MoreLikeThis term selection over the posting frame: the certified
+    * tfidf spelling (smoothed idf, ROUNDED before ranking) over the query
+    * docs only; df rides along so the probe frame carries everything
+    * term-level. Returns (query_id, term, df) — <= nq x [[QueryTerms]]
+    * rows, the "query plan" a serving tier computes before touching the
+    * index (the seam [[graft.streaming.StreamingBm25]] stages).
+    */
+  private[graft] def queryTerms(tf: DataFrame, nFrame: DataFrame): DataFrame = {
+    // df only for the query docs' own terms: one broadcast semi-restriction
+    // of the posting frame instead of a full-vocabulary aggregation — df
+    // VALUES are identical (each term's count still ranges over the whole
+    // corpus), the work is query-sized, not vocabulary-sized
+    val qtf = tf.filter(col("doc_id") < QueryCount)
+    val dfFrame = tf
+      .join(broadcast(qtf.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val selW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("sel_score").desc, col("term"))
+    qtf
+      .join(dfFrame, Seq("term"))
+      .crossJoin(broadcast(nFrame))
+      .withColumn("sel_score",
+        round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .withColumn("__r", row_number().over(selW))
+      .filter(col("__r") <= QueryTerms)
+      .select(col("doc_id").as("query_id"), col("term"), col("df"))
+  }
+
+  /** The per-(query, term, doc) BM25 contribution in floored micro-nats —
+    * ONE spelling over input columns (tf, df, len, n, total_len), shared
+    * by the batch serve and the streaming twin.
+    */
+  private[graft] def contribUnats: Column = {
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val sat = col("tf") * (K1 + 1.0) /
+      (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("len") * col("n") / col("total_len")))
+    floor(idf * sat * 1e6)
+  }
+
+  /** The serve tail: self-exclusion, per-query top-k over the INTEGER
+    * score (total order, ties on doc_id), final projection — shared by
+    * batch and streaming forms so the contract cannot drift. `scored`
+    * carries (query_id, doc_id, score_unats, n_terms).
+    */
+  private[graft] def rankTail(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_unats").desc, col("doc_id"))
+    scored
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_terms"), col("score_unats"))
+  }
 
   /** Top-k BM25 retrieval for the [[QueryCount]] query documents.
     * Returns (query_id, rank, doc_id, n_terms, score_unats) — the score in
@@ -99,41 +154,19 @@ object Bm25 {
     // term-bucketed posting index instead
     val tf = Caching.cached(postings(docs))
     val doclen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
-    val dfFrame = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = doclen.agg(count(lit(1)).as("n"), sum(col("len")).as("total_len"))
-
-    // MoreLikeThis term selection: the certified tfidf spelling (smoothed
-    // idf, ROUNDED before ranking) over the query docs only; df rides along
-    // so the broadcast probe frame carries everything term-level
-    val qtf = tf.filter(col("doc_id") < QueryCount)
-    val selW = Window.partitionBy(col("doc_id"))
-      .orderBy(col("sel_score").desc, col("term"))
-    val qterms = qtf.join(dfFrame, Seq("term"))
-      .crossJoin(broadcast(stats.select(col("n"))))
-      .withColumn("sel_score",
-        round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
-      .withColumn("__r", row_number().over(selW))
-      .filter(col("__r") <= QueryTerms)
-      .select(col("doc_id").as("query_id"), col("term"), col("df"))
+    val qterms = queryTerms(tf, stats.select(col("n")))
 
     // posting probe: candidates are posting-union-sized; doclen joins on
     // doc_id AFTER the candidate filter, so only matched docs pay it
-    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-    val sat = col("tf") * (K1 + 1.0) /
-      (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("len") * col("n") / col("total_len")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_unats").desc, col("doc_id"))
-    tf.join(broadcast(qterms), Seq("term"))
-      .join(doclen, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("contrib", floor(idf * sat * 1e6))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("contrib")).as("score_unats"), count(lit(1)).as("n_terms"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("doc_id"), col("n_terms"), col("score_unats"))
+    rankTail(
+      tf.join(broadcast(qterms), Seq("term"))
+        .join(doclen, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", contribUnats)
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("contrib")).as("score_unats"), count(lit(1)).as("n_terms")),
+      k)
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical list and
