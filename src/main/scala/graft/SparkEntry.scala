@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_cluster_sizes",
     "dedup_clusters_delta",
     "dedup_minhash_delta_streaming_file",
+    "dedup_simhash_delta_streaming_file",
     "text_bm25_topk_streaming_file",
     "emb_kmeans_step_streaming_file",
     "emb_pq_codes_streaming_file",
@@ -773,6 +774,11 @@ object SparkEntry {
     // the doubled-text probe family pins the signature's term-bag
     // invariance (hamming provably 0) that no other screen certifies
     "dedup_simhash_delta" -> (DedupDelta.simhashDeltaDocuments _),
+    // ingest-time form: parse-stage signatures arrive as micro-batches and
+    // probe the SAME frozen banded-fingerprint artifact statelessly (one
+    // broadcast band-key join + xor/bit_count — no second static join)
+    "dedup_simhash_delta_streaming_file" -> ((s, d) =>
+      streaming.StreamingSimhashDelta.simhashDeltaFromFiles(s, d)),
     // pairs -> clusters -> keep-list: distributed min-label propagation vs a
     // DuckDB RECURSIVE CTE fixpoint (transitive A~B~C collapses to 1 survivor)
     "dedup_clusters" -> ((s, d) => DedupClusters.components(
@@ -1170,6 +1176,7 @@ object SparkEntry {
     "dedup_minhash_calibration" -> MinhashCalibrationSql.contingencyDocumentsSql,
     "dedup_simhash" -> DedupSql.simhashPairsSql(),
     "dedup_simhash_delta" -> DedupDeltaSql.simhashDeltaDocumentsSql(),
+    "dedup_simhash_delta_streaming_file" -> DedupDeltaSql.simhashDeltaDocumentsSql(),
     "dedup_clusters" -> DedupClustersSql.componentsSql(DedupSql.simhashPairsCte()),
     "dedup_embedding" -> DedupSql.embeddingNearDupSql(),
     "ann_range" -> SimilaritySql.lshRangeSql(),

@@ -603,7 +603,7 @@ object Dedup {
     * spelling shared by the intra-snapshot screen and the frozen-index
     * delta screen ([[DedupDelta.simhashDeltaDocuments]]).
     */
-  private[operators] def simhashBanded(sigs: DataFrame): DataFrame = {
+  private[graft] def simhashBanded(sigs: DataFrame): DataFrame = {
     val bandWidth = SimHashBits / SimHashBands // 15
     val bandCols = (0 until SimHashBands).map { b =>
       concat_ws(":", lit(b.toString),

@@ -188,14 +188,22 @@ object DedupDelta {
     * `maxHamming` of an old document — the frozen-simhash-index probe,
     * exposed as a seam so the spec pins probe ≡ rebuild directly.
     */
-  def simhashProbePairs(oldDocs: DataFrame, probeDocs: DataFrame,
-      maxHamming: Int = Dedup.MaxHamming,
-      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
-    val frozen = Dedup.capGroups(
+  /** The frozen simhash artifact: banded old signatures with the bucket
+    * cap applied at freeze time — exposed so the streaming twin probes
+    * the IDENTICAL frame ([[graft.streaming.StreamingSimhashDelta]]).
+    */
+  private[graft] def simhashFrozenIndex(oldDocs: DataFrame,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame =
+    Dedup.capGroups(
       Dedup.simhashBanded(Dedup.simhash(oldDocs))
         .select(col("doc_id").as("old_id"), col("simhash").as("old_sig"),
           col("bk")),
       "bk", maxBucket, "simhash_delta_caps", "dropped_band_rows")
+
+  def simhashProbePairs(oldDocs: DataFrame, probeDocs: DataFrame,
+      maxHamming: Int = Dedup.MaxHamming,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    val frozen = simhashFrozenIndex(oldDocs, maxBucket)
     Dedup.simhashBanded(Dedup.simhash(probeDocs))
       .join(frozen, Seq("bk"))
       // a CHANGED doc's new signature meets its own superseded version —
