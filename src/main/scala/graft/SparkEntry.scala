@@ -779,6 +779,10 @@ object SparkEntry {
     // broadcast band-key join + xor/bit_count — no second static join)
     "dedup_simhash_delta_streaming_file" -> ((s, d) =>
       streaming.StreamingSimhashDelta.simhashDeltaFromFiles(s, d)),
+    // the delta screen on the WINNOW passage index: which delta docs share
+    // a >= 6-word passage with old content (syndication/quote-farm case
+    // the whole-doc screens miss when the surrounding text is new)
+    "dedup_winnow_delta" -> (DedupDelta.winnowDeltaDocuments _),
     // pairs -> clusters -> keep-list: distributed min-label propagation vs a
     // DuckDB RECURSIVE CTE fixpoint (transitive A~B~C collapses to 1 survivor)
     "dedup_clusters" -> ((s, d) => DedupClusters.components(
@@ -1177,6 +1181,7 @@ object SparkEntry {
     "dedup_simhash" -> DedupSql.simhashPairsSql(),
     "dedup_simhash_delta" -> DedupDeltaSql.simhashDeltaDocumentsSql(),
     "dedup_simhash_delta_streaming_file" -> DedupDeltaSql.simhashDeltaDocumentsSql(),
+    "dedup_winnow_delta" -> DedupDeltaSql.winnowDeltaDocumentsSql(),
     "dedup_clusters" -> DedupClustersSql.componentsSql(DedupSql.simhashPairsCte()),
     "dedup_embedding" -> DedupSql.embeddingNearDupSql(),
     "ann_range" -> SimilaritySql.lshRangeSql(),

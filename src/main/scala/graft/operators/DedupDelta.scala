@@ -215,6 +215,53 @@ object DedupDelta {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Driver query: the near-dup delta screen on the WINNOW passage index —
+    * the delta form of `dedup_winnow`: which delta documents SHARE A
+    * PASSAGE (>= w+k-1 = 6 words, the winnowing guarantee, unaligned
+    * overlaps included) with an old document. The syndication/quote-farm
+    * recrawl case: a delta doc that embeds a paragraph of old content
+    * hashes, minhashes and simhashes differently when the surrounding
+    * text is new — the passage index is the screen that still fires.
+    * Emits (doc_id, old_id, n_shared) — the shared-fingerprint count, the
+    * overlap-mass signal a triage queue sorts on.
+    */
+  def winnowDeltaDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    winnowProbePairs(oldAugmented(docs), deltaDocs(docs))
+      .orderBy(col("doc_id"), col("old_id"))
+  }
+
+  /** The frozen winnow artifact: (old_id, fp) fingerprint postings with
+    * the per-fingerprint cap applied at freeze time (a ubiquitous
+    * boilerplate passage collapses to one fp and would be quadratic under
+    * the probe join — dropped with an observed count, never silently).
+    */
+  private[graft] def winnowFrozenIndex(oldDocs: DataFrame,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame =
+    Dedup.capGroups(
+      oldDocs.select(col("doc_id").as("old_id"),
+        explode(graft.functions.WinnowFingerprints(col("text"),
+          Winnow.ShingleK, Winnow.WindowW)).as("fp")),
+      "fp", maxBucket, "winnow_delta_caps", "dropped_fp_rows")
+
+  /** (doc_id, old_id, n_shared) for every probe document sharing >= 1
+    * winnow fingerprint with an old document. Candidates are bounded by
+    * fps-per-probe x freeze-time cap; the pair aggregation keys on the
+    * (probe, old) pair with map-side combine — no pair list materializes
+    * before the shuffle.
+    */
+  def winnowProbePairs(oldDocs: DataFrame, probeDocs: DataFrame,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame =
+    probeDocs.select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprints(col("text"),
+          Winnow.ShingleK, Winnow.WindowW)).as("fp"))
+      .join(winnowFrozenIndex(oldDocs, maxBucket), Seq("fp"))
+      // a CHANGED doc shares most passages with its own superseded
+      // version — the diff owns that verdict (the delta-screen rationale)
+      .filter(col("doc_id") =!= col("old_id"))
+      .groupBy(col("doc_id"), col("old_id"))
+      .agg(count(lit(1)).as("n_shared"))
+
   /** Driver query: incremental keep-list maintenance — the OLD snapshot's
     * cluster labels (components over the certified intra-old minhash
     * screen, which the old-twin probes make non-trivial) UNIONED with the
@@ -366,6 +413,27 @@ object DedupDeltaSql {
        |    AND d.doc_id <> o.doc_id)
        |SELECT doc_id, old_id, hamming FROM sd_pairs
        |WHERE hamming <= $maxHamming
+       |ORDER BY doc_id, old_id""".stripMargin
+
+  /** Mirror of [[DedupDelta.winnowDeltaDocuments]] — same carve, same
+    * fingerprint spelling via [[Winnow.winnowFpChainSql]], same
+    * freeze-time cap semantics.
+    */
+  def winnowDeltaDocumentsSql(maxBucket: Int = MaxBucket): String =
+    s"""WITH $fixtureCtes,
+       |${Winnow.winnowFpChainSql("ow_", "old_docs")},
+       |${Winnow.winnowFpChainSql("dw_", "delta_docs")},
+       |ow_x AS (SELECT doc_id AS old_id, unnest(fps) AS fp FROM ow_f),
+       |dw_x AS (SELECT doc_id, unnest(fps) AS fp FROM dw_f),
+       |ow_frozen AS (
+       |  SELECT old_id, fp FROM (
+       |    SELECT old_id, fp, count(*) OVER (PARTITION BY fp) AS bsz
+       |    FROM ow_x)
+       |  WHERE bsz <= $maxBucket)
+       |SELECT d.doc_id, o.old_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM dw_x d JOIN ow_frozen o USING (fp)
+       |WHERE d.doc_id <> o.old_id
+       |GROUP BY 1, 2
        |ORDER BY doc_id, old_id""".stripMargin
 
   def minhashDeltaDocumentsSql(threshold: Double = 0.5, n: Int = ShingleN,

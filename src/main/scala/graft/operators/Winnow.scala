@@ -58,51 +58,45 @@ object Winnow {
   def winnowDups(spark: SparkSession, dir: String): DataFrame =
     sharedPassages(Tables.documents(spark, dir)).orderBy(col("fp"))
 
-  val winnowDupsSql: String = {
+  /** One tokenize→shingle-hash→fingerprint chain under a CTE-name prefix
+    * over source relation `src`, ending in `${p}f(doc_id, fps)` — ONE
+    * spelling shared by the pair/distinct oracles here and the delta
+    * screen oracle ([[DedupDeltaSql]]), so the fingerprint spelling cannot
+    * drift.
+    */
+  private[operators] def winnowFpChainSql(p: String, src: String): String = {
     val k = ShingleK
     val w = WindowW
-    s"""WITH toks AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM documents),
-       |h AS (
+    s"""${p}toks AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM $src),
+       |${p}h AS (
        |  SELECT doc_id,
        |    list_transform(${TS.shingles("text", k)}, s -> ${TS.hash60("s")}) AS hh
-       |  FROM toks),
-       |f AS (
+       |  FROM ${p}toks),
+       |${p}f AS (
        |  SELECT doc_id,
        |    CASE WHEN len(hh) = 0 THEN CAST([] AS BIGINT[])
        |         WHEN len(hh) < $w THEN [list_min(hh)]
        |         ELSE list_sort(list_distinct(list_transform(
        |                range(len(hh) - ${w - 1}), i -> list_min(hh[i+1:i+$w]))))
        |    END AS fps
-       |  FROM h),
+       |  FROM ${p}h)""".stripMargin
+  }
+
+  val winnowDupsSql: String =
+    s"""WITH ${winnowFpChainSql("", "documents")},
        |x AS (SELECT doc_id, unnest(fps) AS fp FROM f)
        |SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        |  min(doc_id) AS first_doc
        |FROM x GROUP BY fp
        |HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY fp""".stripMargin
-  }
 
   /** Oracle for the streaming twin's certified surface: the corpus's
     * DISTINCT winnow fingerprint set.
     */
-  val distinctFpsSql: String = {
-    val k = ShingleK
-    val w = WindowW
-    s"""WITH toks AS (SELECT doc_id, ${TS.tokens("text")} AS __t FROM documents),
-       |h AS (
-       |  SELECT doc_id,
-       |    list_transform(${TS.shingles("text", k)}, s -> ${TS.hash60("s")}) AS hh
-       |  FROM toks),
-       |f AS (
-       |  SELECT doc_id,
-       |    CASE WHEN len(hh) = 0 THEN CAST([] AS BIGINT[])
-       |         WHEN len(hh) < $w THEN [list_min(hh)]
-       |         ELSE list_sort(list_distinct(list_transform(
-       |                range(len(hh) - ${w - 1}), i -> list_min(hh[i+1:i+$w]))))
-       |    END AS fps
-       |  FROM h)
+  val distinctFpsSql: String =
+    s"""WITH ${winnowFpChainSql("", "documents")}
        |SELECT DISTINCT unnest(fps) AS fp FROM f ORDER BY fp""".stripMargin
-  }
 
   val winnowDocsSql: String = {
     val k = ShingleK

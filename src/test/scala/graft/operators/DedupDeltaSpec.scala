@@ -183,6 +183,36 @@ class DedupDeltaSpec extends SparkSpec {
     assert(probed.exists(p => p._3 > 0L && p._3 <= Dedup.MaxHamming))
   }
 
+  test("winnow delta: an embedded >= 6-word passage fires; fresh text does not") {
+    // the winnowing guarantee, applied CROSS-corpus: any shared run of
+    // >= w + k - 1 = 6 words yields a shared fingerprint, so a delta doc
+    // quoting a passage of old content must meet it in the frozen index
+    val oldDoc = (1 to 20).map(i => s"w$i").mkString(" ")
+    val quoted = "totally new framing " +
+      (8 to 13).map(i => s"w$i").mkString(" ") + " and a new ending"
+    val fresh = (1 to 12).map(i => s"z$i").mkString(" ")
+    val old = Seq(10L -> oldDoc).toDF("doc_id", "text")
+    val probes = Seq(900L -> quoted, 901L -> fresh).toDF("doc_id", "text")
+    val got = DedupDelta.winnowProbePairs(old, probes)
+      .select($"doc_id", $"old_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((900L, 10L)))
+  }
+
+  test("winnow delta: the frozen fingerprint cap is exact at its edge") {
+    // cap+1 old docs sharing one passage -> its fingerprints' buckets hold
+    // cap+1 rows each -> dropped at freeze time; at exactly cap they stay
+    val passage = (1 to 10).map(i => s"c$i").mkString(" ")
+    def run(nOld: Int, cap: Int): Set[(Long, Long)] = {
+      val old = (0 until nOld).map(i => (i.toLong, passage)).toDF("doc_id", "text")
+      val probe = Seq((900L, passage)).toDF("doc_id", "text")
+      DedupDelta.winnowProbePairs(old, probe, maxBucket = cap)
+        .select($"doc_id", $"old_id").as[(Long, Long)].collect().toSet
+    }
+    val cap = 8
+    assert(run(cap, cap) == (0 until cap).map(i => (900L, i.toLong)).toSet)
+    assert(run(cap + 1, cap) == Set.empty)
+  }
+
   test("doubled text and token permutation leave the simhash unchanged") {
     // doubling every term frequency doubles every bit margin (no sign
     // flips); permuting tokens changes no term frequency at all — both are
