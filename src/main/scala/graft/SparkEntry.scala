@@ -47,6 +47,7 @@ object SparkEntry {
     "dedup_clusters_delta",
     "dedup_minhash_delta_streaming_file",
     "dedup_simhash_delta_streaming_file",
+    "dedup_delta_attribution",
     "text_bm25_topk_streaming_file",
     "emb_kmeans_step_streaming_file",
     "emb_pq_codes_streaming_file",
@@ -783,6 +784,11 @@ object SparkEntry {
     // a >= 6-word passage with old content (syndication/quote-farm case
     // the whole-doc screens miss when the surrounding text is new)
     "dedup_winnow_delta" -> (DedupDelta.winnowDeltaDocuments _),
+    // the recrawl cascade report: which screen catches each delta doc
+    // FIRST (exact > minhash > simhash > winnow > unique) — every stage
+    // the certified delta screen verbatim over ONE shared probe set; the
+    // token-permuted probe family lands in the simhash-only class
+    "dedup_delta_attribution" -> (DeltaAttribution.attributeDocuments _),
     // pairs -> clusters -> keep-list: distributed min-label propagation vs a
     // DuckDB RECURSIVE CTE fixpoint (transitive A~B~C collapses to 1 survivor)
     "dedup_clusters" -> ((s, d) => DedupClusters.components(
@@ -1182,6 +1188,7 @@ object SparkEntry {
     "dedup_simhash_delta" -> DedupDeltaSql.simhashDeltaDocumentsSql(),
     "dedup_simhash_delta_streaming_file" -> DedupDeltaSql.simhashDeltaDocumentsSql(),
     "dedup_winnow_delta" -> DedupDeltaSql.winnowDeltaDocumentsSql(),
+    "dedup_delta_attribution" -> DeltaAttributionSql.attributeDocumentsSql(),
     "dedup_clusters" -> DedupClustersSql.componentsSql(DedupSql.simhashPairsCte()),
     "dedup_embedding" -> DedupSql.embeddingNearDupSql(),
     "ann_range" -> SimilaritySql.lshRangeSql(),

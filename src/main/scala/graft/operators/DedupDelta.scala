@@ -321,7 +321,7 @@ object DedupDeltaSql {
     * snapshot carve + probe families — ONE spelling shared by the minhash
     * and simhash delta oracles.
     */
-  private def fixtureCtes: String =
+  private[operators] def fixtureCtes: String =
     s"""old_base AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % $ChangedMod = 0 THEN text || ' [stale]'
@@ -352,8 +352,16 @@ object DedupDeltaSql {
   private def deltaScreenCtes(n: Int = ShingleN,
       maxBucket: Int = MaxBucket): String =
     s"""$fixtureCtes,
-       |${chainCtes("o", "old_docs", n)},
-       |${chainCtes("d", "delta_docs", n)},
+       |${minhashScreenCtes("delta_docs", n, maxBucket)}""".stripMargin
+
+  /** The minhash delta-screen CTE chain over probe relation `src`, ending
+    * at `dpairs` (unthresholded delta-vs-old jaccard) — shared with the
+    * cascade-attribution oracle ([[DeltaAttributionSql]]).
+    */
+  private[operators] def minhashScreenCtes(src: String, n: Int = ShingleN,
+      maxBucket: Int = MaxBucket): String =
+    s"""${chainCtes("o", "old_docs", n)},
+       |${chainCtes("d", src, n)},
        |o_frozen AS (
        |  SELECT doc_id, bk FROM (
        |    SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz
@@ -393,8 +401,19 @@ object DedupDeltaSql {
        |  UNION ALL
        |  SELECT doc_id + $DoubledTextOffset, text || ' ' || text FROM old_base
        |  WHERE doc_id % $MirrorMod = $DoubledResidue),
-       |${DedupSql.simhashChain("os_", "old_docs")},
-       |${DedupSql.simhashChain("ds_", "sd_docs")},
+       |${simhashScreenCtes("sd_docs", maxBucket)}
+       |SELECT doc_id, old_id, hamming FROM sd_pairs
+       |WHERE hamming <= $maxHamming
+       |ORDER BY doc_id, old_id""".stripMargin
+
+  /** The simhash delta-screen CTE chain over probe relation `src`, ending
+    * at `sd_pairs` (unthresholded hamming) — shared with the
+    * cascade-attribution oracle ([[DeltaAttributionSql]]).
+    */
+  private[operators] def simhashScreenCtes(src: String,
+      maxBucket: Int = MaxBucket): String =
+    s"""${DedupSql.simhashChain("os_", "old_docs")},
+       |${DedupSql.simhashChain("ds_", src)},
        |os_banded AS (
        |  SELECT doc_id, simhash, ${DedupSql.simhashBandExpr} AS bk
        |  FROM os_sigs),
@@ -410,10 +429,7 @@ object DedupDeltaSql {
        |  SELECT DISTINCT d.doc_id, o.doc_id AS old_id,
        |         bit_count(xor(d.simhash, o.simhash)) AS hamming
        |  FROM ds_banded d JOIN os_frozen o ON d.bk = o.bk
-       |    AND d.doc_id <> o.doc_id)
-       |SELECT doc_id, old_id, hamming FROM sd_pairs
-       |WHERE hamming <= $maxHamming
-       |ORDER BY doc_id, old_id""".stripMargin
+       |    AND d.doc_id <> o.doc_id)""".stripMargin
 
   /** Mirror of [[DedupDelta.winnowDeltaDocuments]] — same carve, same
     * fingerprint spelling via [[Winnow.winnowFpChainSql]], same
@@ -421,20 +437,28 @@ object DedupDeltaSql {
     */
   def winnowDeltaDocumentsSql(maxBucket: Int = MaxBucket): String =
     s"""WITH $fixtureCtes,
-       |${Winnow.winnowFpChainSql("ow_", "old_docs")},
-       |${Winnow.winnowFpChainSql("dw_", "delta_docs")},
+       |${winnowScreenCtes("delta_docs", maxBucket)}
+       |SELECT d.doc_id, o.old_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM dw_x d JOIN ow_frozen o USING (fp)
+       |WHERE d.doc_id <> o.old_id
+       |GROUP BY 1, 2
+       |ORDER BY doc_id, old_id""".stripMargin
+
+  /** The winnow delta-screen CTE chain over probe relation `src`, ending
+    * at `dw_x` / `ow_frozen` — shared with the cascade-attribution oracle
+    * ([[DeltaAttributionSql]]).
+    */
+  private[operators] def winnowScreenCtes(src: String,
+      maxBucket: Int = MaxBucket): String =
+    s"""${Winnow.winnowFpChainSql("ow_", "old_docs")},
+       |${Winnow.winnowFpChainSql("dw_", src)},
        |ow_x AS (SELECT doc_id AS old_id, unnest(fps) AS fp FROM ow_f),
        |dw_x AS (SELECT doc_id, unnest(fps) AS fp FROM dw_f),
        |ow_frozen AS (
        |  SELECT old_id, fp FROM (
        |    SELECT old_id, fp, count(*) OVER (PARTITION BY fp) AS bsz
        |    FROM ow_x)
-       |  WHERE bsz <= $maxBucket)
-       |SELECT d.doc_id, o.old_id, CAST(count(*) AS BIGINT) AS n_shared
-       |FROM dw_x d JOIN ow_frozen o USING (fp)
-       |WHERE d.doc_id <> o.old_id
-       |GROUP BY 1, 2
-       |ORDER BY doc_id, old_id""".stripMargin
+       |  WHERE bsz <= $maxBucket)""".stripMargin
 
   def minhashDeltaDocumentsSql(threshold: Double = 0.5, n: Int = ShingleN,
       maxBucket: Int = MaxBucket): String =
