@@ -824,6 +824,11 @@ object SparkEntry {
     // graph artifact — completes the serve-family square (LSH/IVF/PQ/graph);
     // recall pinned against the exact baseline in GraphSearchRecallSpec
     "ann_graph_search" -> (GraphSearch.searchEmbeddings _),
+    // serve-from-maintained-graph composition: the same beam search over
+    // KnnGraph.deltaGraph's incrementally maintained edges — maintained ≡
+    // rebuilt by the ann_knn_graph_delta contract, so the oracle is the
+    // rebuilt-graph search unrolled verbatim (the ann_graph_search string)
+    "ann_graph_search_delta" -> (GraphSearch.searchDeltaEmbeddings _),
     // hybrid retrieval: integral reciprocal-rank fusion of the BM25
     // lexical list and the exact-cosine vector list (nq x depth rows each
     // — fusion is corpus-size-free; cost lives in the certified legs)
@@ -833,6 +838,12 @@ object SparkEntry {
     // over the ONE posting-frame corpus explode; candidates are
     // posting-union-sized via the broadcast query-term probe
     "text_bm25_topk" -> (Bm25.bm25Documents _),
+    // incremental posting-index maintenance: frozen old postings/doclen/
+    // stats + delta-only explode, integer-merged df/stats — the oracle is
+    // the full-rebuild spelling VERBATIM, so the gate itself certifies
+    // refresh == rebuild (the r19 delta-matrix discipline, closing the one
+    // index family without a delta form)
+    "text_bm25_delta" -> (Bm25.bm25DeltaDocuments _),
     // serve-on-ingest twin: query plans arrive as file micro-batches and
     // probe the FROZEN posting index statelessly; per-(query, doc) scores
     // accumulate as a monotone update-mode aggregation — SAME oracle
@@ -1197,8 +1208,12 @@ object SparkEntry {
     "dedup_semantic_trained" -> SemanticDedupSql.semanticDedupDocsTrainedSql(),
     "ann_brute_force" -> SimilaritySql.bruteForceTopKSql(),
     "ann_graph_search" -> GraphSearchSql.searchEmbeddingsSql(),
+    // the rebuilt-graph search IS the oracle: maintained graph ≡ rebuild
+    "ann_graph_search_delta" -> GraphSearchSql.searchEmbeddingsSql(),
     "ann_hybrid_rrf" -> Bm25Sql.hybridDocumentsSql(),
     "text_bm25_topk" -> Bm25Sql.bm25DocumentsSql(),
+    // the rebuild IS the oracle: refresh == rebuild exactly (integer merges)
+    "text_bm25_delta" -> Bm25Sql.bm25DocumentsSql(),
     "text_bm25_topk_streaming_file" -> Bm25Sql.bm25DocumentsSql(),
     "ann_knn_classify" -> KnnClassifySql.classifyEmbeddingsSql,
     "ann_lsh" -> SimilaritySql.lshTopKSql(),

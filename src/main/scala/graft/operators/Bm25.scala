@@ -101,9 +101,26 @@ object Bm25 {
     // VALUES are identical (each term's count still ranges over the whole
     // corpus), the work is query-sized, not vocabulary-sized
     val qtf = tf.filter(col("doc_id") < QueryCount)
-    val dfFrame = tf
-      .join(broadcast(qtf.select(col("term")).distinct()), Seq("term"))
+    queryTermsFrom(qtf,
+      restrictedDf(tf, qtf.select(col("term")).distinct()), nFrame)
+  }
+
+  /** df(term) restricted to `termSet` — the query-sized posting-stat read
+    * (broadcast semi-restriction, never a vocabulary-sized aggregation).
+    * Shared by the full build and the delta refresh so the df spelling
+    * cannot drift between them.
+    */
+  private[graft] def restrictedDf(tf: DataFrame, termSet: DataFrame): DataFrame =
+    tf.join(broadcast(termSet), Seq("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** The MoreLikeThis selection tail from pre-built inputs — the ONE
+    * selection spelling, shared by [[queryTerms]] (full-index df) and
+    * [[bm25DeltaTopK]] (frozen df + delta increments): identical rounded
+    * sel_score, identical (sel_score desc, term) tie order.
+    */
+  private[graft] def queryTermsFrom(qtf: DataFrame, dfFrame: DataFrame,
+      nFrame: DataFrame): DataFrame = {
     val selW = Window.partitionBy(col("doc_id"))
       .orderBy(col("sel_score").desc, col("term"))
     qtf
@@ -156,9 +173,16 @@ object Bm25 {
     val doclen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
     val stats = doclen.agg(count(lit(1)).as("n"), sum(col("len")).as("total_len"))
     val qterms = queryTerms(tf, stats.select(col("n")))
+    serve(tf, doclen, stats, qterms, k)
+  }
 
-    // posting probe: candidates are posting-union-sized; doclen joins on
-    // doc_id AFTER the candidate filter, so only matched docs pay it
+  /** The posting-probe serve stage from index artifacts — the ONE serve
+    * spelling shared by the full build and the delta refresh: candidates
+    * are posting-union-sized (broadcast query-term probe); doclen joins on
+    * doc_id AFTER the candidate filter, so only matched docs pay it.
+    */
+  private[graft] def serve(tf: DataFrame, doclen: DataFrame, stats: DataFrame,
+      qterms: DataFrame, k: Int): DataFrame =
     rankTail(
       tf.join(broadcast(qterms), Seq("term"))
         .join(doclen, Seq("doc_id"))
@@ -167,6 +191,60 @@ object Bm25 {
         .groupBy(col("query_id"), col("doc_id"))
         .agg(sum(col("contrib")).as("score_unats"), count(lit(1)).as("n_terms")),
       k)
+
+  /** Incremental posting-index maintenance — the frozen-index delta
+    * discipline (the r18/r19 matrix: lsh_buckets / ivf_assign / pq_codes /
+    * minhash / simhash / winnow / codebook / kNN-graph deltas) applied to
+    * the ONE index family that lacked it: a recrawl invalidates postings,
+    * doclen, df, N and total_len, and before this operator refreshing the
+    * lexical index meant a full rebuild of [[postings]].
+    *
+    * The OLD snapshot's artifacts FREEZE (the caches stand in for the
+    * persisted term-bucketed posting index + per-doc lengths + single-row
+    * stats a deployment reads): the delta documents pay only THEIR OWN
+    * explode. The refreshed index is a pure integer merge —
+    *  - postings: frozen ∪ delta rows (doc spaces disjoint — no combine),
+    *  - doclen: frozen per-doc rows ∪ delta per-doc rows,
+    *  - stats: n_old + n_delta, total_len_old + total_len_delta,
+    *  - df(term): df_old + df_delta, read query-sized on BOTH sides
+    *    ([[restrictedDf]] — at scale the frozen df is a persisted per-term
+    *    stat and the probe reads only the query terms' rows).
+    * Integer merges are associative, so refresh ≡ rebuild EXACTLY: every
+    * selection score, BM25 micro-nat contribution and rank is identical to
+    * [[bm25TopK]] over old ∪ delta — the driver oracle is therefore the
+    * full-rebuild spelling VERBATIM ([[Bm25Sql.bm25DocumentsSql]]), making
+    * the gate itself the equivalence certificate; Bm25DeltaSpec pins
+    * score-level equality and the displacement case adversarially.
+    *
+    * Scale shape: the old corpus never re-explodes, re-aggregates or
+    * reshuffles — the refresh pays O(delta) index work plus the same
+    * query-sized serve probe as the full build.
+    */
+  def bm25DeltaTopK(oldDocs: DataFrame, deltaDocs: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val tfOld = Caching.cached(postings(oldDocs))
+    val doclenOld = Caching.cached(
+      tfOld.groupBy(col("doc_id")).agg(sum(col("tf")).as("len")))
+    val statsOld = doclenOld
+      .agg(count(lit(1)).as("n_old"), sum(col("len")).as("tl_old"))
+    val tfDelta = Caching.cached(postings(deltaDocs))
+    val doclenDelta = tfDelta.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val statsDelta = doclenDelta
+      .agg(count(lit(1)).as("n_delta"), sum(col("len")).as("tl_delta"))
+    val stats = statsOld.crossJoin(statsDelta)
+      .select((col("n_old") + col("n_delta")).as("n"),
+        (col("tl_old") + col("tl_delta")).as("total_len"))
+    val doclen = doclenOld.unionAll(doclenDelta)
+    val tfMerged = tfOld.unionAll(tfDelta)
+    // query docs may live in either snapshot side, so the query-tf read and
+    // the df refresh both span the merge: df = frozen df + delta increments
+    val qtf = tfMerged.filter(col("doc_id") < QueryCount)
+    val qtermSet = qtf.select(col("term")).distinct()
+    val dfFrame = restrictedDf(tfOld, qtermSet)
+      .unionAll(restrictedDf(tfDelta, qtermSet))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val qterms = queryTermsFrom(qtf, dfFrame, stats.select(col("n")))
+    serve(tfMerged, doclen, stats, qterms, k)
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical list and
@@ -212,6 +290,19 @@ object Bm25 {
   def bm25Documents(spark: SparkSession, dir: String): DataFrame =
     bm25TopK(Tables.documents(spark, dir))
       .orderBy(col("query_id"), col("rank"))
+
+  /** Driver query: the incremental refresh over the snapshot carve — old
+    * corpus = the non-added residues, delta = the added ones
+    * ([[CorpusDiff.AddedMod]], the recrawl discipline — the
+    * [[KnnGraph.deltaGraphEmbeddings]] carve verbatim), so old ∪ delta is
+    * exactly the full table and the oracle is the rebuild spelling.
+    */
+  def bm25DeltaDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    bm25DeltaTopK(docs.filter(col("doc_id") % CorpusDiff.AddedMod =!= 0),
+      docs.filter(col("doc_id") % CorpusDiff.AddedMod === 0))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** Driver query: hybrid RRF over documents + embeddings. */
   def hybridDocuments(spark: SparkSession, dir: String): DataFrame =

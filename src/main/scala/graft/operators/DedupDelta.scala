@@ -184,10 +184,6 @@ object DedupDelta {
       .orderBy(col("doc_id"), col("old_id"))
   }
 
-  /** (doc_id, old_id, hamming) for every probe document within
-    * `maxHamming` of an old document — the frozen-simhash-index probe,
-    * exposed as a seam so the spec pins probe ≡ rebuild directly.
-    */
   /** The frozen simhash artifact: banded old signatures with the bucket
     * cap applied at freeze time — exposed so the streaming twin probes
     * the IDENTICAL frame ([[graft.streaming.StreamingSimhashDelta]]).
@@ -200,6 +196,10 @@ object DedupDelta {
           col("bk")),
       "bk", maxBucket, "simhash_delta_caps", "dropped_band_rows")
 
+  /** (doc_id, old_id, hamming) for every probe document within
+    * `maxHamming` of an old document — the frozen-simhash-index probe,
+    * exposed as a seam so the spec pins probe ≡ rebuild directly.
+    */
   def simhashProbePairs(oldDocs: DataFrame, probeDocs: DataFrame,
       maxHamming: Int = Dedup.MaxHamming,
       maxBucket: Int = Dedup.MaxBucket): DataFrame = {

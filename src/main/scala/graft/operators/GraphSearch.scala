@@ -17,7 +17,7 @@ import graft.sources.Tables
   * — so the oracle replays the identical search, unrolled hop by hop.
   *
   * The SERVE graph is built denser than the analysis artifact
-  * ([[ServeGraphK]] = 8 out-edges vs `ann_knn_graph`'s 3) — the standard
+  * ([[ServeGraphK]] = 16 out-edges vs `ann_knn_graph`'s 3) — the standard
   * graph-ANN trade (HNSW's M): a 3-edge graph strands the walk in local
   * optima, while the build cost stays one window over the SAME certified
   * LSH candidate stage (the [[KnnGraph.graph]] spelling verbatim,
@@ -79,14 +79,28 @@ object GraphSearch {
     */
   def search(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5,
       beam: Int = Beam, hops: Int = Hops, numSeeds: Int = NumSeeds,
-      graphK: Int = ServeGraphK): DataFrame = {
+      graphK: Int = ServeGraphK): DataFrame =
+    searchOn(emb,
+      KnnGraph.graph(emb, graphK, ServeTables, ServePlanes)
+        .select(col("vec_id"), col("nbr_id")),
+      queryMaxId, k, beam, hops, numSeeds)
+
+  /** Beam search over a PRE-BUILT edge frame (columns vec_id, nbr_id) —
+    * the seam that composes the serve with the graph's MAINTENANCE story:
+    * `ann_graph_search_delta` feeds [[KnnGraph.deltaGraph]]'s incrementally
+    * maintained edges through THIS spelling, certifying the monthly-
+    * recrawl/serve-continuously loop end to end (maintained graph ≡
+    * rebuilt graph by the `ann_knn_graph_delta` contract, so the search
+    * oracle is the rebuilt-graph search unrolled, verbatim).
+    */
+  def searchOn(emb: DataFrame, edgeFrame: DataFrame,
+      queryMaxId: Long = 8, k: Int = 5,
+      beam: Int = Beam, hops: Int = Hops, numSeeds: Int = NumSeeds): DataFrame = {
     val corpus = emb.select(col("vec_id").as("node"),
       col("embedding").as("nv"))
     val queries = emb.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val edges = Caching.cached(
-      KnnGraph.graph(emb, graphK, ServeTables, ServePlanes)
-        .select(col("vec_id"), col("nbr_id")))
+    val edges = Caching.cached(edgeFrame)
     val seeds = emb.filter(col("vec_id") >= queryMaxId)
       .select(col("vec_id").as("node")).orderBy(col("node")).limit(numSeeds)
 
@@ -133,6 +147,26 @@ object GraphSearch {
   /** Driver query: graph-ANN top-5 for the standard query set. */
   def searchEmbeddings(spark: SparkSession, dir: String): DataFrame =
     search(Tables.embeddings(spark, dir))
+
+  /** Driver query: the SAME beam search served from the INCREMENTALLY
+    * MAINTAINED graph — [[KnnGraph.deltaGraph]] over the snapshot carve
+    * (old = non-added residues, delta = added; the recrawl discipline) at
+    * the serve regime's density/planes, fed through [[searchOn]]. The two
+    * r19 features this composes (`ann_graph_search`, `ann_knn_graph_delta`)
+    * each certify their own half; this closes the loop: maintain monthly,
+    * serve continuously. deltaGraph ≡ rebuild EXACTLY (the knn-graph delta
+    * contract), so the oracle is the rebuilt-graph search unrolled,
+    * verbatim — the `ann_graph_search` oracle string.
+    */
+  def searchDeltaEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    searchOn(emb,
+      KnnGraph.deltaGraph(
+        emb.filter(col("vec_id") % CorpusDiff.AddedMod =!= 0),
+        emb.filter(col("vec_id") % CorpusDiff.AddedMod === 0),
+        ServeGraphK, ServeTables, ServePlanes)
+        .select(col("vec_id"), col("nbr_id")))
+  }
 }
 
 /** DuckDB oracle for [[GraphSearch]]: the SAME serve graph (the

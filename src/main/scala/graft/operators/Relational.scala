@@ -139,16 +139,66 @@ object Relational {
       |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
       |ORDER BY o_orderkey""".stripMargin
 
-  /** Left-anti join: customers with no orders (NOT EXISTS). */
-  def antiJoin(spark: SparkSession, dir: String): DataFrame =
-    Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+  /** Probe-key discipline for the relational fixtures — the
+    * [[Dedup.probeId]] rationale applied to customer/user keys: an additive
+    * offset aliases real keys once the real key space reaches the offset
+    * spacing, so every probe key rides this guard, which enforces
+    * `0 <= key < Dedup.ProbeIdSpace` AT ROW TIME (a violating table fails
+    * loudly instead of silently cross-linking probe families). The guard is
+    * a codegen'd branch over the probe SUBSET only; on any conforming table
+    * it is behaviorally invisible, so the guard-free oracle mirrors stay
+    * bit-identical.
+    */
+  private def probeKey(c: Column, offset: Long): Column =
+    when(c >= 0 && c < Dedup.ProbeIdSpace, c + offset)
+      .otherwise(raise_error(concat(
+        lit(s"probe-key offset $offset aliases real key "),
+        c.cast("string"))).cast("long"))
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). The raw fixture
+    * is VACUOUS here — every driver customer has at least one order at the
+    * gate scales, so an unaugmented green row is an empty==empty match that
+    * certifies nothing (the round-19 verdict finding). Probe families (the
+    * [[Dedup.normProbeAugmented]] discipline): every 500th customer gains
+    * an ORDERLESS relocated twin (offset 1e6 — the row the anti-join must
+    * KEEP) and a twin WITH a matching probe order (offset 2e6 — the row it
+    * must EXCLUDE), so the gate row asserts both regimes at every scale.
+    * Probe keys ride [[probeKey]]; only the join key is unioned on the
+    * orders side, so column pruning reaches the fact scan unchanged.
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val seed = cust.filter(col("c_custkey") % 500 === 7)
+    def probeCust(off: Long) = seed.select(
+      probeKey(col("c_custkey"), off).as("c_custkey"),
+      concat(lit("Probe#"), probeKey(col("c_custkey"), off).cast("string"))
+        .as("c_name"))
+    val ordKeys = Tables.orders(spark, dir).select(col("o_custkey"))
+      .unionAll(seed.select(probeKey(col("c_custkey"), 2000000L).as("o_custkey")))
+    cust.unionAll(probeCust(1000000L)).unionAll(probeCust(2000000L))
+      .join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
+  }
 
   val antiJoinSql: String =
-    """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """WITH cust AS (
+      |  SELECT c_custkey, c_name FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000,
+      |         concat('Probe#', CAST(c_custkey + 1000000 AS VARCHAR))
+      |  FROM customer WHERE c_custkey % 500 = 7
+      |  UNION ALL
+      |  SELECT c_custkey + 2000000,
+      |         concat('Probe#', CAST(c_custkey + 2000000 AS VARCHAR))
+      |  FROM customer WHERE c_custkey % 500 = 7),
+      |ords AS (
+      |  SELECT o_custkey FROM orders
+      |  UNION ALL
+      |  SELECT c_custkey + 2000000 AS o_custkey
+      |  FROM customer WHERE c_custkey % 500 = 7)
+      |SELECT c_custkey, c_name FROM cust
+      |WHERE NOT EXISTS (SELECT 1 FROM ords WHERE ords.o_custkey = cust.c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
   /** Window: top-3 orders per customer by price (row_number, tiebreak key). */
@@ -307,18 +357,44 @@ object Relational {
 
   /** Set ops: users who clicked AND purchased but never hit an error. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+    // the raw fixture is VACUOUS: every driver user who clicks and
+    // purchases also errors at every scale, so INTERSECT-EXCEPT returns 0
+    // rows and the green gate row certifies nothing (the round-19 verdict
+    // finding). Probe user families (one per regime, each derived from the
+    // real distinct-user seed so they exist at all scales): 1e6 =
+    // click+purchase, never errs — the KEPT survivor; 2e6 = click+purchase+
+    // error — excluded by the EXCEPT; 3e6 = click only — excluded by the
+    // INTERSECT. Probe keys ride [[probeKey]]'s row-time ceiling guard.
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"))
+    val seed = ev.select(col("user_id")).distinct()
+      .filter(col("user_id") % 100 === 3)
+    def fam(off: Long, types: Seq[String]) = types.map(t =>
+      seed.select(probeKey(col("user_id"), off).as("user_id"),
+        lit(t).as("event_type"))).reduce(_.unionAll(_))
+    val aug = ev
+      .unionAll(fam(1000000L, Seq("click", "purchase")))
+      .unionAll(fam(2000000L, Seq("click", "purchase", "error")))
+      .unionAll(fam(3000000L, Seq("click")))
+    def users(t: String) = aug.filter(col("event_type") === t).select(col("user_id")).distinct()
     users("click").intersect(users("purchase")).except(users("error"))
       .orderBy(col("user_id"))
   }
 
   val setOpsSql: String =
-    """(SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    """WITH seed AS (SELECT DISTINCT user_id FROM events WHERE user_id % 100 = 3),
+      |ev AS (
+      |  SELECT user_id, event_type FROM events
+      |  UNION ALL SELECT user_id + 1000000, 'click' FROM seed
+      |  UNION ALL SELECT user_id + 1000000, 'purchase' FROM seed
+      |  UNION ALL SELECT user_id + 2000000, 'click' FROM seed
+      |  UNION ALL SELECT user_id + 2000000, 'purchase' FROM seed
+      |  UNION ALL SELECT user_id + 2000000, 'error' FROM seed
+      |  UNION ALL SELECT user_id + 3000000, 'click' FROM seed)
+      |(SELECT DISTINCT user_id FROM ev WHERE event_type = 'click'
       | INTERSECT
-      | SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      | SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase')
       |EXCEPT
-      |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+      |SELECT DISTINCT user_id FROM ev WHERE event_type = 'error'
       |ORDER BY user_id""".stripMargin
 
   /** Distinct aggregation per group. */

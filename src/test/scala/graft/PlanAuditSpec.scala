@@ -111,6 +111,11 @@ class PlanAuditSpec extends SparkSpec {
     // broadcasts into the query-term selection and the scoring pass (the
     // text_tfidf shape, twice) (2)
     "text_bm25_topk" -> 2,
+    // text_bm25_delta: the refresh's merged (N, total_len) stats are the
+    // SUM of two single-row aggregates (old frozen + delta), so each of
+    // the serve and selection stat crosses (text_bm25_topk's 2) carries
+    // one additional single-row old×delta cross inside it (4)
+    "text_bm25_delta" -> 4,
     // ann_hybrid_rrf: inherits the bm25 leg's two single-row stat
     // crosses (2) + the exact-cosine leg's nq-broadcast cross
     // (ann_brute_force's count) (1); the fusion itself is a full-outer
