@@ -833,6 +833,11 @@ object SparkEntry {
     // lexical list and the exact-cosine vector list (nq x depth rows each
     // — fusion is corpus-size-free; cost lives in the certified legs)
     "ann_hybrid_rrf" -> (Bm25.hybridDocuments _),
+    // fusion-quality instrument: consensus recall + per-leg retention at
+    // sweep fusion depths over the ONE pair of cached depth-20 rank lists;
+    // the tail depth IS the shipped ann_hybrid_rrf knob (r18 curve
+    // discipline — the last serve knob pair without a measured curve)
+    "ann_hybrid_recall" -> (Bm25.hybridRecallDocuments _),
     // lexical retrieval serve: MoreLikeThis top-idf query-term selection
     // (the tfidf spelling) + BM25 scoring in floored integral micro-nats
     // over the ONE posting-frame corpus explode; candidates are
@@ -1211,6 +1216,7 @@ object SparkEntry {
     // the rebuilt-graph search IS the oracle: maintained graph ≡ rebuild
     "ann_graph_search_delta" -> GraphSearchSql.searchEmbeddingsSql(),
     "ann_hybrid_rrf" -> Bm25Sql.hybridDocumentsSql(),
+    "ann_hybrid_recall" -> Bm25Sql.hybridRecallCurveSql(),
     "text_bm25_topk" -> Bm25Sql.bm25DocumentsSql(),
     // the rebuild IS the oracle: refresh == rebuild exactly (integer merges)
     "text_bm25_delta" -> Bm25Sql.bm25DocumentsSql(),

@@ -270,6 +270,16 @@ object Bm25 {
     val vec = Similarity.bruteForceTopK(emb, QueryCount, depth)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank").cast("long").as("vec_rank"))
+    rrfFuse(lex, vec, k)
+  }
+
+  /** The fusion tail from pre-built rank lists — the ONE RRF spelling,
+    * shared by [[hybridRrf]], the recall instrument ([[hybridRecallCurve]],
+    * which fuses the same lists at sweep depths) and the streaming serve
+    * twin, so the fused arithmetic cannot drift. `lex` carries (query_id,
+    * doc_id, lex_rank), `vec` (query_id, doc_id, vec_rank).
+    */
+  private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_ppm").desc, col("doc_id"))
     lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
@@ -284,6 +294,104 @@ object Bm25 {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_ppm"))
+  }
+
+  /** The fusion-depth sweep points; the deepest is [[FusionDepth]] — the
+    * shipped serve knob, so the curve's tail IS the shipped operator
+    * (the `ann_rerank_depth_curve` discipline: sweep first, pin the tail).
+    */
+  val FusionDepthPoints: Seq[Int] = Seq(5, 10, FusionDepth)
+
+  /** Fusion-quality instrument for [[hybridRrf]] — the knob curve behind
+    * FusionDepth = [[FusionDepth]] / RrfK = [[RrfK]], the one serve knob
+    * pair shipped in r19 without a measured curve (the r18
+    * `ann_rerank_batch` lesson: unmeasured knobs hide recall cliffs).
+    * Per sweep depth, ONE row of integral counts over the two depth-20
+    * rank lists (computed once, fused per depth through [[rrfFuse]]
+    * verbatim — restricting a depth-20 list to rank ≤ 20 is the identity,
+    * so the tail row's fused set IS the shipped `ann_hybrid_rrf` list,
+    * pinned in HybridRecallSpec):
+    *  - CONSENSUS recall: relevant(q) = docs in BOTH systems' top-20 (the
+    *    best label-free relevance proxy — lexically and semantically
+    *    close). hyb/lex/vec_cons_hits count how many consensus docs each
+    *    top-k list retains. The case fusion exists for: a doc ranked ~12th
+    *    by both systems fuses above any single-system head, so the hybrid
+    *    retains consensus docs the legs' own top-k miss. HONEST-ZERO note:
+    *    on this synthetic corpus the consensus set THINS with scale (7
+    *    docs at sf0.01, 0 at sf0.1 — token ids and embedding directions
+    *    are drawn independently, the distance-concentration finding's
+    *    lexical sibling); the instrument reports the emptiness rather than
+    *    hiding it, and the leg-retention metrics below stay non-vacuous at
+    *    every scale. On a real corpus the consensus column is the one to
+    *    watch.
+    *  - LEG RETENTION: how much of each leg's own top-k head survives
+    *    fusion (hyb_lex/vec_hits over n_lex/vec_head). The non-collapse
+    *    certificate: RRF's integral arithmetic guarantees both legs' ranks
+    *    1..2 outrank any single rank ≥ 3, so retention ≥ 2/k per leg at
+    *    every depth — a fusion that collapses onto one leg fails the
+    *    pinned floor.
+    * Scale shape: both legs are nq x depth rows — every fusion, join and
+    * count here is corpus-size-free; the expense lives in the two
+    * independently certified retrieval legs, computed ONCE and cached.
+    */
+  def hybridRecallCurve(docs: DataFrame, emb: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val lexDeep = Caching.cached(bm25TopK(docs, FusionDepth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank")))
+    val vecDeep = Caching.cached(
+      Similarity.bruteForceTopK(emb, QueryCount, FusionDepth)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("rank").cast("long").as("vec_rank")))
+    // the (query, doc) universe with both ranks attached (0 = absent) —
+    // every metric below is a conditional count over this one frame
+    val uni = Caching.cached(
+      lexDeep.join(vecDeep, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("vec_rank"), lit(0L)).as("vec_rank")))
+    def depthRow(d: Int): DataFrame = {
+      val hybSet = rrfFuse(
+        lexDeep.filter(col("lex_rank") <= d),
+        vecDeep.filter(col("vec_rank") <= d), k)
+        .select(col("query_id"), col("doc_id"), lit(1L).as("in_hyb"))
+      val cons = col("lex_rank") > 0 && col("vec_rank") > 0
+      uni.join(hybSet, Seq("query_id", "doc_id"), "left")
+        .withColumn("in_hyb", coalesce(col("in_hyb"), lit(0L)))
+        .agg(
+          count(when(cons, 1)).as("n_consensus"),
+          count(when(cons && col("in_hyb") === 1, 1)).as("hyb_cons_hits"),
+          count(when(cons && col("lex_rank") <= k, 1)).as("lex_cons_hits"),
+          count(when(cons && col("vec_rank") <= k, 1)).as("vec_cons_hits"),
+          count(when(col("lex_rank") > 0 && col("lex_rank") <= k, 1))
+            .as("n_lex_head"),
+          count(when(col("lex_rank") > 0 && col("lex_rank") <= k
+            && col("in_hyb") === 1, 1)).as("hyb_lex_hits"),
+          count(when(col("vec_rank") > 0 && col("vec_rank") <= k, 1))
+            .as("n_vec_head"),
+          count(when(col("vec_rank") > 0 && col("vec_rank") <= k
+            && col("in_hyb") === 1, 1)).as("hyb_vec_hits"))
+        .withColumn("depth", lit(d.toLong))
+    }
+    FusionDepthPoints.map(depthRow).reduce(_.unionAll(_))
+      // greatest(.., 1): the divisor guards are symmetric in both engines
+      // (Spark non-ANSI div yields null on 0, DuckDB // raises)
+      .withColumn("hyb_cons_recall_ppm",
+        expr("(hyb_cons_hits * 1000000) div greatest(n_consensus, 1)"))
+      .withColumn("lex_cons_recall_ppm",
+        expr("(lex_cons_hits * 1000000) div greatest(n_consensus, 1)"))
+      .withColumn("vec_cons_recall_ppm",
+        expr("(vec_cons_hits * 1000000) div greatest(n_consensus, 1)"))
+      .withColumn("hyb_lex_recall_ppm",
+        expr("(hyb_lex_hits * 1000000) div greatest(n_lex_head, 1)"))
+      .withColumn("hyb_vec_recall_ppm",
+        expr("(hyb_vec_hits * 1000000) div greatest(n_vec_head, 1)"))
+      .select(col("depth"), col("n_consensus"),
+        col("hyb_cons_hits"), col("hyb_cons_recall_ppm"),
+        col("lex_cons_hits"), col("lex_cons_recall_ppm"),
+        col("vec_cons_hits"), col("vec_cons_recall_ppm"),
+        col("n_lex_head"), col("hyb_lex_hits"), col("hyb_lex_recall_ppm"),
+        col("n_vec_head"), col("hyb_vec_hits"), col("hyb_vec_recall_ppm"))
+      .orderBy(col("depth"))
   }
 
   /** Driver query: BM25 top-k over the documents table. */
@@ -308,6 +416,12 @@ object Bm25 {
   def hybridDocuments(spark: SparkSession, dir: String): DataFrame =
     hybridRrf(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
       .orderBy(col("query_id"), col("rank"))
+
+  /** Driver query: the fusion-depth recall curve over documents +
+    * embeddings.
+    */
+  def hybridRecallDocuments(spark: SparkSession, dir: String): DataFrame =
+    hybridRecallCurve(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
 }
 
 /** DuckDB oracle for [[Bm25]] — same tokenizer, same constants, same
@@ -364,6 +478,73 @@ object Bm25Sql {
        |SELECT query_id, rank, doc_id, n_terms, score_unats
        |FROM bm_ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Mirror of [[Bm25.hybridRecallCurve]]: the same two depth-20 rank
+    * lists, the same per-depth restricted RRF fusion (integral `//`), the
+    * same conditional counts over the one full-outer universe, the same
+    * greatest(.., 1) divisor guards.
+    */
+  def hybridRecallCurveSql(k: Int = TopK): String = {
+    import graft.functions.{VectorSql => VS}
+    val depths = FusionDepthPoints
+    def hybCte(d: Int): String =
+      s"""hyb_$d AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id) AS r
+         |    FROM (
+         |      SELECT query_id, doc_id,
+         |        (CASE WHEN lex_rank BETWEEN 1 AND $d
+         |              THEN 1000000 // ($RrfK + lex_rank) ELSE 0 END
+         |         + CASE WHEN vec_rank BETWEEN 1 AND $d
+         |              THEN 1000000 // ($RrfK + vec_rank) ELSE 0 END) AS rrf_ppm
+         |      FROM uni
+         |      WHERE lex_rank BETWEEN 1 AND $d OR vec_rank BETWEEN 1 AND $d))
+         |  WHERE r <= $k)""".stripMargin
+    def rowCte(d: Int): String =
+      s"""row_$d AS (
+         |  SELECT CAST($d AS BIGINT) AS depth,
+         |    count(*) FILTER (WHERE lex_rank > 0 AND vec_rank > 0) AS n_consensus,
+         |    count(*) FILTER (WHERE lex_rank > 0 AND vec_rank > 0 AND in_hyb) AS hyb_cons_hits,
+         |    count(*) FILTER (WHERE lex_rank > 0 AND vec_rank > 0 AND lex_rank <= $k) AS lex_cons_hits,
+         |    count(*) FILTER (WHERE lex_rank > 0 AND vec_rank > 0 AND vec_rank <= $k) AS vec_cons_hits,
+         |    count(*) FILTER (WHERE lex_rank > 0 AND lex_rank <= $k) AS n_lex_head,
+         |    count(*) FILTER (WHERE lex_rank > 0 AND lex_rank <= $k AND in_hyb) AS hyb_lex_hits,
+         |    count(*) FILTER (WHERE vec_rank > 0 AND vec_rank <= $k) AS n_vec_head,
+         |    count(*) FILTER (WHERE vec_rank > 0 AND vec_rank <= $k AND in_hyb) AS hyb_vec_hits
+         |  FROM (SELECT u.*, h.doc_id IS NOT NULL AS in_hyb
+         |        FROM uni u LEFT JOIN hyb_$d h USING (query_id, doc_id)))""".stripMargin
+    s"""WITH $bm25Ctes,
+       |lexd AS (SELECT query_id, doc_id, rank AS lex_rank
+       |  FROM bm_ranked WHERE rank <= $FusionDepth),
+       |vq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < $QueryCount),
+       |vscored AS (
+       |  SELECT vq.query_id, c.vec_id AS doc_id,
+       |    ${VS.cosine("vq.qv", "c.embedding")} AS cos
+       |  FROM embeddings c JOIN vq ON vq.query_id <> c.vec_id),
+       |vecd AS (
+       |  SELECT query_id, doc_id, vec_rank FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, doc_id) AS vec_rank
+       |    FROM vscored)
+       |  WHERE vec_rank <= $FusionDepth),
+       |uni AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+       |    CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank
+       |  FROM lexd FULL OUTER JOIN vecd USING (query_id, doc_id)),
+       |${depths.map(hybCte).mkString(",\n")},
+       |${depths.map(rowCte).mkString(",\n")}
+       |SELECT depth, n_consensus,
+       |  hyb_cons_hits, (hyb_cons_hits * 1000000) // greatest(n_consensus, 1) AS hyb_cons_recall_ppm,
+       |  lex_cons_hits, (lex_cons_hits * 1000000) // greatest(n_consensus, 1) AS lex_cons_recall_ppm,
+       |  vec_cons_hits, (vec_cons_hits * 1000000) // greatest(n_consensus, 1) AS vec_cons_recall_ppm,
+       |  n_lex_head, hyb_lex_hits, (hyb_lex_hits * 1000000) // greatest(n_lex_head, 1) AS hyb_lex_recall_ppm,
+       |  n_vec_head, hyb_vec_hits, (hyb_vec_hits * 1000000) // greatest(n_vec_head, 1) AS hyb_vec_recall_ppm
+       |FROM (${depths.map(d => s"SELECT * FROM row_$d").mkString("\n  UNION ALL\n  ")})
+       |ORDER BY depth""".stripMargin
+  }
 
   def hybridDocumentsSql(k: Int = TopK, depth: Int = FusionDepth): String = {
     import graft.functions.{VectorSql => VS}

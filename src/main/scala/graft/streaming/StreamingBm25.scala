@@ -68,12 +68,19 @@ object StreamingBm25 {
     // whether or not sf0.1 can see it.
     val tfProbe = Caching.cached(
       tf.join(broadcast(staged.select(col("term")).distinct()), Seq("term")))
+    // doclen restricted to the candidate doc set BEFORE broadcasting — the
+    // docs a batch can match are exactly tfProbe's (the posting-union
+    // bound), so the semi-restriction is behaviorally invisible but keeps
+    // the per-batch broadcast CANDIDATE-sized, not corpus-sized (a one-row-
+    // per-document frame must never ship into every micro-batch at 100 TB)
+    val doclenProbe = Caching.cached(
+      doclen.join(tfProbe.select(col("doc_id")).distinct(), Seq("doc_id")))
     val emissions = ReplayHarness.emissionsFromFiles(
       spark, staged, chunks, statePartitions = 4,
       prefix = "bm25_file", outputMode = "update", col("query_id"))(
       stream => stream
         .join(broadcast(tfProbe), Seq("term"))
-        .join(broadcast(doclen), Seq("doc_id"))
+        .join(broadcast(doclenProbe), Seq("doc_id"))
         .withColumn("contrib", Bm25.contribUnats)
         .groupBy(col("query_id"), col("doc_id"))
         .agg(sum(col("contrib")).as("score_unats"),
