@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_simhash_delta_streaming_file",
     "dedup_delta_attribution",
     "text_bm25_topk_streaming_file",
+    "ann_hybrid_rrf_streaming_file",
     "emb_kmeans_step_streaming_file",
     "emb_pq_codes_streaming_file",
     "emb_ivf_assign_streaming_file",
@@ -854,6 +855,12 @@ object SparkEntry {
     // accumulate as a monotone update-mode aggregation — SAME oracle
     "text_bm25_topk_streaming_file" -> ((s, d) =>
       streaming.StreamingBm25.bm25FromFiles(s, d)),
+    // hybrid serve twin: BOTH legs' staged query plans arrive as file
+    // micro-batches (lexical = the staged posting-probe serve; vector = a
+    // stateless blocked probe of the frozen normed corpus), fused by the
+    // ONE integral RRF spelling — SAME oracle as ann_hybrid_rrf
+    "ann_hybrid_rrf_streaming_file" -> ((s, d) =>
+      streaming.StreamingHybrid.hybridFromFiles(s, d)),
     // kNN majority-vote label prediction on the certified top-k contract —
     // the embedding-quality probe; vote tail touches only queries x K rows
     "ann_knn_classify" -> (KnnClassify.classifyEmbeddings _),
@@ -1221,6 +1228,7 @@ object SparkEntry {
     // the rebuild IS the oracle: refresh == rebuild exactly (integer merges)
     "text_bm25_delta" -> Bm25Sql.bm25DocumentsSql(),
     "text_bm25_topk_streaming_file" -> Bm25Sql.bm25DocumentsSql(),
+    "ann_hybrid_rrf_streaming_file" -> Bm25Sql.hybridDocumentsSql(),
     "ann_knn_classify" -> KnnClassifySql.classifyEmbeddingsSql,
     "ann_lsh" -> SimilaritySql.lshTopKSql(),
     "ann_lsh_rerank" -> SimilaritySql.lshRerankTopKSql(),

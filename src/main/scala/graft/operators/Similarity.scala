@@ -72,7 +72,7 @@ object Similarity {
     * the contract (and its oracle mirror) cannot drift between variants.
     * `scored` must carry (query_id, vec_id, cos).
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
