@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_delta_attribution",
     "text_bm25_topk_streaming_file",
     "ann_hybrid_rrf_streaming_file",
+    "text_bm25_delta_streaming_file",
     "emb_kmeans_step_streaming_file",
     "emb_pq_codes_streaming_file",
     "emb_ivf_assign_streaming_file",
@@ -850,6 +851,12 @@ object SparkEntry {
     // refresh == rebuild (the r19 delta-matrix discipline, closing the one
     // index family without a delta form)
     "text_bm25_delta" -> (Bm25.bm25DeltaDocuments _),
+    // ingest-time index maintenance twin: the delta docs' parse-stage
+    // posting rows arrive as micro-batches, accumulate as monotone
+    // per-(doc, term) increments, and fold into the frozen index through
+    // the ONE merge-and-serve spelling — SAME oracle (the rebuild)
+    "text_bm25_delta_streaming_file" -> ((s, d) =>
+      streaming.StreamingBm25Delta.bm25DeltaFromFiles(s, d)),
     // serve-on-ingest twin: query plans arrive as file micro-batches and
     // probe the FROZEN posting index statelessly; per-(query, doc) scores
     // accumulate as a monotone update-mode aggregation — SAME oracle
@@ -1227,6 +1234,7 @@ object SparkEntry {
     "text_bm25_topk" -> Bm25Sql.bm25DocumentsSql(),
     // the rebuild IS the oracle: refresh == rebuild exactly (integer merges)
     "text_bm25_delta" -> Bm25Sql.bm25DocumentsSql(),
+    "text_bm25_delta_streaming_file" -> Bm25Sql.bm25DocumentsSql(),
     "text_bm25_topk_streaming_file" -> Bm25Sql.bm25DocumentsSql(),
     "ann_hybrid_rrf_streaming_file" -> Bm25Sql.hybridDocumentsSql(),
     "ann_knn_classify" -> KnnClassifySql.classifyEmbeddingsSql,

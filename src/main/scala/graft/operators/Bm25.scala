@@ -222,13 +222,23 @@ object Bm25 {
     */
   def bm25DeltaTopK(oldDocs: DataFrame, deltaDocs: DataFrame,
       k: Int = TopK): DataFrame = {
-    val tfOld = Caching.cached(postings(oldDocs))
+    val tfDelta = Caching.cached(postings(deltaDocs))
+    mergeServe(Caching.cached(postings(oldDocs)), tfDelta,
+      tfDelta.groupBy(col("doc_id")).agg(sum(col("tf")).as("len")), k)
+  }
+
+  /** The refresh-and-serve stage from a frozen old posting frame and the
+    * delta's (postings, doclen) increments — the ONE merge spelling,
+    * shared by [[bm25DeltaTopK]] and the streaming maintenance twin
+    * ([[graft.streaming.StreamingBm25Delta]], whose increments arrive as
+    * micro-batches) so the integer-merge arithmetic cannot drift.
+    */
+  private[graft] def mergeServe(tfOld: DataFrame, tfDelta: DataFrame,
+      doclenDelta: DataFrame, k: Int): DataFrame = {
     val doclenOld = Caching.cached(
       tfOld.groupBy(col("doc_id")).agg(sum(col("tf")).as("len")))
     val statsOld = doclenOld
       .agg(count(lit(1)).as("n_old"), sum(col("len")).as("tl_old"))
-    val tfDelta = Caching.cached(postings(deltaDocs))
-    val doclenDelta = tfDelta.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
     val statsDelta = doclenDelta
       .agg(count(lit(1)).as("n_delta"), sum(col("len")).as("tl_delta"))
     val stats = statsOld.crossJoin(statsDelta)
