@@ -47,6 +47,7 @@ object SparkEntry {
     "dedup_clusters_delta",
     "dedup_minhash_delta_streaming_file",
     "dedup_simhash_delta_streaming_file",
+    "dedup_winnow_delta_streaming_file",
     "dedup_delta_attribution",
     "text_bm25_topk_streaming_file",
     "ann_hybrid_rrf_streaming_file",
@@ -786,6 +787,11 @@ object SparkEntry {
     // a >= 6-word passage with old content (syndication/quote-farm case
     // the whole-doc screens miss when the surrounding text is new)
     "dedup_winnow_delta" -> (DedupDelta.winnowDeltaDocuments _),
+    // ingest-time form: parse-stage fingerprint arrays arrive as
+    // micro-batches and probe the SAME frozen posting artifact statelessly;
+    // per-pair shared counts fold as a monotone update-mode aggregation
+    "dedup_winnow_delta_streaming_file" -> ((s, d) =>
+      streaming.StreamingWinnowDelta.winnowDeltaFromFiles(s, d)),
     // the recrawl cascade report: which screen catches each delta doc
     // FIRST (exact > minhash > simhash > winnow > unique) — every stage
     // the certified delta screen verbatim over ONE shared probe set; the
@@ -1218,6 +1224,7 @@ object SparkEntry {
     "dedup_simhash_delta" -> DedupDeltaSql.simhashDeltaDocumentsSql(),
     "dedup_simhash_delta_streaming_file" -> DedupDeltaSql.simhashDeltaDocumentsSql(),
     "dedup_winnow_delta" -> DedupDeltaSql.winnowDeltaDocumentsSql(),
+    "dedup_winnow_delta_streaming_file" -> DedupDeltaSql.winnowDeltaDocumentsSql(),
     "dedup_delta_attribution" -> DeltaAttributionSql.attributeDocumentsSql(),
     "dedup_clusters" -> DedupClustersSql.componentsSql(DedupSql.simhashPairsCte()),
     "dedup_embedding" -> DedupSql.embeddingNearDupSql(),
