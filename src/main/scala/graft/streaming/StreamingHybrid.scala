@@ -46,17 +46,29 @@ object StreamingHybrid {
     */
   val VecBlocks = 8
 
+  /** The stream's state/shuffle width (the ReplayHarness sizing rule) —
+    * the corpus cache pre-partitions on blk at THIS width so the
+    * per-batch join's required partitioning matches the cached layout.
+    */
+  val StreamPartitions = 4
+
   def hybridFromFiles(spark: SparkSession, dir: String,
       chunks: Int = 3, k: Int = Bm25.TopK,
       depth: Int = Bm25.FusionDepth): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
 
-    // frozen corpus artifact: normed vectors with their block id (cached
-    // static — stands in for the block-bucketed on-disk layout)
+    // frozen corpus artifact: normed vectors with their block id, cached
+    // PRE-PARTITIONED on blk at the stream's shuffle width — the stand-in
+    // for the block-bucketed on-disk layout. The cache retains its physical
+    // partitioning, so the per-batch join reuses it and only the (tiny)
+    // arriving query side shuffles; without this the ~corpus-sized side
+    // re-sorts into the join every micro-batch once it outgrows the
+    // auto-broadcast threshold (it does at sf0.1)
     val corpus = Caching.cached(emb.select(
       col("vec_id"), col("embedding"),
       VF.norm(col("embedding")).as("nrm"),
-      pmod(col("vec_id"), lit(VecBlocks.toLong)).as("blk")))
+      pmod(col("vec_id"), lit(VecBlocks.toLong)).as("blk"))
+      .repartition(StreamPartitions, col("blk")))
 
     // staged query plans: vector + parse-stage norm per query
     val staged = emb.filter(col("vec_id") < Bm25.QueryCount)
@@ -64,7 +76,7 @@ object StreamingHybrid {
         VF.norm(col("embedding")).as("qn"))
 
     val emissions = ReplayHarness.emissionsFromFiles(
-      spark, staged, chunks, statePartitions = 4,
+      spark, staged, chunks, statePartitions = StreamPartitions,
       prefix = "hybrid_vec_file", outputMode = "append", col("query_id"))(
       stream => stream
         .withColumn("blk", explode(array((0 until VecBlocks).map(b =>
