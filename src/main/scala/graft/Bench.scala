@@ -31,6 +31,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Codegen-class cache sized to the suite instead of the 100-entry
+      // default. Measured (round 21, TwinProfile): a single heavy query
+      // (ann_ivf_pq_res_trained) compiles 118 codegen units, so the LRU
+      // default evicts its own entries mid-query — its SECOND run
+      // recompiled 119 units (zero hits); with a 10k cache the rerun
+      // recompiles 0 and shared trunk subplans hit ACROSS queries
+      // (ann_ivf_pq_rerank round 1: 126 -> 28 compiles). Each miss is a
+      // ~20-100 ms Janino compile on the hot path; a 272-query session
+      // (and every streaming twin's per-batch replan) pays it
+      // repeatedly. Cost is bounded generated-class memory; the knob is
+      // core-count- and scale-independent (any long-lived session
+      // serving many distinct queries wants the cache sized to its
+      // workload, not to 100).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Measure with the noop sink: every column materializes and top-level

@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // write timestamps as INT64 micros (same physical form DuckDB emits)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // suite-sized codegen-class cache — see the measured rationale in
+      // Bench.scala (the 100-entry default recompiles shared subplans
+      // across the 272-query session)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -317,10 +317,11 @@ object Bm25 {
     * pair shipped in r19 without a measured curve (the r18
     * `ann_rerank_batch` lesson: unmeasured knobs hide recall cliffs).
     * Per sweep depth, ONE row of integral counts over the two depth-20
-    * rank lists (computed once, fused per depth through [[rrfFuse]]
-    * verbatim — restricting a depth-20 list to rank ≤ 20 is the identity,
-    * so the tail row's fused set IS the shipped `ann_hybrid_rrf` list,
-    * pinned in HybridRecallSpec):
+    * rank lists (computed once; the sweep is depth-exploded and fused in
+    * ONE windowed pass whose arithmetic is [[rrfFuse]]'s line-for-line —
+    * restricting a depth-20 list to rank ≤ 20 is the identity, so the
+    * tail row's fused set IS the shipped `ann_hybrid_rrf` list, pinned
+    * row-for-row in HybridRecallSpec and by the driver oracle):
     *  - CONSENSUS recall: relevant(q) = docs in BOTH systems' top-20 (the
     *    best label-free relevance proxy — lexically and semantically
     *    close). hyb/lex/vec_cons_hits count how many consensus docs each
@@ -346,12 +347,11 @@ object Bm25 {
     */
   def hybridRecallCurve(docs: DataFrame, emb: DataFrame,
       k: Int = TopK): DataFrame = {
-    val lexDeep = Caching.cached(bm25TopK(docs, FusionDepth)
-      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank")))
-    val vecDeep = Caching.cached(
-      Similarity.bruteForceTopK(emb, QueryCount, FusionDepth)
-        .select(col("query_id"), col("vec_id").as("doc_id"),
-          col("rank").cast("long").as("vec_rank")))
+    val lexDeep = bm25TopK(docs, FusionDepth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val vecDeep = Similarity.bruteForceTopK(emb, QueryCount, FusionDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("vec_rank"))
     // the (query, doc) universe with both ranks attached (0 = absent) —
     // every metric below is a conditional count over this one frame
     val uni = Caching.cached(
@@ -359,30 +359,52 @@ object Bm25 {
         .select(col("query_id"), col("doc_id"),
           coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
           coalesce(col("vec_rank"), lit(0L)).as("vec_rank")))
-    def depthRow(d: Int): DataFrame = {
-      val hybSet = rrfFuse(
-        lexDeep.filter(col("lex_rank") <= d),
-        vecDeep.filter(col("vec_rank") <= d), k)
-        .select(col("query_id"), col("doc_id"), lit(1L).as("in_hyb"))
-      val cons = col("lex_rank") > 0 && col("vec_rank") > 0
-      uni.join(hybSet, Seq("query_id", "doc_id"), "left")
-        .withColumn("in_hyb", coalesce(col("in_hyb"), lit(0L)))
-        .agg(
-          count(when(cons, 1)).as("n_consensus"),
-          count(when(cons && col("in_hyb") === 1, 1)).as("hyb_cons_hits"),
-          count(when(cons && col("lex_rank") <= k, 1)).as("lex_cons_hits"),
-          count(when(cons && col("vec_rank") <= k, 1)).as("vec_cons_hits"),
-          count(when(col("lex_rank") > 0 && col("lex_rank") <= k, 1))
-            .as("n_lex_head"),
-          count(when(col("lex_rank") > 0 && col("lex_rank") <= k
-            && col("in_hyb") === 1, 1)).as("hyb_lex_hits"),
-          count(when(col("vec_rank") > 0 && col("vec_rank") <= k, 1))
-            .as("n_vec_head"),
-          count(when(col("vec_rank") > 0 && col("vec_rank") <= k
-            && col("in_hyb") === 1, 1)).as("hyb_vec_hits"))
-        .withColumn("depth", lit(d.toLong))
-    }
-    FusionDepthPoints.map(depthRow).reduce(_.unionAll(_))
+    // ONE pass over depth x universe instead of one fusion DAG per depth
+    // (r21: the three per-depth rrfFuse/join/agg chains cost three windows,
+    // three joins and three aggregations over the same cached rows — the
+    // sweep is depth-exploded and fused under a (depth, query) window
+    // instead; arithmetic is rrfFuse's line-for-line, and the row-for-row
+    // equality with the shipped serve stays pinned by HybridRecallSpec and
+    // the driver oracle). Restricting a depth-20 rank to <= depth then
+    // treating 0 as absent reproduces each per-depth filtered fusion
+    // exactly: a row joins the per-depth fused frame iff either effective
+    // rank is positive, and present rows' rrf_ppm/tie order is unchanged.
+    val uniD = uni.select(col("query_id"), col("doc_id"),
+      col("lex_rank"), col("vec_rank"),
+      explode(array(FusionDepthPoints.map(d => lit(d.toLong)): _*)).as("depth"))
+    val w = Window.partitionBy(col("depth"), col("query_id"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+    val hybSet = uniD
+      .withColumn("lr", when(col("lex_rank") >= 1 &&
+        col("lex_rank") <= col("depth"), col("lex_rank")).otherwise(lit(0L)))
+      .withColumn("vr", when(col("vec_rank") >= 1 &&
+        col("vec_rank") <= col("depth"), col("vec_rank")).otherwise(lit(0L)))
+      .filter(col("lr") > 0 || col("vr") > 0)
+      .withColumn("rrf_ppm",
+        when(col("lr") > 0, expr(s"1000000L div (${RrfK}L + lr)"))
+          .otherwise(0L) +
+        when(col("vr") > 0, expr(s"1000000L div (${RrfK}L + vr)"))
+          .otherwise(0L))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("depth"), col("query_id"), col("doc_id"), lit(1L).as("in_hyb"))
+    val cons = col("lex_rank") > 0 && col("vec_rank") > 0
+    uniD.join(hybSet, Seq("depth", "query_id", "doc_id"), "left")
+      .withColumn("in_hyb", coalesce(col("in_hyb"), lit(0L)))
+      .groupBy(col("depth"))
+      .agg(
+        count(when(cons, 1)).as("n_consensus"),
+        count(when(cons && col("in_hyb") === 1, 1)).as("hyb_cons_hits"),
+        count(when(cons && col("lex_rank") <= k, 1)).as("lex_cons_hits"),
+        count(when(cons && col("vec_rank") <= k, 1)).as("vec_cons_hits"),
+        count(when(col("lex_rank") > 0 && col("lex_rank") <= k, 1))
+          .as("n_lex_head"),
+        count(when(col("lex_rank") > 0 && col("lex_rank") <= k
+          && col("in_hyb") === 1, 1)).as("hyb_lex_hits"),
+        count(when(col("vec_rank") > 0 && col("vec_rank") <= k, 1))
+          .as("n_vec_head"),
+        count(when(col("vec_rank") > 0 && col("vec_rank") <= k
+          && col("in_hyb") === 1, 1)).as("hyb_vec_hits"))
       // greatest(.., 1): the divisor guards are symmetric in both engines
       // (Spark non-ANSI div yields null on 0, DuckDB // raises)
       .withColumn("hyb_cons_recall_ppm",

@@ -50,18 +50,26 @@ object Boilerplate {
     * normalization — output text is always the single-space token join).
     */
   def strip(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), TF.tokens(col("text")).as("__t"))
+    // cached (r21): the tokenized corpus feeds the gram chain, the
+    // kept-token anti-join AND the final length projection — three plan
+    // expansions of the tokenizer (the operator's single most expensive
+    // expression) collapse to one materialization
+    val base = Caching.cached(
+      docs.select(col("doc_id"), TF.tokens(col("text")).as("__t")))
     val toks = base.select(col("doc_id"), posexplode(col("__t")))
       .select(col("doc_id"), col("pos"), col("col").as("token"))
     val wdoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val leads = (1 until Gram).map(k => lead(col("token"), k).over(wdoc))
-    val grams = toks
+    // cached (r21): the windowed gram build (a doc-keyed exchange + four
+    // leads) feeds both the document-frequency aggregation and the
+    // covered-window semi-join — one window pass instead of two
+    val grams = Caching.cached(toks
       .withColumn("__tail", leads.last)
       .withColumn("gram", concat_ws(" ", col("token") +: leads: _*))
       // the last lead is null exactly for the len-Gram+1 .. len-1 tails
       .filter(col("__tail").isNotNull)
-      .select(col("doc_id"), col("pos").as("pos0"), col("gram"))
+      .select(col("doc_id"), col("pos").as("pos0"), col("gram")))
     val frequent = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= MinDocs)

@@ -221,12 +221,18 @@ object ProductQuantization {
     val centroids = Similarity.centroidsOf(withNorm, nCentroids)
     val assigned = Similarity.nearestCentroids(
       withNorm, centroids, "vec_id", "embedding", "nrm", 1)
-    // residual of every vector against its assigned centroid (exact doubles)
-    val residuals = emb.join(assigned, Seq("vec_id"))
+    // residual of every vector against its assigned centroid (exact
+    // doubles). Cached: the residual frame feeds the init codebook carve,
+    // the trained-codebook Lloyd step AND the full-corpus encode — without
+    // the pin the coarse-assignment subtree (a corpus scan + broadcast
+    // argmax + per-vector window) re-ran once per consumer (3-4x per
+    // query, measured in the round-21 job trace as the bulk of this
+    // chain's 28-30 sequential single-task stages).
+    val residuals = Caching.cached(emb.join(assigned, Seq("vec_id"))
       .join(broadcast(centroids.select(col("cid"), col("cvec"))), Seq("cid"))
       .select(col("vec_id"), col("cid"),
         zip_with(col("embedding"), col("cvec"),
-          (x, c) => x.cast("double") - c.cast("double")).as("rv"))
+          (x, c) => x.cast("double") - c.cast("double")).as("rv")))
     // residual sub-codebook: first K vectors' residual slices (with
     // `trained`, one Lloyd refinement over the residual distribution on
     // top — the configuration production residual-PQ engines actually
@@ -299,9 +305,12 @@ object ProductQuantization {
     * clusters keep their init slice).
     */
   private def trainedResidualCodebook(residuals: DataFrame, init: DataFrame): DataFrame = {
-    val sub = residuals.select(col("vec_id"),
+    // cached: the subvector explode feeds both the init-codeword argmin
+    // (codes0) and the member-mean update, which join back on (vec_id, m)
+    // — one materialization instead of two explode passes
+    val sub = Caching.cached(residuals.select(col("vec_id"),
       posexplode(array((0 until NumSub).map(m =>
-        slice(col("rv"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sv")))
+        slice(col("rv"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sv"))))
     val codeAggs = (0 until NumSub).map(m =>
       expr(s"min_by(code, struct(d_micro, code)) FILTER (WHERE m = $m)").as(s"code_$m"))
     val codes0 = sub.join(broadcast(init), Seq("m"))

@@ -23,11 +23,27 @@ private[streaming] object FileStage {
 
   /** Stage `df` into `dir` as `chunks` parquet files range-ordered on
     * `order`, mtimes ascending in range order.
+    *
+    * The staged frame is pinned once before the write:
+    * `repartitionByRange` makes TWO passes over its input (the
+    * RangePartitioner runs a sampling job to place the chunk bounds, then
+    * the write recomputes the frame to route rows), so a twin whose
+    * staged frame carries a heavy upstream (the clean-corpus gates, the
+    * BM25 parse stage, delta carves) paid its most expensive stage twice
+    * per staging — measured in round 21 as the single largest shared
+    * overhead of the ~50 file twins. The cache is the ContextCleaner-owned
+    * RDD pin ([[graft.operators.Caching]]), eagerly released after the
+    * write; at deployment scale the staged replay is a bounded frame by
+    * contract (one recrawl batch), and MEMORY_AND_DISK spills rather than
+    * pinning the heap.
     */
   def stage(df: DataFrame, dir: String, chunks: Int, order: Column*): Unit = {
-    df.repartitionByRange(chunks, order: _*)
-      .sortWithinPartitions(order: _*)
-      .write.mode("overwrite").parquet(dir)
+    val (pinned, handle) = graft.operators.Caching.cachedWithHandle(df)
+    try {
+      pinned.repartitionByRange(chunks, order: _*)
+        .sortWithinPartitions(order: _*)
+        .write.mode("overwrite").parquet(dir)
+    } finally handle.unpersist(blocking = false)
     val parts = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     parts.zipWithIndex.foreach { case (f, i) =>

@@ -39,9 +39,19 @@ private[streaming] object ReplayHarness {
     * must route through here rather than re-implementing the
     * save/set/restore dance.
     */
+  /** Serializes the conf-set/start/conf-restore dance so INDEPENDENT twins
+    * may start their streams from concurrent threads (the r21
+    * [[StreamingHybrid]] leg overlap): without the lock, two threads
+    * interleaving set/restore can capture each other's altered value and
+    * leave the session conf wrong after both finish. Only `start` holds the
+    * lock — the streams themselves (and `awaitTermination`) run unlocked,
+    * which is where the overlap pays.
+    */
+  private val confLock = new Object
+
   def runWithStatePartitions(spark: SparkSession, statePartitions: Int)(
       start: => org.apache.spark.sql.streaming.StreamingQuery)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+      : org.apache.spark.sql.streaming.StreamingQuery = confLock.synchronized {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)

@@ -75,7 +75,17 @@ object StreamingHybrid {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         VF.norm(col("embedding")).as("qn"))
 
-    val emissions = ReplayHarness.emissionsFromFiles(
+    // the two legs are INDEPENDENT streaming queries (their own staging
+    // dirs, sinks and frozen artifacts) whose wall time is micro-batch
+    // fixed cost, not data — run them CONCURRENTLY (the optimization
+    // guide's overlap-independent-jobs rule applied inside one composed
+    // query: stream B's batches back-fill the cores stream A's commit
+    // latencies leave idle). Start-time conf capture is serialized by
+    // ReplayHarness.confLock; everything else is per-leg-local.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val vecF = Future(ReplayHarness.emissionsFromFiles(
       spark, staged, chunks, statePartitions = StreamPartitions,
       prefix = "hybrid_vec_file", outputMode = "append", col("query_id"))(
       stream => stream
@@ -87,13 +97,23 @@ object StreamingHybrid {
         .select(col("query_id"), col("vec_id"),
           when(col("nn") === 0.0, 0.0)
             .otherwise(VF.dot(col("qv"), col("embedding")) / col("nn"))
-            .as("cos")))
+            .as("cos"))))
+    val lexF = Future(StreamingBm25.bm25FromFiles(spark, dir, chunks, depth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank")))
+    val emissions = Await.result(vecF, Duration.Inf)
+    val lex = Await.result(lexF, Duration.Inf)
 
-    val vec = Similarity.rankTopK(emissions, depth)
+    // re-emission idempotence (ADVICE r20): a replayed append-mode
+    // micro-batch would duplicate scored (query_id, vec_id) rows and
+    // row_number would rank the duplicate — fold emissions to one row per
+    // pair first (max over identical cos values: a no-op on the normal
+    // path, the retry-safe fold under replay, matching the update-mode
+    // twins' discipline)
+    val vec = Similarity.rankTopK(
+      emissions.groupBy(col("query_id"), col("vec_id"))
+        .agg(max(col("cos")).as("cos")), depth)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank").cast("long").as("vec_rank"))
-    val lex = StreamingBm25.bm25FromFiles(spark, dir, chunks, depth)
-      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
     Bm25.rrfFuse(lex, vec, k).orderBy(col("query_id"), col("rank"))
   }
 }
