@@ -57,8 +57,14 @@ class TwsCdcSpec extends SparkSpec {
       val input = MemoryStream[MqttMsg]
       // ProcessingTime mode schedules micro-batches continuously for TTL
       // cleanup, so processAllAvailable can starve at the default 0 ms
-      // trigger — use an explicit interval and poll the sink instead
-      val q = TwsCdc.changesTtl(input.toDS(), java.time.Duration.ofSeconds(2))
+      // trigger — use an explicit interval and poll the sink instead.
+      // TTL horizon 6 s (was 2 s): the "unchanged payload inside the
+      // horizon" leg is WALL-CLOCK sensitive — on a loaded host the batch
+      // carrying msg 2 can land > 2 s after msg 1's, the state expires
+      // between them, and the suppressed message re-emits (observed as a
+      // flake under CPU-steal in r21). 6 s keeps the suppressed-leg margin
+      // wide while the expiry sleep below stays proportionate.
+      val q = TwsCdc.changesTtl(input.toDS(), java.time.Duration.ofSeconds(6))
         .writeStream.format("memory").queryName("tws_cdc_ttl")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
@@ -74,7 +80,7 @@ class TwsCdcSpec extends SparkSpec {
       try {
         input.addData(Seq(msg(1, 10, "t", "a")))
         await("first message emitted")(emitted == Set(1L))
-        // within the TTL horizon (2 s; msg 2 follows msg 1 by well under
+        // within the TTL horizon (6 s; msg 2 follows msg 1 by well under
         // it): unchanged payload suppressed as always — wait until the
         // batch carrying msg 2 is PROCESSED, then assert nothing new
         input.addData(Seq(msg(2, 11, "t", "a")))
@@ -84,7 +90,7 @@ class TwsCdcSpec extends SparkSpec {
         // payload: no state to diff against -> re-emission. This is the
         // documented trade for state O(active topics), and the assertion
         // pins it as a contract, not an accident.
-        Thread.sleep(3000)
+        Thread.sleep(7000)
         input.addData(Seq(msg(3, 12, "t", "a")))
         await("post-expiry re-emission")(emitted == Set(1L, 3L))
       } finally q.stop()
