@@ -10,7 +10,17 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// print per-test durations (-oD): the full suite is ~17 min of wall
+// clock, and a recorded run should show where it goes
+Test / testOptions += Tests.Argument("-oD")
 run / fork := true
+// The bench/verify driver parses machine-readable JSON lines from this
+// process's stdout; sbt's default LoggedOutput prefixes every forked-run
+// line with "[info] ", which breaks any line-oriented JSON parse (the
+// standing "parsed": null in BENCH_r18..r21). StdoutOutput passes the
+// forked JVM's stdout through unprefixed. Display-only: the run itself,
+// its JVM options and the timed region are unchanged.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -91,9 +91,15 @@ object Bench {
       try run(fn(spark, sfDir)) catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}" }
       name -> ((System.nanoTime() - t0) / 1e9, gcSeconds() - g0)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    // per-query seconds rounded to the millisecond: honest precision (the
+    // run-to-run noise floor is ~100x larger) and it keeps the contract
+    // line as small as possible for the driver's log-tail capture. A
+    // measurement-format change only — the timed region is untouched.
+    def ms(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, (_, g)) => s"\"" + k + "\":" + g }
+    val gcs = results.map { case (k, (_, g)) => s"\"" + k + "\":" + ms(g) }
       .mkString("{", ",", "}")
     val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
@@ -103,21 +109,28 @@ object Bench {
     // The driver archives only a log TAIL of this run, and the full JSON
     // line above is wide enough to lose its head to that truncation
     // ("parsed": null in BENCH_r10/r17). This compact summary — printed
-    // LAST so any tail window keeps it whole — carries the headline
-    // numbers a judge needs without re-deriving them from bench_out.json.
-    val summary = s"""{"metric":"bench_summary","total_s":$total,""" +
-      s""""n_queries":${results.size},"n_errors":${errors.size},""" +
+    // LAST so any tail window keeps it whole, and (r22) UNPREFIXED thanks
+    // to build.sbt's StdoutOutput — carries the headline numbers a judge
+    // needs without re-deriving them from bench_out.json. "value"/"unit"
+    // mirror the contract line's keys so either line parses to a total.
+    val summary = s"""{"metric":"bench_summary","value":$total,"unit":"sec",""" +
+      s""""total_s":$total,"n_queries":${results.size},"n_errors":${errors.size},""" +
       s""""gc_total_s":$gcTotal,"cpus":"$cpus","sf":"$sfDir"}"""
     println(summary)
-    // the stdout line is also written to a file: the driver keeps only a log
+    // the stdout line is also written to files: the driver keeps only a log
     // TAIL, and round 10's headline total was lost to that truncation
     // ("parsed": null) — the committed file makes the number artifact-durable.
-    // SPARK_GRAFT_ONLY subset runs skip the default path: a solo-profiling
-    // run must not clobber the committed full-run record (it happened twice
-    // in round 14 before this guard).
-    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .orElse(if (only.isEmpty) Some("bench_out.json") else None)
-    outPath.foreach { p =>
+    // bench_out_c${cpus}.json is ALWAYS written so the driver's low-core
+    // scaling run no longer clobbers the main run's per-query record
+    // (r21 lost the 32-core map to the c8 run); bench_out.json remains the
+    // last-full-run compatibility path. SPARK_GRAFT_ONLY subset runs skip
+    // the default paths: a solo-profiling run must not clobber the
+    // committed full-run record (it happened twice in round 14 before this
+    // guard).
+    val outPaths = sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq ++
+      (if (only.isEmpty) Seq("bench_out.json", s"bench_out_c$cpus.json")
+       else Nil)
+    outPaths.foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (json + "\n").getBytes("UTF-8"))
       catch { case e: Exception =>

@@ -58,14 +58,6 @@ object ProductQuantization {
         posexplode(array((0 until NumSub).map(m =>
           slice(col("embedding"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "cvec")))
 
-  /** PQ codes packed ONE ROW PER VECTOR (vec_id, code_0..code_{M-1}): the
-    * M per-subspace argmins as filtered aggregates over a single
-    * vec_id-keyed aggregation. The shuffle ships one partially-aggregated
-    * row per vector per mapper instead of M — at index-build scale that is
-    * the difference between shuffling the corpus row count and M x it —
-    * and downstream joins on vec_id reuse the aggregation's partitioning
-    * (no re-exchange).
-    */
   /** Per-(vector, subspace, codeword) micro distances — the ONE d_micro
     * spelling shared by the encoder and [[PqDistortion]]'s report, so
     * the distortion audit measures exactly what the encoder minimizes.
@@ -77,22 +69,36 @@ object ProductQuantization {
       .join(broadcast(cb), Seq("m"))
       .withColumn("d_micro", floor(VF.sqDist(col("sv"), col("cvec")) * 1e6).cast("long"))
 
-  def encodePacked(emb: DataFrame, cb: DataFrame): DataFrame = {
-    val aggs = (0 until NumSub).map(m =>
-      expr(s"min_by(code, struct(d_micro, code)) FILTER (WHERE m = $m)").as(s"code_$m"))
-    subDistances(emb, cb)
-      .groupBy(col("vec_id"))
-      .agg(aggs.head, aggs.tail: _*)
-  }
-
   /** Long-format PQ codes (vec_id, m, code): per subspace, the codeword with
-    * the minimum micro-scaled distance, ties to the lowest code id — the
-    * packed form exploded (narrow; vec_id partitioning preserved).
+    * the minimum micro-scaled distance, ties to the lowest code id.
+    *
+    * ONE (vec_id, m)-grouped min_by fold (r22). The former spelling packed
+    * M FILTERed min_by slots into a vec_id-keyed aggregation: every one of
+    * the M x K exploded candidate rows per vector was pushed through all M
+    * slot filters (M x K x M slot-filter evaluations per vector — 4096
+    * here), which profiling showed dominating the encode stage's hash-agg
+    * time. The grouped fold evaluates ONE slot per candidate row (M x K
+    * per vector, a ~16x cut). Shuffle cost: map-side combine now emits up
+    * to M tiny (vec_id, m, code) rows per vector per mapper instead of
+    * one packed row — 3 int-ish columns, still combiner-bounded and
+    * corpus-row-free at any scale; the downstream vec_id equi-joins
+    * repartition either way at index-build scale, so no exchange is saved
+    * by the packed form where it matters.
     */
   def encode(emb: DataFrame, cb: DataFrame): DataFrame =
-    encodePacked(emb, cb).select(col("vec_id"),
-      posexplode(array((0 until NumSub).map(m => col(s"code_$m")): _*))
-        .as(Seq("m", "code")))
+    subDistances(emb, cb)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(expr("min_by(code, struct(d_micro, code))").as("code"))
+
+  /** PQ codes packed ONE ROW PER VECTOR (vec_id, code_0..code_{M-1}) — the
+    * long form folded once more (M conditional-max slots over M rows per
+    * vector; declarative, codegen'd).
+    */
+  def encodePacked(emb: DataFrame, cb: DataFrame): DataFrame = {
+    val slots = (0 until NumSub).map(m =>
+      max(when(col("m") === m, col("code"))).as(s"code_$m"))
+    encode(emb, cb).groupBy(col("vec_id")).agg(slots.head, slots.tail: _*)
+  }
 
   /** The query ADC lookup table: per (query, m, code), the micro-scaled
     * distance of the query's m-th subvector to that codeword — ONE
@@ -247,21 +253,19 @@ object ProductQuantization {
           slice(col("rv"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "cvec")))
     val cb = Caching.cached(
       if (trained) trainedResidualCodebook(residuals, cb0) else cb0)
-    // encode every vector's residual — packed (one shuffled row per vector,
-    // the encodePacked rule), then exploded narrow
-    val codeAggs = (0 until NumSub).map(m =>
-      expr(s"min_by(code, struct(d_micro, code)) FILTER (WHERE m = $m)").as(s"code_$m"))
+    // encode every vector's residual — the [[encode]] grouped fold (r22:
+    // one min_by slot per candidate row instead of M filtered slots; the
+    // narrow long form comes straight out of the aggregation, no
+    // pack-and-re-explode pass)
     val codes = residuals
       .select(col("vec_id"), col("cid"),
         posexplode(array((0 until NumSub).map(m =>
           slice(col("rv"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sv")))
       .join(broadcast(cb), Seq("m"))
       .withColumn("d_micro", floor(VF.sqDist(col("sv"), col("cvec")) * 1e6).cast("long"))
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(codeAggs.head, codeAggs.tail: _*)
-      .select(col("vec_id"), col("cid"),
-        posexplode(array((0 until NumSub).map(m => col(s"code_$m")): _*))
-          .as(Seq("m", "code")))
+      .groupBy(col("vec_id"), col("cid"), col("m"))
+      .agg(expr("min_by(code, struct(d_micro, code))").as("code"))
+      .select(col("vec_id"), col("cid"), col("m"), col("code"))
     val queries = withNorm.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
     val probes = Similarity.nearestCentroids(
@@ -297,8 +301,8 @@ object ProductQuantization {
 
   /** One Lloyd refinement step of the RESIDUAL sub-codebook — the exact
     * composition the untrained-residual caveat above routes users to:
-    * assign every residual subvector to its nearest init codeword (packed
-    * argmin — one shuffled row per vector, the [[encodePacked]] rule), then
+    * assign every residual subvector to its nearest init codeword (the
+    * [[encode]] grouped-argmin fold), then
     * replace each codeword with the per-dimension mean of its members in
     * 1e-6-unit integer arithmetic ([[trainedSubCodebook]]'s exact-math
     * convention verbatim: floored long means, floor division, empty
@@ -311,15 +315,13 @@ object ProductQuantization {
     val sub = Caching.cached(residuals.select(col("vec_id"),
       posexplode(array((0 until NumSub).map(m =>
         slice(col("rv"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sv"))))
-    val codeAggs = (0 until NumSub).map(m =>
-      expr(s"min_by(code, struct(d_micro, code)) FILTER (WHERE m = $m)").as(s"code_$m"))
+    // the [[encode]] grouped fold (r22): one min_by slot per candidate
+    // row instead of M filtered slots, long form direct from the agg
     val codes0 = sub.join(broadcast(init), Seq("m"))
       .withColumn("d_micro", floor(VF.sqDist(col("sv"), col("cvec")) * 1e6).cast("long"))
-      .groupBy(col("vec_id"))
-      .agg(codeAggs.head, codeAggs.tail: _*)
-      .select(col("vec_id"),
-        posexplode(array((0 until NumSub).map(m => col(s"code_$m")): _*))
-          .as(Seq("m", "code")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(expr("min_by(code, struct(d_micro, code))").as("code"))
+      .select(col("vec_id"), col("m"), col("code"))
     val means = sub.join(codes0, Seq("vec_id", "m"))
       .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
       .withColumn("mv", floor(col("v").cast("double") * 1e6).cast("long"))

@@ -46,39 +46,43 @@ object FileReplayHistory {
       val staged = m.select(col("msg_id"), col("ts").cast("timestamp").as("ts"),
         col("topic"), col("value"), col("qos"), col("retain"))
       FileStage.stage(staged, inDir, chunks, col("ts"), col("msg_id"))
-      val name = s"mqtt_cdc_file_${java.util.UUID.randomUUID().toString.take(8)}"
-      val events = try {
-        // state sized to the topic keyspace; the clone-at-start contract is
-        // documented at ReplayHarness.runWithStatePartitions
-        val providerKey = "spark.sql.streaming.stateStore.providerClass"
-        val prevProvider = spark.conf.getOption(providerKey)
-        val q = try {
-          if (useTws) spark.conf.set(providerKey, TwsCdc.RocksDbProvider)
-          ReplayHarness.runWithStatePartitions(spark, 8) {
-            val stream = spark.readStream
-              .schema(staged.schema)
-              .option("maxFilesPerTrigger", "1")
-              .parquet(inDir)
-            val cdc =
-              if (useTws) TwsCdc.changes(stream.as[MqttMsg])
-              else StatefulCdc.changes(stream.as[MqttMsg])
-            cdc
-              .writeStream.format("memory").queryName(name)
-              .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          }
-        } finally {
-          if (useTws) prevProvider match {
-            case Some(p) => spark.conf.set(providerKey, p)
-            case None => spark.conf.unset(providerKey)
-          }
+      val outDir = new java.io.File(work, "out").getAbsolutePath
+      val ckDir = new java.io.File(work, "ck").getAbsolutePath
+      var schema: org.apache.spark.sql.types.StructType = null
+      // state sized to the topic keyspace; the clone-at-start contract is
+      // documented at ReplayHarness.runWithStatePartitions. noDataBatches
+      // off: both CDC forms emit on arrival (StatefulCdc: fmgws NoTimeout;
+      // TwsCdc: TimeMode.None — no timers), so the trailing no-data batch
+      // would be pure state-commit cost.
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = spark.conf.getOption(providerKey)
+      val q = try {
+        if (useTws) spark.conf.set(providerKey, TwsCdc.RocksDbProvider)
+        ReplayHarness.runWithStatePartitions(spark, 8, noDataBatches = false) {
+          val stream = spark.readStream
+            .schema(staged.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inDir)
+          val cdc =
+            if (useTws) TwsCdc.changes(stream.as[MqttMsg])
+            else StatefulCdc.changes(stream.as[MqttMsg])
+          schema = cdc.schema
+          // file-sink readback (r22): CDC emissions are change-cardinality
+          // (corpus-scale), so they ride a distributed parquet sink, never
+          // the driver-resident memory sink
+          cdc
+            .writeStream.format("parquet")
+            .option("path", outDir).option("checkpointLocation", ckDir)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
         }
-        try q.awaitTermination() finally q.stop()
-        // memory-sink readback: the OUTPUT surface (CDC events), not input
-        spark.table(name).as[CdcEvent].collect().toSeq
       } finally {
-        try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+        if (useTws) prevProvider match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
       }
-      val kept = spark.createDataset(events).toDF()
+      try q.awaitTermination() finally q.stop()
+      val kept = ReplayHarness.pinnedParquet(spark, schema, outDir)
         .withColumn("ts", col("ts").cast("timestamp_ntz"))
         .select(col("ts"), col("topic"), col("value"), col("msg_id"))
       // the SAME post-processing as the batch and broker-replay forms

@@ -76,33 +76,35 @@ object FileReplaySessions {
       FileStage.appendSentinel(
         Seq((-1L, t, -1L)).toDF("event_id", "ts", "user_id"),
         inDir, chunks, 0)
-      val name = s"sessions_file_${java.util.UUID.randomUUID().toString.take(8)}"
-      try {
-        // state sized to the open-session keyspace; the clone-at-start
-        // contract is documented at ReplayHarness.runWithStatePartitions
-        val q = ReplayHarness.runWithStatePartitions(spark, 8) {
-          val stream = spark.readStream
-            .schema(staged.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(inDir)
-          transform(stream)
-            .writeStream.format("memory").queryName(name)
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        }
-        try q.awaitTermination() finally q.stop()
-        // memory-sink readback (session-cardinality rows): drop the flush
-        // sentinels here, post-sink. Null-safe: a plain =!= would also drop
-        // any NULL user_id group the batch oracle keeps.
-        val out = spark.table(name)
-          .filter(!col("user_id").eqNullSafe(-1L))
-          .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
-          .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
-        val rows = out.collect()
-        spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-          .orderBy(col("user_id"), col("session_start"))
-      } finally {
-        try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+      val outDir = new java.io.File(work, "out").getAbsolutePath
+      val ckDir = new java.io.File(work, "ck").getAbsolutePath
+      var schema: org.apache.spark.sql.types.StructType = null
+      // state sized to the open-session keyspace; the clone-at-start
+      // contract is documented at ReplayHarness.runWithStatePartitions.
+      // noDataBatches stays ON: the sentinel flush depends on the trailing
+      // no-data batch applying the advanced watermark (scaladoc above).
+      val q = ReplayHarness.runWithStatePartitions(spark, 8) {
+        val stream = spark.readStream
+          .schema(staged.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+        val out = transform(stream)
+        schema = out.schema
+        // file-sink readback (r22): finalized sessions are
+        // session-cardinality (corpus-scale), so they ride a distributed
+        // parquet sink, never the driver-resident memory sink
+        out.writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckDir)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
       }
+      try q.awaitTermination() finally q.stop()
+      // drop the flush sentinels here, post-sink. Null-safe: a plain =!=
+      // would also drop any NULL user_id group the batch oracle keeps.
+      ReplayHarness.pinnedParquet(spark, schema, outDir)
+        .filter(!col("user_id").eqNullSafe(-1L))
+        .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+        .orderBy(col("user_id"), col("session_start"))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
   }
 }

@@ -56,41 +56,39 @@ object FileReplayWindowed {
         FlushTopic, Array.empty[Byte], 0, 0))
         .toDF("msg_id", "ts", "topic", "value", "qos", "retain")
       FileStage.appendSentinel(sentinel, inDir, chunks, 0)
-      val name = s"mqtt_win_file_${java.util.UUID.randomUUID().toString.take(8)}"
-      try {
-        val q = ReplayHarness.runWithStatePartitions(spark, 8) {
-          val stream = spark.readStream
-            .schema(staged.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(inDir)
-          // NOTE: the sentinel filter must NOT be part of the streaming
-          // plan — a `topic =!= FlushTopic` predicate here gets pushed
-          // below the EventTimeWatermark operator (topic is not the event
-          // -time column), so the sentinel rows would be dropped at the
-          // scan and never advance the watermark. It is applied at the
-          // memory-sink readback below instead.
-          WindowedStats.hourlyStats(stream, watermarkDelay)
-            .writeStream.format("memory").queryName(name)
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        }
-        try q.awaitTermination() finally q.stop()
-        // memory-sink readback: the OUTPUT surface (window-cardinality
-        // rows); the flush-sentinel windows are dropped here, post-sink
-        val rows = spark.table(name)
-          .filter(col("topic") =!= FlushTopic)
-          .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
-          .select(col("win_start"), col("topic"), col("n_msgs"),
-            col("total_bytes"))
-          .collect()
-        spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), spark.table(name)
-            .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
-            .select(col("win_start"), col("topic"), col("n_msgs"),
-              col("total_bytes")).schema)
-          .orderBy(col("win_start"), col("topic"))
-      } finally {
-        try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+      val outDir = new java.io.File(work, "out").getAbsolutePath
+      val ckDir = new java.io.File(work, "ck").getAbsolutePath
+      var schema: org.apache.spark.sql.types.StructType = null
+      // noDataBatches stays ON: the sentinel flush depends on the trailing
+      // no-data batch applying the advanced watermark (scaladoc above)
+      val q = ReplayHarness.runWithStatePartitions(spark, 8) {
+        val stream = spark.readStream
+          .schema(staged.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+        // NOTE: the sentinel filter must NOT be part of the streaming
+        // plan — a `topic =!= FlushTopic` predicate here gets pushed
+        // below the EventTimeWatermark operator (topic is not the event
+        // -time column), so the sentinel rows would be dropped at the
+        // scan and never advance the watermark. It is applied at the
+        // sink readback below instead.
+        val out = WindowedStats.hourlyStats(stream, watermarkDelay)
+        schema = out.schema
+        // file-sink readback (r22): finalized windows are
+        // window-cardinality (corpus-scale), so they ride a distributed
+        // parquet sink, never the driver-resident memory sink
+        out.writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckDir)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
       }
+      try q.awaitTermination() finally q.stop()
+      // the flush-sentinel windows are dropped here, post-sink
+      ReplayHarness.pinnedParquet(spark, schema, outDir)
+        .filter(col("topic") =!= FlushTopic)
+        .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
+        .select(col("win_start"), col("topic"), col("n_msgs"),
+          col("total_bytes"))
+        .orderBy(col("win_start"), col("topic"))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
   }
 }

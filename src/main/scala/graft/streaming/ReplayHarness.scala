@@ -49,14 +49,33 @@ private[streaming] object ReplayHarness {
     */
   private val confLock = new Object
 
-  def runWithStatePartitions(spark: SparkSession, statePartitions: Int)(
+  private val NoDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+  /** `noDataBatches = false` additionally starts the stream with
+    * [[NoDataKey]] off (captured by the same clone-at-start contract), so
+    * AvailableNow terminates after the LAST data batch instead of running
+    * one trailing no-data micro-batch (~0.5-0.7 s of pure state-commit +
+    * offset-log machinery). Only callers audited as emission-complete
+    * without watermark-driven flushing may pass false — see
+    * [[emissionsFromFiles]] for the audit; the windowed/session replay
+    * harnesses ([[FileReplayWindowed]], [[FileReplaySessions]]) DEPEND on
+    * that trailing batch for their sentinel flush
+    * ([[FileStage.appendSentinel]]) and must keep the default.
+    */
+  def runWithStatePartitions(spark: SparkSession, statePartitions: Int,
+      noDataBatches: Boolean = true)(
       start: => org.apache.spark.sql.streaming.StreamingQuery)
       : org.apache.spark.sql.streaming.StreamingQuery = confLock.synchronized {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNd = spark.conf.get(NoDataKey)
     try {
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      if (!noDataBatches) spark.conf.set(NoDataKey, "false")
       start
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set(NoDataKey, prevNd)
+    }
   }
 
   /** The driver-free counterpart of [[updateModeEmissions]]: the replay
@@ -68,8 +87,10 @@ private[streaming] object ReplayHarness {
     * users (dedup / winnow key sets) emit on ARRIVAL — first-seen rows
     * pass `dropDuplicatesWithinWatermark` immediately; the watermark only
     * EVICTS — so unlike windowed/session aggregation no flush sentinel is
-    * needed. The memory-sink readback (materialized before the staging dir
-    * is deleted) is the OUTPUT surface, bounded by emission cardinality.
+    * needed. Readback is the OUTPUT surface: update-mode emissions are
+    * key-bounded and ride the memory sink; append-mode emissions are
+    * ARRIVAL-sized and ride a parquet file sink + distributed pin instead
+    * (r22 — no corpus-sized row set ever visits the driver).
     */
   def emissionsFromFiles(spark: SparkSession, staged: DataFrame, chunks: Int,
       statePartitions: Int, prefix: String, outputMode: String,
@@ -79,27 +100,86 @@ private[streaming] object ReplayHarness {
     try {
       val inDir = new java.io.File(work, "in").getAbsolutePath
       FileStage.stage(staged, inDir, chunks, order: _*)
-      val name = s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
-      try {
-        val q = runWithStatePartitions(spark, statePartitions) {
+      // No-data-batch audit (r22): every caller of this harness is
+      // emission-complete at the last DATA batch — append-mode dedup/winnow
+      // emit first-seen rows on ARRIVAL (`dropDuplicatesWithinWatermark`;
+      // the watermark only evicts), the tws/fmgws processors run
+      // TimeMode.None()/NoTimeout (no timers to fire), and the update-mode
+      // folds are watermark-free monotone aggregates (a no-data batch
+      // changes no key). The trailing no-data micro-batch AvailableNow
+      // otherwise appends is therefore pure state-commit/offset-log cost —
+      // skipped here; the watermark-flush-dependent harnesses
+      // (FileReplayWindowed/FileReplaySessions) do not route through this
+      // method and keep it.
+      if (outputMode == "append") {
+        // Scale seam (r22): append-mode emission sets are ARRIVAL-sized
+        // (first-seen keys, per-(query,vec) scored pairs) — corpus-scale,
+        // so they must never ride the driver-resident memory sink (the
+        // guide's no-collect rule; the old readback was a guaranteed
+        // driver OOM at 100 TB). Emissions go to a parquet FILE sink
+        // (distributed, exactly-once via the sink metadata log) and the
+        // read-back is pinned DISTRIBUTED (ContextCleaner-owned RDD
+        // cache) before the temp dir is deleted.
+        val outDir = new java.io.File(work, "out").getAbsolutePath
+        val ckDir = new java.io.File(work, "ck").getAbsolutePath
+        var schema: org.apache.spark.sql.types.StructType = null
+        val q = runWithStatePartitions(spark, statePartitions,
+            noDataBatches = false) {
           val stream = spark.readStream
             .schema(staged.schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(inDir)
-          agg(stream)
-            .writeStream.format("memory").queryName(name)
-            .outputMode(outputMode)
+          val result = agg(stream)
+          schema = result.schema
+          result.writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckDir)
+            .outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
         }
         try q.awaitTermination() finally q.stop()
-        val table = spark.table(name)
-        spark.createDataFrame(
-          java.util.Arrays.asList(table.collect(): _*), table.schema)
-      } finally {
-        try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+        pinnedParquet(spark, schema, outDir)
+      } else {
+        val name = s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
+        try {
+          val q = runWithStatePartitions(spark, statePartitions,
+              noDataBatches = false) {
+            val stream = spark.readStream
+              .schema(staged.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(inDir)
+            agg(stream)
+              .writeStream.format("memory").queryName(name)
+              .outputMode(outputMode)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+          }
+          try q.awaitTermination() finally q.stop()
+          // update-mode memory-sink readback: key-bounded (the fold's
+          // keyspace), not corpus-bounded — the documented OUTPUT surface
+          val table = spark.table(name)
+          spark.createDataFrame(
+            java.util.Arrays.asList(table.collect(): _*), table.schema)
+        } finally {
+          try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+        }
       }
     } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
+  }
+
+  /** Read a parquet file-sink directory back as a DISTRIBUTED pinned frame
+    * (ContextCleaner-owned RDD cache, eagerly materialized) — the read-back
+    * survives deletion of the sink directory without any row visiting the
+    * driver. The r22 replacement for corpus-sized memory-sink collects
+    * across every file-replay harness.
+    */
+  private[streaming] def pinnedParquet(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, dir: String): DataFrame = {
+    val pinned = graft.operators.Caching.cached(
+      spark.read.schema(schema).parquet(dir))
+    pinned.count() // materialize every partition before the dir dies
+    pinned
   }
 
   def updateModeEmissions[T](spark: SparkSession, rows: Seq[T], chunks: Int,

@@ -200,8 +200,10 @@ object StreamStreamJoin {
           expr(s"INTERVAL $WindowHours HOURS"),
       joinType)
 
-    val name = s"ssj_${java.util.UUID.randomUUID().toString.take(8)}"
+    val work = java.nio.file.Files.createTempDirectory("ssj_out").toFile
     try {
+      val outDir = new java.io.File(work, "out").getAbsolutePath
+      val ckDir = new java.io.File(work, "ck").getAbsolutePath
       // state sized DOWN for the certification replay: a stream-stream join
       // keeps ~4 store instances per side per partition, so the partition
       // count multiplies the per-batch commit overhead that dominates at
@@ -209,21 +211,23 @@ object StreamStreamJoin {
       // 4 -> 11.1 s, 2 -> 11.7 s — 4 is the knee; a production deployment
       // sizes this to the keyspace instead). Result-identical by
       // construction — the partition count is physical. The clone-at-start
-      // contract is documented at ReplayHarness.runWithStatePartitions
+      // contract is documented at ReplayHarness.runWithStatePartitions.
+      // noDataBatches stays ON: the outer form's null-extension flush
+      // depends on the trailing no-data batch (scaladoc above).
       val q = ReplayHarness.runWithStatePartitions(spark, 4) {
-        joined.writeStream.format("memory").queryName(name)
+        // file-sink readback (r22): join emissions are match-cardinality
+        // (corpus-scale), so they ride a distributed parquet sink, never
+        // the driver-resident memory sink
+        joined.writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckDir)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
       }
       try q.awaitTermination() finally q.stop()
-      val rows = spark.table(name)
+      ReplayHarness.pinnedParquet(spark, joined.schema, outDir)
         .select(col("user_id"), col("signup_event"), col("purchase_event"),
           col("signup_ts").cast("timestamp_ntz").as("signup_ts"),
           col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows.collect(): _*), rows.schema)
-    } finally {
-      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
-    }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(work)
   }
 
   /** DuckDB mirror of the left-outer form: every signup appears, matched

@@ -114,30 +114,38 @@ object TwsBootstrapCdc {
         col("ts").cast("timestamp").as("ts"),
         col("topic"), col("value"), col("qos"), col("retain"))
       FileStage.stage(staged, inDir, chunks, col("ts"), col("msg_id"))
-      val name = s"handoff_${java.util.UUID.randomUUID().toString.take(8)}"
+      val outDir = new java.io.File(work, "out").getAbsolutePath
+      val ckDir = new java.io.File(work, "ck").getAbsolutePath
+      var schema: org.apache.spark.sql.types.StructType = null
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
       val prevProvider = spark.conf.getOption(providerKey)
-      val events = try {
+      // noDataBatches off: the bootstrap processor runs TimeMode.None (no
+      // timers) and emits on arrival — the trailing no-data batch would be
+      // pure RocksDB-commit cost. File-sink readback (r22): CDC emissions
+      // are change-cardinality, so they ride a distributed parquet sink,
+      // never the driver-resident memory sink.
+      val q = try {
         spark.conf.set(providerKey, TwsCdc.RocksDbProvider)
-        val q = ReplayHarness.runWithStatePartitions(spark, 8) {
+        ReplayHarness.runWithStatePartitions(spark, 8, noDataBatches = false) {
           val stream = spark.readStream
             .schema(staged.schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(inDir)
-          changesFrom(stream.as[MqttMsg], snapshot)
-            .writeStream.format("memory").queryName(name)
+          val cdc = changesFrom(stream.as[MqttMsg], snapshot)
+          schema = cdc.schema
+          cdc
+            .writeStream.format("parquet")
+            .option("path", outDir).option("checkpointLocation", ckDir)
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
         }
-        try q.awaitTermination() finally q.stop()
-        spark.table(name).as[CdcEvent].collect().toSeq
       } finally {
         prevProvider match {
           case Some(p) => spark.conf.set(providerKey, p)
           case None => spark.conf.unset(providerKey)
         }
-        try spark.catalog.dropTempView(name) catch { case _: Exception => () }
       }
-      val streamedKept = spark.createDataset(events).toDF()
+      try q.awaitTermination() finally q.stop()
+      val streamedKept = ReplayHarness.pinnedParquet(spark, schema, outDir)
         .withColumn("ts", col("ts").cast("timestamp_ntz"))
         .select(col("ts"), col("topic"), col("value"), col("msg_id"))
       MqttQueries.finishHistory(headKept.unionByName(streamedKept), m)
