@@ -50,10 +50,10 @@ object Boilerplate {
     * normalization — output text is always the single-space token join).
     */
   def strip(docs: DataFrame): DataFrame = {
-    // cached (r21): the tokenized corpus feeds the gram chain, the
-    // kept-token anti-join AND the final length projection — three plan
-    // expansions of the tokenizer (the operator's single most expensive
-    // expression) collapse to one materialization
+    // cached (r21): the tokenized corpus feeds the gram chain and the
+    // final length projection — the plan expansions of the tokenizer (the
+    // operator's single most expensive expression) collapse to one
+    // materialization
     val base = Caching.cached(
       docs.select(col("doc_id"), TF.tokens(col("text")).as("__t")))
     val toks = base.select(col("doc_id"), posexplode(col("__t")))
@@ -63,25 +63,42 @@ object Boilerplate {
     val leads = (1 until Gram).map(k => lead(col("token"), k).over(wdoc))
     // cached (r21): the windowed gram build (a doc-keyed exchange + four
     // leads) feeds both the document-frequency aggregation and the
-    // covered-window semi-join — one window pass instead of two
+    // coverage marking — one window pass instead of two. Rows PAST the
+    // last gram start (null tail) stay in the frame carrying a null gram
+    // so the coverage window below sees every position.
     val grams = Caching.cached(toks
-      .withColumn("__tail", leads.last)
-      .withColumn("gram", concat_ws(" ", col("token") +: leads: _*))
-      // the last lead is null exactly for the len-Gram+1 .. len-1 tails
-      .filter(col("__tail").isNotNull)
-      .select(col("doc_id"), col("pos").as("pos0"), col("gram")))
-    val frequent = grams.groupBy(col("gram"))
+      .withColumn("gram", when(leads.last.isNotNull,
+        concat_ws(" ", col("token") +: leads: _*))))
+    val frequent = grams.filter(col("gram").isNotNull)
+      .groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= MinDocs)
       .select(col("gram"))
-    val covered = grams.join(broadcast(frequent), Seq("gram"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("pos0"), col("pos0") + lit(Gram - 1))).as("pos"))
-      .distinct()
-    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+    // Coverage as a second window over the SAME doc-keyed sort (r22):
+    // position p is struck iff some frequent gram STARTS in
+    // [p - Gram + 1, p] — a running max of the start flag over the
+    // trailing Gram-1 rows (positions are dense per doc, so ROWS frame =
+    // position frame). This replaces the r20/r21
+    // explode(sequence)->distinct->anti-join spelling: the covered-set
+    // exchange, the distinct aggregation and the (corpus x corpus)
+    // anti-join disappear from the plan, and the only join touching a
+    // corpus-sized side that remains is the broadcast of the tiny
+    // df-filtered gram set (frequent) — scale-shape-identical, three
+    // fewer corpus-keyed operators.
+    val flagged = grams
+      .join(broadcast(frequent.withColumn("__f", lit(true))),
+        Seq("gram"), "left")
+      .withColumn("__cov", max(when(col("__f"), 1).otherwise(0))
+        .over(wdoc.rowsBetween(-(Gram - 1), 0)))
+    // conditional reassembly over ALL positions: every tokenized doc
+    // appears (fully-struck docs keep n_kept = 0), so the final join only
+    // backfills zero-token documents
+    val rebuilt = flagged.groupBy(col("doc_id"))
+      .agg(sum(when(col("__cov") === 0, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls the `when` leaves on struck rows
+        array_join(transform(
+          array_sort(collect_list(when(col("__cov") === 0,
+            struct(col("pos"), col("token"))))),
           x => x.getField("token")), " ").as("text_stripped"))
     base.select(col("doc_id"), size(col("__t")).cast("long").as("__n"))
       .join(rebuilt, Seq("doc_id"), "left")

@@ -11,14 +11,20 @@ import org.apache.spark.sql.SparkSession
   * Eagerly-executing queries (SparkEntry.eagerQueries) are skipped — their
   * returned frame's plan is a post-collect LocalTableScan.
   *
-  * Usage: runMain graft.tools.PlanSnap <outDir> <tag> <query> [query...]
+  * Usage: runMain graft.tools.PlanSnap <outDir> <tag> [-f] <query> [query...]
+  *
+  * `-f` dumps eager queries too: their returned frame's plan is the
+  * READBACK surface (e.g. the streaming twins' post-sink frame), which is
+  * exactly the artifact that documents a readback-seam change
+  * (LocalTableScan = driver-resident vs an RDD/file scan = distributed).
   */
 object PlanSnap {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: PlanSnap <outDir> <tag> <query> [query...]")
+    require(args.length >= 3, "usage: PlanSnap <outDir> <tag> [-f] <query> [query...]")
     val outDir = args(0)
     val tag = args(1)
-    val names = args.drop(2).toSeq
+    val force = args(2) == "-f"
+    val names = args.drop(if (force) 3 else 2).toSeq
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -30,7 +36,7 @@ object PlanSnap {
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
-      if (graft.SparkEntry.eagerQueries.contains(name)) {
+      if (!force && graft.SparkEntry.eagerQueries.contains(name)) {
         println(s"[plansnap] skip eager $name")
       } else {
         val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
