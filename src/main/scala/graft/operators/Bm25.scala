@@ -389,6 +389,11 @@ object Bm25 {
       .filter(col("__rn") <= k)
       .select(col("depth"), col("query_id"), col("doc_id"), lit(1L).as("in_hyb"))
     val cons = col("lex_rank") > 0 && col("vec_rank") > 0
+    // intentional degenerate-input divergence (ADVICE r21): on an EMPTY
+    // universe groupBy(depth) returns zero rows where the pre-r21
+    // per-depth global aggregates returned one zero-count row per
+    // FusionDepthPoint; no consumer or oracle input exercises an empty
+    // corpus, and zero-rows is the truthful shape for "nothing retrieved"
     uniD.join(hybSet, Seq("depth", "query_id", "doc_id"), "left")
       .withColumn("in_hyb", coalesce(col("in_hyb"), lit(0L)))
       .groupBy(col("depth"))

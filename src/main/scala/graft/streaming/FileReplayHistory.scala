@@ -54,10 +54,9 @@ object FileReplayHistory {
       // off: both CDC forms emit on arrival (StatefulCdc: fmgws NoTimeout;
       // TwsCdc: TimeMode.None — no timers), so the trailing no-data batch
       // would be pure state-commit cost.
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = spark.conf.getOption(providerKey)
-      val q = try {
-        if (useTws) spark.conf.set(providerKey, TwsCdc.RocksDbProvider)
+      def maybeRocksDb[T](body: => T): T =
+        if (useTws) TwsCdc.withRocksDb(spark)(body) else body
+      val q = maybeRocksDb {
         ReplayHarness.runWithStatePartitions(spark, 8, noDataBatches = false) {
           val stream = spark.readStream
             .schema(staged.schema)
@@ -74,11 +73,6 @@ object FileReplayHistory {
             .writeStream.format("parquet")
             .option("path", outDir).option("checkpointLocation", ckDir)
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        }
-      } finally {
-        if (useTws) prevProvider match {
-          case Some(p) => spark.conf.set(providerKey, p)
-          case None => spark.conf.unset(providerKey)
         }
       }
       try q.awaitTermination() finally q.stop()

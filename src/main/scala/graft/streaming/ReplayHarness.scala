@@ -46,6 +46,15 @@ private[streaming] object ReplayHarness {
     * leave the session conf wrong after both finish. Only `start` holds the
     * lock — the streams themselves (and `awaitTermination`) run unlocked,
     * which is where the overlap pays.
+    *
+    * Known (accepted) leak: the lock serializes only the streaming starts.
+    * A BATCH plan built on another thread inside a holder's conf window
+    * (e.g. a concurrent leg's staging write) can observe the altered
+    * `spark.sql.shuffle.partitions`. Harmless for every current caller —
+    * results here are partition-count-independent and the concurrent legs
+    * use the same statePartitions — but new concurrent callers must either
+    * tolerate planning at the other leg's partition count or take the lock
+    * around their batch actions too.
     */
   private val confLock = new Object
 

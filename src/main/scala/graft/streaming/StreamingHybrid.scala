@@ -83,7 +83,6 @@ object StreamingHybrid {
     // latencies leave idle). Start-time conf capture is serialized by
     // ReplayHarness.confLock; everything else is per-leg-local.
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val vecF = Future(ReplayHarness.emissionsFromFiles(
       spark, staged, chunks, statePartitions = StreamPartitions,
@@ -100,8 +99,13 @@ object StreamingHybrid {
             .as("cos"))))
     val lexF = Future(StreamingBm25.bm25FromFiles(spark, dir, chunks, depth)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank")))
-    val emissions = Await.result(vecF, Duration.Inf)
-    val lex = Await.result(lexF, Duration.Inf)
+    // generous per-leg bound (ADVICE r21): a wedged leg fails the query
+    // with a TimeoutException instead of hanging the suite forever; the
+    // legs' own temp dirs are cleaned by their harness finally-blocks
+    import scala.concurrent.duration.DurationInt
+    val legTimeout = 30.minutes
+    val emissions = Await.result(vecF, legTimeout)
+    val lex = Await.result(lexF, legTimeout)
 
     // re-emission idempotence (ADVICE r20): a replayed append-mode
     // micro-batch would duplicate scored (query_id, vec_id) rows and

@@ -117,15 +117,12 @@ object TwsBootstrapCdc {
       val outDir = new java.io.File(work, "out").getAbsolutePath
       val ckDir = new java.io.File(work, "ck").getAbsolutePath
       var schema: org.apache.spark.sql.types.StructType = null
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = spark.conf.getOption(providerKey)
       // noDataBatches off: the bootstrap processor runs TimeMode.None (no
       // timers) and emits on arrival — the trailing no-data batch would be
       // pure RocksDB-commit cost. File-sink readback (r22): CDC emissions
       // are change-cardinality, so they ride a distributed parquet sink,
       // never the driver-resident memory sink.
-      val q = try {
-        spark.conf.set(providerKey, TwsCdc.RocksDbProvider)
+      val q = TwsCdc.withRocksDb(spark) {
         ReplayHarness.runWithStatePartitions(spark, 8, noDataBatches = false) {
           val stream = spark.readStream
             .schema(staged.schema)
@@ -137,11 +134,6 @@ object TwsBootstrapCdc {
             .writeStream.format("parquet")
             .option("path", outDir).option("checkpointLocation", ckDir)
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        }
-      } finally {
-        prevProvider match {
-          case Some(p) => spark.conf.set(providerKey, p)
-          case None => spark.conf.unset(providerKey)
         }
       }
       try q.awaitTermination() finally q.stop()

@@ -92,17 +92,11 @@ object TwsHeavyHitters {
       groups: Int = 8, capacity: Int = 1 << 16): DataFrame = {
     import spark.implicits._
     val staged = Tables.orders(spark, dir).select(col("o_custkey"))
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    val emissions = try {
-      spark.conf.set(key, TwsCdc.RocksDbProvider)
+    val emissions = TwsCdc.withRocksDb(spark) {
       ReplayHarness.emissionsFromFiles(
         spark, staged, chunks, statePartitions = 8,
         prefix = "hh_bounded_tws", outputMode = "append", col("o_custkey"))(
         df => summaryStream(df.as[Long], groups, capacity).toDF())
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
     }
     StreamingBoundedHeavyHitters.foldEmissions(emissions)
   }

@@ -168,14 +168,8 @@ object TwsSessions {
     */
   def userSessionsFromFiles(spark: SparkSession, dir: String,
       chunks: Int = 3): DataFrame = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    try {
-      spark.conf.set(key, TwsCdc.RocksDbProvider)
+    TwsCdc.withRocksDb(spark) {
       FileReplaySessions.run(spark, dir, chunks, stream => sessions(stream))
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
     }
   }
 }

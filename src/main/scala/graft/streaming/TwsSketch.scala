@@ -60,17 +60,11 @@ object TwsSketch {
   def approxDistinctUsersFromFiles(spark: SparkSession, dir: String,
       chunks: Int = 3): DataFrame = {
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    val emissions = try {
-      spark.conf.set(key, TwsCdc.RocksDbProvider)
+    val emissions = TwsCdc.withRocksDb(spark) {
       ReplayHarness.emissionsFromFiles(
         spark, StreamingSketch.bucketHits(spark, dir), chunks,
         statePartitions = 4, prefix = "sketch_tws", outputMode = "update",
         col("event_type"), col("bucket"))(df => counts(df.as[BucketHit]).toDF())
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
     }
     StreamingSketch.foldEmissions(emissions)
   }
